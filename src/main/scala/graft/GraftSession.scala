@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session bootstrap for the engine (reference analog: process startup,
+  * `app.py:14-16` + `utils/config.py:11-20` — there it loads a model and a
+  * Pinecone client; here it configures a Spark session tuned for the
+  * local[N] harness while keeping cluster-scale defaults sane).
+  *
+  * Scale notes (100 TB / 1000-executor design intent):
+  *  - AQE on: runtime shuffle-partition coalescing + skew-join splitting.
+  *  - shuffle.partitions defaults to the harness core count locally; on a
+  *    real cluster this is overridden by AQE's coalescing anyway.
+  *  - UTC session timezone: deterministic timestamp semantics vs the oracle.
+  */
+object GraftSession {
+  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,333 @@
+package graft
+
+/** DuckDB oracle SQL — one ANSI statement per oracle-checkable query in
+  * [[SparkEntry.queries]], computing bit-identical results (see the parity
+  * conventions on [[SparkEntry]]): decimal-exact aggregates cast to double,
+  * strict left folds (`list_reduce` with a prepended zero == Spark
+  * `aggregate`), md5-derived portable hashes, matching total ORDER BY and
+  * matching output column names/types.
+  */
+object OracleSql {
+
+  /** Lowercased word tokens of `text` (mirror of TextOps.tokens). */
+  private val TOKS =
+    "list_filter(string_split_regex(lower(text),'[^a-z0-9]+'), t -> t != '')"
+
+  /** Portable 32-bit hash (mirror of PortableHash.hash32). */
+  private def h32(x: String) =
+    s"('0x'||substr(md5($x),1,8))::bigint"
+
+  /** Strict left-fold sum of a double list (mirror of Spark `aggregate`). */
+  private def foldSum(xs: String) =
+    s"list_reduce(list_prepend(0.0::double, $xs), (acc,x) -> acc + x)"
+
+  /** Mirror of VectorOps.normSq: fold acc + x². */
+  private def normSq(v: String) =
+    s"list_reduce(list_prepend(0.0::double, list_transform($v, x -> x::double)), (acc,x) -> acc + x*x)"
+
+  /** Mirror of VectorOps.dot: zip-multiply then fold-sum. */
+  private def dotExpr(a: String, b: String) =
+    foldSum(s"list_transform(range(1, length($a)+1), i -> $a[i]::double * $b[i]::double)")
+
+  /** Mirror of VectorOps.signBucket(v, bits). */
+  private def bucketN(v: String, bits: Int) =
+    (0 until bits).map(i => s"CASE WHEN $v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString("(", " + ", ")::bigint")
+  private def bucket8(v: String) = bucketN(v, 8)
+
+  /** Mirror of TextOps.quantize6 (floor-quantization, engine-portable). */
+  private def qz6(x: String) = s"floor(($x) * 1000000.0) / 1000000.0"
+
+  /** Mirror of TextOps.distinctWordShingles(text, 3) over a token-list col `w`. */
+  private val SHINGLES3 =
+    "list_distinct(list_transform(range(1, greatest(length(w)-2, 0)+1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+
+  private val DEC1 = "cast(1 AS decimal(18,2))"
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+        cast(sum(cast(l_extendedprice AS decimal(18,2)) * ($DEC1 - cast(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
+        cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(1)::double AS avg_qty,
+        count(1) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_delta_scan" -> """
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      WHERE ts > TIMESTAMP '2024-01-25 00:00:00' ORDER BY event_id""",
+
+    "q03_watermark_max" -> "SELECT max(ts) AS last_updated FROM events",
+
+    "q04_point_lookup" -> """
+      SELECT event_type, max(ts) AS last_updated, count(1) AS n FROM events
+      WHERE event_type = 'purchase' GROUP BY event_type""",
+
+    "q05_anti_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+
+    "q06_semi_join" -> """
+      SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+      ORDER BY s_suppkey""",
+
+    "q07_join_revenue" -> s"""
+      SELECT r_name, n_name,
+        cast(sum(cast(l_extendedprice AS decimal(18,2)) * ($DEC1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue,
+        count(1) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q08_window_topk" -> """
+      SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders WHERE o_custkey <= 50) t
+      WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+
+    "q09_running_sum" -> """
+      SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        cast(sum(cast(l_quantity AS decimal(18,2))) OVER (
+          PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_qty
+      FROM lineitem WHERE l_suppkey <= 3
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+
+    "q10_distinct_agg" -> """
+      SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(1) AS n_orders,
+        cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q11_setops" -> """
+      WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+           s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+      SELECT nk, 'both' AS op FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+      UNION ALL
+      SELECT nk, 'customer_only' AS op FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+      ORDER BY op, nk""",
+
+    "q12_rollup" -> """
+      SELECT n_name, c_mktsegment, count(1) AS n,
+        cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)
+      ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+
+    "q13_json_extract" -> """
+      SELECT json_extract_string(props, '$.k')::int AS k, count(1) AS n,
+        cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+      FROM events GROUP BY 1 ORDER BY k""",
+
+    "q14_window_day" -> """
+      SELECT date_trunc('day', ts)::timestamp AS day, event_type, count(1) AS n,
+        cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+
+    "q15_scalar_funcs" -> """
+      SELECT p_partkey, substr(p_name, 1, 5) AS name5, upper(p_brand) AS brand_u,
+        p_type || '/' || p_brand AS type_brand, (p_size % 7) AS size_mod,
+        sqrt(p_retailprice) AS price_sqrt,
+        CASE WHEN p_size > 25 THEN 'big' WHEN p_size > 10 THEN 'mid' ELSE 'small' END AS size_class,
+        coalesce(nullif(p_type, 'ECONOMY'), 'CHEAP') AS type_or_cheap
+      FROM part ORDER BY p_partkey""",
+
+    "q16_chunk_docs" -> """
+      WITH numbered AS (
+        SELECT '{"event_id":' || event_id::varchar || ',"ts":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')
+               || '","user_id":' || user_id::varchar || ',"event_type":"' || event_type
+               || '","value_cents":' || round(value * 100)::bigint::varchar || '}' AS doc,
+               row_number() OVER (ORDER BY event_id) AS rn
+        FROM events),
+      chunks AS (
+        SELECT floor((rn - 1) / 100)::bigint AS chunk_no,
+               string_agg(doc, ' ' ORDER BY rn) AS text,
+               count(1) AS n_rows
+        FROM numbered GROUP BY 1)
+      SELECT chunk_no, 'events#' || sha256(text) AS id, 'events' AS source, text, n_rows
+      FROM chunks ORDER BY chunk_no""",
+
+    "q17_exact_dedup" -> """
+      WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256, count(1) AS dup_count
+      FROM doubled GROUP BY sha256(text) ORDER BY doc_id""",
+
+    "q18_minhash_lsh" -> s"""
+      WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+      w AS (SELECT doc_id, $TOKS AS w FROM docs2),
+      sh AS (SELECT doc_id, $SHINGLES3 AS sh FROM w),
+      sig AS (SELECT doc_id, sh,
+        list_transform(range(16), k -> coalesce(
+          list_min(list_transform(sh, s2 -> ${h32("k::varchar || ':' || s2")})), 4294967296)) AS sig
+        FROM sh),
+      bands AS (SELECT doc_id, sh,
+        b::varchar || '_' || sig[b*4+1]::varchar || '_' || sig[b*4+2]::varchar
+          || '_' || sig[b*4+3]::varchar || '_' || sig[b*4+4]::varchar AS band_key
+        FROM sig, range(4) t(b)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        CASE WHEN length(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+             ELSE length(list_intersect(a.sh, b.sh))::double / length(list_distinct(a.sh || b.sh))::double
+        END AS jaccard
+        FROM bands a JOIN bands b USING (band_key) WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM cand WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+    "q19_simhash" -> s"""
+      WITH toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+      h AS (SELECT doc_id, ${h32("tok")} AS h FROM toks),
+      bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+               FROM h, range(32) t(i) GROUP BY doc_id, i)
+      SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::bigint << i) ELSE 0 END)::bigint AS simhash
+      FROM bits GROUP BY doc_id ORDER BY doc_id""",
+
+    "q20_ngram_jaccard" -> s"""
+      WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      p AS (SELECT doc_id, list_distinct(toks) AS sh, floor(length(toks) / 16)::bigint AS block FROM d),
+      raw AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CASE WHEN length(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+             ELSE length(list_intersect(a.sh, b.sh))::double / length(list_distinct(a.sh || b.sh))::double
+        END AS j
+        FROM p a JOIN p b USING (block) WHERE a.doc_id < b.doc_id),
+      pairs AS (SELECT id_a, id_b, ${qz6("j")} AS jaccard FROM raw)
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.9 ORDER BY id_a, id_b""",
+
+    "q21_langid" -> s"""
+      WITH d AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+      sc AS (SELECT doc_id, lang,
+        length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is')) AS s_en,
+        length(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='los')) AS s_es,
+        length(list_filter(toks, t -> t='der' OR t='die' OR t='das' OR t='und' OR t='ist')) AS s_de,
+        length(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est')) AS s_fr,
+        length(list_filter(toks, t -> t='de5' OR t='shi4' OR t='le5' OR t='zai4' OR t='he2')) AS s_zh
+        FROM d)
+      SELECT doc_id, lang,
+        CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END AS pred_lang
+      FROM sc ORDER BY doc_id""",
+
+    "q22_quality_score" -> s"""
+      WITH d AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+      m AS (SELECT doc_id, text, toks,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+        CASE WHEN length(toks) = 0 THEN 0.0
+             ELSE length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(toks) END AS stop_r,
+        CASE WHEN length(toks) = 0 THEN 0.0
+             ELSE list_sum(list_transform(toks, t -> length(t)))::double / length(toks) END AS mean_len
+        FROM d)
+      SELECT doc_id, length(toks)::bigint AS n_tokens,
+        ${qz6("punct_r")} AS punct_ratio,
+        ${qz6("stop_r")} AS stopword_ratio,
+        ${qz6("mean_len")} AS mean_token_len,
+        ${qz6("least(length(text)::double / 500.0, 1.0) * 0.4 + least(stop_r * 5.0, 1.0) * 0.3 + greatest(1.0 - punct_r * 4.0, 0.0) * 0.3")} AS quality
+      FROM m ORDER BY doc_id""",
+
+    "q23_fingerprint" -> s"""
+      SELECT doc_id,
+        list_reduce(list_prepend(0::bigint, list_transform($TOKS, t -> ${h32("t")})),
+          (acc, h2) -> (acc * 1000003 + h2) % 2147483647) AS fingerprint
+      FROM documents ORDER BY doc_id""",
+
+    "q24_knn_bruteforce" -> s"""
+      WITH p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+      sc AS (SELECT e.vec_id,
+        ${dotExpr("e.embedding", "p.pe")} AS dp,
+        sqrt(${normSq("e.embedding")}) AS na,
+        sqrt(${normSq("p.pe")}) AS nb
+        FROM embeddings e, p WHERE e.vec_id != 0)
+      SELECT vec_id, round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS score
+      FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "q25_knn_lsh" -> s"""
+      WITH eb AS (SELECT vec_id, embedding, ${bucketN("embedding", 4)} AS bucket FROM embeddings),
+      p AS (SELECT embedding AS pe, bucket FROM eb WHERE vec_id = 0),
+      sc AS (SELECT e.vec_id,
+        ${dotExpr("e.embedding", "p.pe")} AS dp,
+        sqrt(${normSq("e.embedding")}) AS na,
+        sqrt(${normSq("p.pe")}) AS nb
+        FROM eb e JOIN p USING (bucket) WHERE e.vec_id != 0)
+      SELECT vec_id, round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS score
+      FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+
+    "q26_embedding_stats" -> s"""
+      WITH n AS (SELECT label, round(sqrt(${normSq("embedding")}), 6) AS nrm FROM embeddings)
+      SELECT label, count(1) AS n,
+        cast(sum(cast(nrm AS decimal(18,6))) AS double) / count(1)::double AS avg_norm
+      FROM n GROUP BY label ORDER BY label""",
+
+    "q27_embedding_neardup" -> s"""
+      WITH e2 AS (SELECT vec_id, embedding FROM embeddings
+                  UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+      eb AS (SELECT vec_id, embedding, ${bucket8("embedding")} AS bucket FROM e2),
+      pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb2
+             FROM eb a JOIN eb b USING (bucket) WHERE a.vec_id < b.vec_id),
+      sc AS (SELECT id_a, id_b,
+        ${dotExpr("ea", "eb2")} AS dp,
+        sqrt(${normSq("ea")}) AS na,
+        sqrt(${normSq("eb2")}) AS nb
+        FROM pr),
+      res AS (SELECT id_a, id_b,
+        round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS cosine FROM sc)
+      SELECT id_a, id_b, cosine FROM res WHERE cosine >= 0.25 ORDER BY id_a, id_b""",
+
+    "q28_grouping_sets" -> """
+      SELECT event_type, date_trunc('day', ts)::timestamp AS day, count(1) AS n,
+        cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+      FROM events
+      GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)::timestamp), ())
+      ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""",
+
+    "q29_topk_orders" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "q30_asof_watermark" -> """
+      SELECT e.event_type, count(1) AS n, max(e.ts) AS new_watermark
+      FROM events e
+      JOIN (VALUES ('click', TIMESTAMP '2024-01-20 00:00:00'),
+                   ('purchase', TIMESTAMP '2024-01-10 00:00:00'),
+                   ('signup', TIMESTAMP '2024-01-25 00:00:00')) wm(event_type, last_updated)
+        ON e.event_type = wm.event_type
+      WHERE e.ts > wm.last_updated
+      GROUP BY e.event_type ORDER BY e.event_type""",
+
+    "q31_outer_join" -> """
+      SELECT n_nationkey, n_name, count(c_custkey) AS n_customers,
+        cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS acctbal
+      FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      GROUP BY n_nationkey, n_name ORDER BY n_nationkey""",
+
+    "q32_having" -> """
+      SELECT l_partkey, count(1) AS n, cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS qty
+      FROM lineitem GROUP BY l_partkey HAVING count(1) >= 35 ORDER BY l_partkey""",
+
+    "q33_scalar_subquery" -> """
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_acctbal > (SELECT cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) / count(1)::double FROM customer)
+      ORDER BY c_custkey""",
+
+    "q34_like_filter" -> """
+      SELECT p_type, count(1) AS n,
+        sum(CASE WHEN p_size > 20 THEN 1 ELSE 0 END)::bigint AS n_large,
+        cast(sum(cast(p_retailprice AS decimal(18,2))) AS double) AS price_sum
+      FROM part WHERE p_name LIKE '%red%' OR regexp_matches(p_name, '^blue ')
+      GROUP BY p_type ORDER BY p_type""",
+
+    "q35_bpe_tokens" -> s"""
+      WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents)
+      SELECT doc_id, length(toks)::bigint AS ws_tokens,
+        list_sum(list_transform(toks, t -> 1 + floor(length(t) / 6)::int))::bigint AS bpe_tokens
+      FROM d ORDER BY doc_id""")
+}

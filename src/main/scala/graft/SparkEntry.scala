@@ -1,13 +1,472 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Embeddings, JsonRows, PortableHash, TextOps, VectorOps}
+import graft.multimodal.Multimodal
+import graft.operators.{Cdc, Chunker, Dedup, SimilaritySearch}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Driver contract: the engine's full query surface (SURVEY §2 inventory +
+  * north-star LLM-pipeline operators), each oracle-checked against DuckDB
+  * where ANSI-expressible.
+  *
+  * Oracle-parity conventions used throughout (SURVEY §7 hard parts):
+  *  - double aggregates run decimal-exact internally and cast to double at
+  *    the end, so results are bit-identical across engines regardless of
+  *    partial-aggregation order;
+  *  - array folds are strict left folds in both engines (`aggregate` here,
+  *    `list_reduce` there);
+  *  - engine-portable hashes only (md5/sha2-derived), never Spark `hash()`;
+  *  - every query carries a total ORDER BY on both sides;
+  *  - count-ish outputs are bigint on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Decimal-exact sum of a double column, emitted as double. */
+  private def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  // ---------------------------------------------------------------------
+  // Flagship (§3.2+§3.3 in one plan): CDC delta → row-JSON → chunk →
+  // embed → self-kNN of chunk vectors. Exercises scan, filter pushdown,
+  // window, group-agg, scalar funcs, the embed UDF, bucketed vector join,
+  // and windowed top-k. Driver smoke-checks rows > 0 on sf0.001.
+  // ---------------------------------------------------------------------
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val events = t(spark, dir, "events")
+    val delta = Cdc.deltaScan(events, "ts", Some(Timestamp.valueOf("2024-01-10 00:00:00")))
+    val chunks = Chunker.chunkRowsAsJson(delta, col("event_id"), "events", 100)
+    val vectors = chunks.select(col("id"), Embeddings.embedCol(col("text")).as("embedding"))
+    SimilaritySearch.knnJoin(vectors, vectors, "id", "embedding", "id", "embedding", k = 3, bits = 4)
+  }
+
+  // ---------------------------------------------------------------------
+  // M0: relational surface (SURVEY §2.1-2.5 + delegated families §2.4)
+  // ---------------------------------------------------------------------
+
+  /** A-family: TPC-H-Q1-style pricing summary (grouped agg, decimal-exact). */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)).cast("double")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** S5/P3: strict-`>` CDC delta scan (service_layer/service.py:52-54). */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    Cdc.deltaScan(t(s, dir, "events"), "ts", Some(Timestamp.valueOf("2024-01-25 00:00:00")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** A1: ungrouped MAX watermark (service_layer/service.py:73). */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").agg(max(col("ts")).as("last_updated"))
+
+  /** S6/P4: watermark-style point lookup (equality predicate + max). */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy(col("event_type"))
+      .agg(max(col("ts")).as("last_updated"), count(lit(1)).as("n"))
+
+  /** P5-shaped anti join: customers with no orders. */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Semi join: suppliers with at least one lineitem. */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+
+  /** Multi-way equi-join with broadcast dims: revenue per nation. */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Window top-k per group: 3 priciest orders per customer (first 50). */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .where(col("o_custkey") <= 50)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Running window aggregate: cumulative quantity per supplier (decimal-
+    * exact so frame-by-frame summation order can't diverge). */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .where(col("l_suppkey") <= 3)
+      .withColumn("running_qty", sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Distinct aggregation (count distinct keys per status). */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Set operations: customer vs supplier nations. */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk")).distinct()
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk")).distinct()
+    c.intersect(sup).withColumn("op", lit("both"))
+      .unionByName(c.except(sup).withColumn("op", lit("customer_only")))
+      .orderBy(col("op"), col("nk"))
+  }
+
+  /** Rollup with explicit null ordering. */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+
+  /** F1⁻¹ JSON reading: extract props.k from the events JSON column. */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
+      .orderBy(col("k"))
+
+  /** T4 batch analog: tumbling daily window aggregation. */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** F2-F5 scalar sampler: string/math/conditional functions. */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        upper(col("p_brand")).as("brand_u"),
+        concat(col("p_type"), lit("/"), col("p_brand")).as("type_brand"),
+        (col("p_size") % 7).as("size_mod"),
+        sqrt(col("p_retailprice")).as("price_sqrt"),
+        when(col("p_size") > 25, lit("big")).when(col("p_size") > 10, lit("mid")).otherwise(lit("small")).as("size_class"),
+        coalesce(nullif(col("p_type"), lit("ECONOMY")), lit("CHEAP")).as("type_or_cheap"))
+      .orderBy(col("p_partkey"))
+
+  /** A2/F1/F6: deterministic chunk assembly over row-JSON (manual JSON so
+    * both engines serialize identically; sha256 content ids per SURVEY §7). */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val json = concat(
+      lit("{\"event_id\":"), col("event_id").cast("string"),
+      lit(",\"ts\":\""), date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+      lit("\",\"user_id\":"), col("user_id").cast("string"),
+      lit(",\"event_type\":\""), col("event_type"),
+      lit("\",\"value_cents\":"), round(col("value") * 100).cast("long").cast("string"),
+      lit("}"))
+    Chunker.chunkDeterministic(events, col("event_id"), json, "events", 100)
+      .select(col("chunk_no"), col("id"), col("source"), col("text"), col("n_rows"))
+      .orderBy(col("chunk_no"))
+  }
+
+  /** Exact dedup by content hash over a duplicated corpus. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val doubled = d.unionByName(d)
+    Dedup.exactByText(doubled, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash + LSH near-dup candidate pairs (shingle→minhash→band→bucket
+    * join→Jaccard refine) over documents ∪ shifted copy. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+    Dedup.minhashLshPairs(doubled, "doc_id", "text", shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash per document (32-bit word-feature simhash). */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.simhash32(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Blocked n-gram (unigram) Jaccard near-dup pairs. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 1, threshold = 0.9, lengthBucket = 16)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Language ID (marker-term heuristic) vs the labeled lang. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length/punct/stopword signals + composite score. */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.quantize6(TextOps.punctRatio(col("text"))).as("punct_ratio"),
+        TextOps.quantize6(TextOps.stopwordRatio(col("text"))).as("stopword_ratio"),
+        TextOps.quantize6(TextOps.meanTokenLen(col("text"))).as("mean_token_len"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling-hash document fingerprint (order-sensitive polynomial hash). */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Brute-force cosine top-k against the vec_id=0 probe (§3.3 read path). */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("probe_emb"))
+    e.crossJoin(broadcast(probe))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(VectorOps.cosine(col("embedding"), col("probe_emb")), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** ANN top-k: sign-bucket LSH restricts candidates to the probe bucket
+    * (4 bits → ~n/16 candidates; fewer bits = higher recall). */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("bucket", VectorOps.signBucket(col("embedding"), 4))
+    val probe = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"), col("bucket"))
+    e.join(broadcast(probe), Seq("bucket"))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(VectorOps.cosine(col("embedding"), col("probe_emb")), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** Vector-column aggregation: per-label count + mean L2 norm. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), round(VectorOps.norm(col("embedding")), 6).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("nrm").cast("decimal(18,6)")).cast("double") / count(lit(1)).cast("double")).as("avg_norm"))
+      .orderBy(col("label"))
+
+  /** Embedding near-dup pairs via sign-bucket blocking + cosine threshold
+    * over embeddings ∪ shifted copy (copies land in their own bucket). */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val doubled = e.unionByName(e.withColumn("vec_id", col("vec_id") + 100000))
+    Dedup.embeddingNearDupPairs(doubled, "vec_id", "embedding", threshold = 0.25, bits = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Grouping sets over events (type / day / grand total). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("graft_events")
+    s.sql("""
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(1) AS n,
+             cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+      FROM graft_events
+      GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+      ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""")
+  }
+
+  /** Global sort + limit (top-k orders). */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(20)
+
+  /** As-of-style watermark join: per-type watermark table joined to events,
+    * strict-`>` cut (the reference's watermark⋈table pattern, §2.4). */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wm = Seq(
+      ("click", Timestamp.valueOf("2024-01-20 00:00:00")),
+      ("purchase", Timestamp.valueOf("2024-01-10 00:00:00")),
+      ("signup", Timestamp.valueOf("2024-01-25 00:00:00"))).toDF("event_type", "last_updated")
+    t(s, dir, "events")
+      .join(broadcast(wm), Seq("event_type"))
+      .where(col("ts") > col("last_updated"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("new_watermark"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Left outer join preserving empty groups. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    broadcast(t(s, dir, "nation"))
+      .join(t(s, dir, "customer"), col("n_nationkey") === col("c_nationkey"), "left_outer")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"), dsum(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(col("n_nationkey"))
+
+  /** Grouped agg + HAVING. */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("qty"))
+      .where(col("n") >= 35)
+      .orderBy(col("l_partkey"))
+
+  /** Scalar subquery pattern: customers above mean balance. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val mean = c.agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)).cast("double")).as("avg_bal"))
+    c.crossJoin(broadcast(mean))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** LIKE / regexp predicates + conditional aggregation. */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .where(col("p_name").like("%red%") || col("p_name").rlike("^blue "))
+      .groupBy(col("p_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("p_size") > 20, 1L).otherwise(0L)).as("n_large"),
+        dsum(col("p_retailprice"), 2).as("price_sum"))
+      .orderBy(col("p_type"))
+
+  /** Approximate BPE-ish token counting (per-word merge-piece estimate). */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextOps.approxBpeCount(col("text")).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
+  // Non-SQL-expressible operators (rows-only driver check): the embed UDF
+  // (F7/F8), the full CDC cycle (stateful), multimodal plumbing.
+  // ---------------------------------------------------------------------
+
+  /** F7: hashed-feature embedding of documents; emits dim + norm so the
+    * rows-only check still sees the structural invariants. */
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Embeddings.embedCol(col("text")).as("emb"))
+      .select(
+        col("doc_id"),
+        size(col("emb")).as("dim"),
+        round(VectorOps.norm(col("emb")), 4).as("nrm"))
+      .orderBy(col("doc_id"))
+
+  /** F8+§3.3: text-query similarity search (embed a literal query, top-10
+    * over embedded documents). */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), Embeddings.embedCol(col("text")).as("emb"))
+    SimilaritySearch.topKText(docs, "doc_id", "emb", "table scan merge join spark", 10)
+  }
+
+  /** Multimodal plumbing: binary columns + stub decode/featurize + resize
+    * plan (real schema/partitioning, stubbed codec). */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(s, t(s, dir, "documents"))
+    Multimodal.resizePlan(Multimodal.decodeAndFeaturize(media), maxSide = 512)
+      .orderBy(col("media_id"))
+  }
+
+  /** The full CDC sync cycle (§3.2) against a scratch state/sink dir:
+    * delta → chunk → embed → idempotent upsert → watermark commit. Runs
+    * two cycles to exercise the incremental path, returns the sink. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    Cdc.syncCycle(s, dir, s"$scratch/state", s"$scratch/sink")
+    Cdc.syncCycle(s, dir, s"$scratch/state", s"$scratch/sink") // no-op delta
+    Cdc.readVectorSink(s, s"$scratch/sink").select(col("id"), col("source"), col("text"))
+      .orderBy(col("id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_delta_scan" -> (q02 _),
+    "q03_watermark_max" -> (q03 _),
+    "q04_point_lookup" -> (q04 _),
+    "q05_anti_join" -> (q05 _),
+    "q06_semi_join" -> (q06 _),
+    "q07_join_revenue" -> (q07 _),
+    "q08_window_topk" -> (q08 _),
+    "q09_running_sum" -> (q09 _),
+    "q10_distinct_agg" -> (q10 _),
+    "q11_setops" -> (q11 _),
+    "q12_rollup" -> (q12 _),
+    "q13_json_extract" -> (q13 _),
+    "q14_window_day" -> (q14 _),
+    "q15_scalar_funcs" -> (q15 _),
+    "q16_chunk_docs" -> (q16 _),
+    "q17_exact_dedup" -> (q17 _),
+    "q18_minhash_lsh" -> (q18 _),
+    "q19_simhash" -> (q19 _),
+    "q20_ngram_jaccard" -> (q20 _),
+    "q21_langid" -> (q21 _),
+    "q22_quality_score" -> (q22 _),
+    "q23_fingerprint" -> (q23 _),
+    "q24_knn_bruteforce" -> (q24 _),
+    "q25_knn_lsh" -> (q25 _),
+    "q26_embedding_stats" -> (q26 _),
+    "q27_embedding_neardup" -> (q27 _),
+    "q28_grouping_sets" -> (q28 _),
+    "q29_topk_orders" -> (q29 _),
+    "q30_asof_watermark" -> (q30 _),
+    "q31_outer_join" -> (q31 _),
+    "q32_having" -> (q32 _),
+    "q33_scalar_subquery" -> (q33 _),
+    "q34_like_filter" -> (q34 _),
+    "q35_bpe_tokens" -> (q35 _),
+    "q90_embed_documents" -> (q90 _),
+    "q91_text_query_knn" -> (q91 _),
+    "q92_multimodal_stub" -> (q92 _),
+    "q93_cdc_cycle" -> (q93 _))
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for the LLM-data-pipeline surface (BASELINE.json
+  * north-star: language-ID, quality scoring, token counting, document
+  * fingerprinting). All are compositions of codegen'd built-ins — no UDFs —
+  * so they stay inside whole-stage codegen and scale linearly with input.
+  */
+object TextOps {
+
+  /** Lowercased word tokens (whitespace/punctuation boundaries). Matches the
+    * ANSI `string_split_regex(lower(s), '[^a-z0-9]+')` modulo empty-token
+    * filtering, which [[tokens]] performs explicitly for parity. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** Whitespace token count (the cheap "how many words" measure). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: words + extra units for long
+    * words (every 6 chars beyond the first 6 ≈ one more merge-piece).
+    * A deterministic, tokenizer-free stand-in for real BPE counts. */
+  def approxBpeCount(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => lit(1) + floor(length(t) / lit(6)).cast("int")),
+      lit(0),
+      (acc, x) => acc + x)
+
+  /** Word n-gram shingles of the token stream (dedup/minhash input).
+    * Guarded: Spark `sequence(1, 0)` counts DOWN, so short docs must
+    * short-circuit to an empty array (oracle mirror: `range(1, max(cnt,0)+1)`
+    * which is empty for cnt <= 0). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val cnt = size(ts) - lit(n - 1)
+    when(cnt < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(ts, i, lit(n)))))
+  }
+
+  /** Distinct word n-gram shingles. */
+  def distinctWordShingles(text: Column, n: Int): Column =
+    array_distinct(wordShingles(text, n))
+
+  /** MinHash signature: k independent 32-bit hash families over the distinct
+    * shingle set; element i = min over shingles of hash32(i || ':' || s).
+    * Empty shingle set → signature of 2^32 sentinels (never collides with a
+    * real minimum below it only if real mins equal it — acceptable). */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    val sentinel = lit(4294967296L)
+    array((0 until k).map { i =>
+      coalesce(
+        array_min(transform(shingles, s => PortableHash.hash32(i, s))),
+        sentinel)
+    }: _*)
+  }
+
+  /** LSH band keys from a minhash signature: bands of `rowsPerBand` hashed
+    * together; docs sharing any band key are near-dup candidates. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws(
+        "_",
+        lit(b.toString) +:
+          (0 until rowsPerBand).map(r => element_at(signature, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /** SimHash (32-bit, word-feature): per token w, h = hash32(w); bit i of
+    * the simhash is the sign of sum over tokens of (+1 if bit i of h else
+    * -1). Near-dup docs differ in few bits (hamming distance).
+    * Composed from array built-ins — ANSI-expressible via unnest+group. */
+  def simhash32(text: Column): Column = {
+    val hs = transform(tokens(text), t => PortableHash.hash32(t))
+    val bitVotes = (0 until 32).map { i =>
+      aggregate(
+        hs,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L), lit(1L)).otherwise(lit(-1L)))
+    }
+    bitVotes.zipWithIndex.map { case (v, i) =>
+      when(v > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash words. */
+  def hammingDistance32(a: Column, b: Column): Column = {
+    val x = a.bitwiseXOR(b)
+    (0 until 32).map(i => shiftright(x, i).bitwiseAND(lit(1L))).reduce(_ + _)
+  }
+
+  /** Rolling-hash document fingerprint: polynomial hash over the normalized
+    * token stream (base 1000003, mod 2^31-1), order-sensitive — two docs
+    * with the same tokens in different order fingerprint differently,
+    * unlike a set hash. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => PortableHash.hash32(t)),
+      lit(0L),
+      (acc, h) => pmod(acc * lit(1000003L) + h, lit(2147483647L)))
+
+  // --- language ID (n-gram/marker heuristic) -------------------------------
+
+  /** Marker terms per language. A deterministic heuristic (the container has
+    * no language models): score = count of marker-term occurrences in the
+    * token stream, predicted language = argmax with 'en' fallback. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** Occurrences of any of `terms` in the token stream. */
+  def markerCount(toks: Column, terms: Seq[String]): Column =
+    size(filter(toks, t => terms.map(m => t === lit(m)).reduce(_ || _)))
+
+  /** Best-scoring language label; ties and all-zero resolve to the first
+    * language in [[langMarkers]] order with maximal score. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langMarkers.map { case (l, ms) => (l, markerCount(toks, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.reverse
+      .foldLeft(lit("und")) { case (acc, (l, s)) =>
+        when(s === best && best > 0, lit(l)).otherwise(acc)
+      }
+  }
+
+  // --- quality scoring -----------------------------------------------------
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "to", "in", "it", "that", "on")
+
+  /** Ratio of non-alphanumeric, non-space chars to total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text))
+
+  /** Ratio of stopword tokens to all tokens (prose-likeness signal). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(markerCount(toks, stopwords).cast("double") / size(toks))
+  }
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Floor-quantization to 6 decimals. Used instead of `round` wherever the
+    * value can be an EXACT decimal (ratios of small ints): `round` half-tie
+    * behavior differs subtly across engines on such values, `floor(x·10⁶)`
+    * is bit-deterministic everywhere (identical double in → identical out). */
+  def quantize6(c: Column): Column = floor(c * lit(1000000.0)) / lit(1000000.0)
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, prose-like
+    * stopword ratio, low punctuation noise. Deterministic heuristic in the
+    * Gopher-rules style (length/punct/stopword filters). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(4.0), lit(0.0))
+    quantize6(lenScore * lit(0.4) + stopScore * lit(0.3) + punctPenalty * lit(0.3))
+  }
+}

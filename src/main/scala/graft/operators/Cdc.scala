@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.functions.Embeddings
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** The CDC sync cycle — the reference's main "query" (§3.2), rebuilt as a
+  * Spark batch/incremental pipeline:
+  *
+  *   catalog scan → per-table watermark lookup (S6) → strict-`>` delta
+  *   (S5/P3, `service_layer/service.py:52-54`) → empty-delta skip (P6,
+  *   `:65`/`:76-77`/`:105-107`) → row→JSON (F1) → chunk (A2) → embed (F7)
+  *   → idempotent vector upsert (S9) → watermark commit (S7/A1,
+  *   `:73-74`).
+  *
+  * Semantics preserved from the reference:
+  *  - strict `>` watermark filter — ties at the stored watermark are
+  *    skipped (T2; `configurableLateness` below is the documented fix).
+  *  - watermark commit AFTER the sink write → at-least-once (T3); the
+  *    engine's content-hash ids turn at-least-once into effective
+  *    exactly-once (re-emitted chunks overwrite themselves).
+  *  - the `watermark` state table is excluded from sync
+  *    (`controller/controller.py:23-24`).
+  *
+  * Scale: state (watermark) is tiny and driver-mergeable; the data path is
+  * fully distributed; the vector sink upsert is a hash anti-join on `id`
+  * (in production, a Delta/Iceberg MERGE — here parquet read-modify-write
+  * with the same last-writer-wins contract as Pinecone upsert,
+  * `service_layer/service.py:160-166`).
+  */
+object Cdc {
+
+  val WatermarkTable = "watermark" // controller/controller.py:23-24
+  val watermarkSchema: StructType = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("last_updated", TimestampType, nullable = true)))
+
+  val vectorSinkSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("text", StringType, nullable = true)))
+
+  // --- watermark state store (S6/S7) --------------------------------------
+
+  /** S6: point lookup of a table's watermark; None if absent
+    * (`service_layer/service.py:21-33`). */
+  def getWatermark(spark: SparkSession, stateDir: String, tableName: String): Option[Timestamp] = {
+    val df = readWatermarks(spark, stateDir)
+    df.where(col("table_name") === tableName)
+      .select("last_updated")
+      .collect()
+      .headOption
+      .map(_.getTimestamp(0))
+  }
+
+  def readWatermarks(spark: SparkSession, stateDir: String): DataFrame = {
+    val path = s"$stateDir/$WatermarkTable"
+    if (new java.io.File(path).exists())
+      spark.read.parquet(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], watermarkSchema)
+  }
+
+  /** S7: `INSERT … ON DUPLICATE KEY UPDATE` analog
+    * (`service_layer/service.py:38-42`): read-modify-write keyed by
+    * table_name, last-writer-wins. Parquet has no MERGE, so: union new row
+    * + keep max per key + atomic directory swap. */
+  def updateWatermark(spark: SparkSession, stateDir: String, tableName: String, ts: Timestamp): Unit = {
+    import spark.implicits._
+    val updated = readWatermarks(spark, stateDir)
+      .union(Seq((tableName, ts)).toDF("table_name", "last_updated"))
+      .groupBy("table_name")
+      .agg(max("last_updated").as("last_updated"))
+    atomicOverwrite(spark, updated, s"$stateDir/$WatermarkTable")
+  }
+
+  // --- delta extraction (S5/P3) -------------------------------------------
+
+  /** Strict-`>` incremental scan (`service_layer/service.py:52-54`). The
+    * predicate is a plain Catalyst filter → pushed to parquet row-group
+    * stats / JDBC WHERE automatically. */
+  def deltaScan(df: DataFrame, changeCol: String, watermark: Option[Timestamp]): DataFrame =
+    watermark match {
+      case Some(wm) => df.where(col(changeCol) > lit(wm))
+      case None => df // first sync: full scan (service_layer/service.py:55-57)
+    }
+
+  /** T2 documented fix: configurable lateness — `>=` re-read with
+    * downstream dedup-by-id absorbing the re-emitted rows. */
+  def deltaScanWithLateness(
+      df: DataFrame, changeCol: String, watermark: Option[Timestamp], latenessSeconds: Long): DataFrame =
+    watermark match {
+      case Some(wm) =>
+        val adjusted = new Timestamp(wm.getTime - latenessSeconds * 1000)
+        df.where(col(changeCol) >= lit(adjusted))
+      case None => df
+    }
+
+  // --- vector sink (S8/S9) ------------------------------------------------
+
+  /** S8: create-if-absent (`service_layer/service.py:82-100`): an empty
+    * parquet dir with the fixed (id, embedding, source, text) schema. */
+  def initVectorSink(spark: SparkSession, sinkDir: String): Unit = {
+    val path = s"$sinkDir/vectors"
+    if (!new java.io.File(path).exists()) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorSinkSchema)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    }
+  }
+
+  def readVectorSink(spark: SparkSession, sinkDir: String): DataFrame = {
+    val path = s"$sinkDir/vectors"
+    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorSinkSchema)
+  }
+
+  /** S9: idempotent key-based upsert, Pinecone semantics ("same id
+    * overwrites", `service_layer/service.py:160-166`): new batch wins on id
+    * collision via anti-join of the old index, then union. */
+  def upsertVectors(spark: SparkSession, sinkDir: String, batch: DataFrame): Unit = {
+    val newRows = batch.select("id", "embedding", "source", "text").dropDuplicates("id")
+    val existing = readVectorSink(spark, sinkDir)
+    val kept = existing.join(newRows.select("id"), Seq("id"), "left_anti")
+    atomicOverwrite(spark, kept.unionByName(newRows), s"$sinkDir/vectors")
+  }
+
+  // --- the cycle (§3.2) ----------------------------------------------------
+
+  /** One full sync cycle over every table in `sourceDir` except the
+    * watermark state table (`controller/controller.py:17-35`). Returns
+    * (table → rows synced). Tables run serially like the reference, but
+    * each table's plan is fully distributed; per-table failures are
+    * isolated (improving on the reference's cycle-abort, T6). */
+  def syncCycle(
+      spark: SparkSession,
+      sourceDir: String,
+      stateDir: String,
+      sinkDir: String,
+      changeCol: String = "ts",
+      orderCol: String = "event_id",
+      chunkSize: Int = Chunker.DefaultChunkSize): Map[String, Long] = {
+    initVectorSink(spark, sinkDir)
+    val tables = Tables.listTables(sourceDir)
+      .filter(_ != WatermarkTable) // P5 anti-filter
+    tables.flatMap { t =>
+      try Some(t -> syncTable(spark, sourceDir, stateDir, sinkDir, t, changeCol, orderCol, chunkSize))
+      catch {
+        case e: Exception => // T6: log-and-continue, per-table isolation
+          System.err.println(s"[cdc] table $t failed: ${e.getMessage}")
+          None
+      }
+    }.toMap
+  }
+
+  /** Sync one table: delta → chunk → embed → upsert → commit watermark. */
+  def syncTable(
+      spark: SparkSession,
+      sourceDir: String,
+      stateDir: String,
+      sinkDir: String,
+      tableName: String,
+      changeCol: String,
+      orderCol: String,
+      chunkSize: Int): Long = {
+    val src = Tables.table(spark, sourceDir, tableName)
+    if (!src.columns.contains(changeCol)) return 0L // not a CDC table
+    val wm = getWatermark(spark, stateDir, tableName)
+    val delta = Cdc.deltaScan(src, changeCol, wm).cache()
+    try {
+      // P6 empty-delta skip: no sink write, no watermark advance
+      // (service_layer/service.py:65, :76-77).
+      val agg = delta.agg(count(lit(1)).as("n"), max(col(changeCol)).as("mx")).collect()(0)
+      val n = agg.getLong(0)
+      if (n == 0L) return 0L
+      val newWm = agg.getTimestamp(1)
+      val chunks = Chunker.chunkRowsAsJson(delta, col(orderCol), tableName, chunkSize)
+      val vectors = chunks.select(
+        col("id"),
+        Embeddings.embedCol(col("text")).as("embedding"),
+        col("source"),
+        col("text"))
+      upsertVectors(spark, sinkDir, vectors)
+      // S7 commit AFTER the sink write — reference order, T3.
+      updateWatermark(spark, stateDir, tableName, newWm)
+      n
+    } finally delta.unpersist()
+  }
+
+  /** Atomic-ish local overwrite: write to a temp dir, swap. Avoids the
+    * read-then-overwrite-same-path corruption of naive parquet RMW. */
+  private def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val tmp = path + "_tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(path)
+    if (target.exists()) {
+      val old = new java.io.File(path + "_old")
+      deleteRecursively(old)
+      target.renameTo(old)
+    }
+    new java.io.File(tmp).renameTo(target)
+    deleteRecursively(new java.io.File(path + "_old"))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.functions.{PortableHash, TextOps, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family (north-star: LLM-training-data pipeline).
+  *
+  * The reference has no dedup (its UUID ids actively duplicate on retry —
+  * `service_layer/service.py:126`, SURVEY §2.6 T3); these are the operators
+  * a Pinecone-backed corpus pipeline needs at scale. Every variant is
+  * shuffle-conscious:
+  *  - exact: one hash-partitioned aggregation, no sort.
+  *  - minhash-LSH: explode to (band_key, doc) — the join is band-local, so
+  *    work is O(candidate pairs), not O(n²).
+  *  - simhash: one 32/64-bit word per doc; candidates via bucket equality.
+  *  - n-gram Jaccard: blocked pairwise verify, used as the LSH refiner.
+  *  - embedding cosine: sign-bucket LSH blocks the vector join.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keeps the row with the minimal `idCol`
+    * per distinct `textCol` (deterministic winner). Single shuffle on the
+    * 64-hex digest — at 100 TB this is the cheapest possible full dedup
+    * (map-side partial aggregation + hash exchange, no sort, no window). */
+  def exactByText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.withColumn("_h", sha2(col(textCol), 256))
+      .groupBy(col("_h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("_h").as("text_sha256"), col("dup_count"))
+  }
+
+  /** Exact dedup keeping full rows: `dropDuplicates` on the given columns
+    * (non-deterministic winner — use [[exactByText]] when determinism
+    * matters). */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** MinHash+LSH candidate pairs: shingle → k-minhash → b bands → explode
+    * band keys → self-join within band → distinct pairs, refined by true
+    * n-gram Jaccard ≥ `threshold`.
+    *
+    * Scale shape: the exploded relation is n×b rows; the self-join shuffles
+    * on band_key so only same-bucket docs meet. Skewed buckets (e.g. empty
+    * docs) are the classic hazard — AQE skew-join handles moderate skew;
+    * degenerate all-identical corpora should be exact-deduped first. */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val withSig = df.select(
+      col(idCol).as("doc_id"),
+      col(textCol).as("text"),
+      TextOps.distinctWordShingles(col(textCol), shingleN).as("shingles"))
+      .withColumn("sig", TextOps.minhashSignature(col("shingles"), k))
+      .withColumn("band_key", explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand)))
+    val a = withSig.select(col("band_key"), col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val b = withSig.select(col("band_key"), col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** True Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** SimHash near-dup candidates: docs whose 32-bit simhash words are
+    * within `maxHamming` bits. Blocking: 4 bucket keys per doc (one per
+    * 8-bit simhash byte) — by pigeonhole, any pair within hamming ≤ 3
+    * shares at least one identical byte, so the byte-equality join finds
+    * all such pairs without an n² comparison. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "byte-blocking is exact only for maxHamming <= 3 over 4 bytes")
+    val withSim = df.select(col(idCol).as("doc_id"), TextOps.simhash32(col(textCol)).as("simhash"))
+    val blocked = withSim.withColumn(
+      "block",
+      explode(array((0 until 4).map { byteIdx =>
+        concat_ws(":", lit(byteIdx.toString), shiftright(col("simhash"), byteIdx * 8).bitwiseAND(lit(255L)))
+      }: _*)))
+    val a = blocked.select(col("block"), col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val b = blocked.select(col("block"), col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), TextOps.hammingDistance32(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Blocked n-gram Jaccard pairs (the brute-ish baseline the LSH variants
+    * approximate): block by a cheap key (token-count bucket) so only
+    * similar-length docs are compared. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.3,
+      lengthBucket: Int = 16): DataFrame = {
+    val prepped = df.select(
+      col(idCol).as("doc_id"),
+      TextOps.distinctWordShingles(col(textCol), shingleN).as("sh"),
+      floor(TextOps.tokenCount(col(textCol)) / lengthBucket).as("block"))
+    val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), TextOps.quantize6(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ `threshold`, blocked by
+    * sign-bucket LSH over the first `bits` dimensions so the vector join is
+    * bucket-local (near-identical vectors share all leading signs). */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      bits: Int = 8): DataFrame = {
+    val withBucket = df.select(
+      col(idCol).as("vid"),
+      col(vecCol).as("v"),
+      VectorOps.signBucket(col(vecCol), bits).as("bucket"))
+    val a = withBucket.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
+    val b = withBucket.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(VectorOps.cosine(col("v_a"), col("v_b")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.{Embeddings, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column — the read path the reference
+  * delegates to Pinecone (§3.3: `embed_query`, `utils/embeddings_utils.py:
+  * 10-14`; cosine metric, `service_layer/service.py:91`; the
+  * `PineconeVectorStore` import at `service_layer/service.py:3` that no
+  * route ever reaches). The engine makes it a real, runnable query.
+  *
+  * Scale design:
+  *  - [[topK]] (brute force): one scan, cosine in codegen'd column exprs,
+  *    top-k via per-partition limit + global merge (`orderBy.limit(k)` —
+  *    Spark plans TakeOrderedAndProject: no global sort materialization).
+  *    This is the exact baseline: O(n·d) once, embarrassingly parallel.
+  *  - [[topKByBuckets]] (ANN): sign-bucket LSH restricts the scan to the
+  *    probe's bucket (≈ n/2^bits candidates); with bucketed/partitioned
+  *    storage on `bucket` this becomes partition pruning — the 100 TB path.
+  *  - [[knnJoin]]: many probes at once — join on bucket, then windowed
+  *    rank ≤ k per probe; no driver-side loop over probes.
+  */
+object SimilaritySearch {
+
+  /** Exact brute-force top-k by cosine against one probe vector. */
+  def topK(index: DataFrame, idCol: String, vecCol: String, probe: Column, k: Int): DataFrame =
+    index
+      .select(col(idCol), round(VectorOps.cosine(col(vecCol), probe), 6).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  /** Exact top-k for a text query: embed (F8) then [[topK]]. */
+  def topKText(index: DataFrame, idCol: String, vecCol: String, query: String, k: Int): DataFrame =
+    topK(index, idCol, vecCol, Embeddings.embedQueryCol(query), k)
+
+  /** ANN top-k: only vectors in the probe's sign-bucket are scored. With
+    * the index pre-partitioned by bucket, non-matching partitions are
+    * pruned at the scan. Recall < 1 by construction; raise recall by
+    * lowering `bits` or probing neighboring buckets (multi-probe). */
+  def topKByBuckets(
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probe: Array[Float],
+      k: Int,
+      bits: Int = 8): DataFrame = {
+    var bucket = 0L
+    (0 until bits).foreach(i => if (probe(i) > 0f) bucket |= (1L << i))
+    index
+      .withColumn("_bucket", VectorOps.signBucket(col(vecCol), bits))
+      .where(col("_bucket") === lit(bucket))
+      .select(col(idCol), round(VectorOps.cosine(col(vecCol), lit(probe).cast("array<float>")), 6).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Batch kNN join: top-k index neighbors for EVERY probe row, bucketed so
+    * each probe only meets its bucket's vectors. `probes` is expected to be
+    * the small side (broadcast). */
+  def knnJoin(
+      index: DataFrame,
+      probes: DataFrame,
+      indexId: String,
+      indexVec: String,
+      probeId: String,
+      probeVec: String,
+      k: Int,
+      bits: Int = 8): DataFrame = {
+    val idx = index.select(
+      col(indexId).as("index_id"),
+      col(indexVec).as("_iv"),
+      VectorOps.signBucket(col(indexVec), bits).as("_bucket"))
+    val prb = probes.select(
+      col(probeId).as("probe_id"),
+      col(probeVec).as("_pv"),
+      VectorOps.signBucket(col(probeVec), bits).as("_bucket"))
+    val scored = idx
+      .join(broadcast(prb), Seq("_bucket"))
+      .select(
+        col("probe_id"),
+        col("index_id"),
+        round(VectorOps.cosine(col("_iv"), col("_pv")), 6).as("score"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("score"), col("index_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source layer: table catalog + loaders.
+  *
+  * Reference analogs:
+  *  - S1 JDBC/MySQL connection (`utils/mysql_connect.py:5-17`) → [[jdbc]]:
+  *    Spark's built-in JDBC source, which pushes filters/projections to the
+  *    database (the reference's WHERE-in-SQL-string "pushdown",
+  *    `service_layer/service.py:52-54`, falls out for free).
+  *  - S2 catalog enumeration `SHOW TABLES` (`service_layer/service.py:11-19`)
+  *    → [[listTables]] over a fixture directory / [[sparkCatalogTables]].
+  *  - S4 full scan `SELECT * FROM t` (`service_layer/service.py:55-57`)
+  *    → [[table]].
+  *
+  * Scale: parquet scans split by row-group; JDBC scans parallelize via
+  * `partitionColumn`/`numPartitions` (the reference reads each table on one
+  * connection, single-threaded — `controller/controller.py:25-27`).
+  */
+object Tables {
+
+  /** Fixture tables shipped by the test harness (one parquet file each). */
+  val fixtureTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** S4: load one table from a scale-factor directory.
+    *
+    * The fixture `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark 4
+    * refuses outright (PARQUET_TYPE_ILLEGAL); under the legacy flag it
+    * surfaces as nanos-since-epoch long, which we normalize to a proper
+    * microsecond TimestampType here (values are µs-aligned, so `div 1000`
+    * is exact — same truncation DuckDB applies reading the file). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** S2: enumerate tables available in a fixture directory (the engine's
+    * `SHOW TABLES`). Listing is driver-side metadata work, like the
+    * reference's catalog query — not a data scan. */
+  def listTables(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles())
+      .map(_.toSeq.map(_.getName).filter(_.endsWith(".parquet"))
+        .map(_.stripSuffix(".parquet")).sorted)
+      .getOrElse(Seq.empty)
+  }
+
+  /** S2 against a live metastore. */
+  def sparkCatalogTables(spark: SparkSession): Seq[String] =
+    spark.catalog.listTables().collect().map(_.name).toSeq
+
+  /** S1/S5: JDBC source with parallel partitioned reads and predicate
+    * pushdown. `predicates`/bounds make Spark issue one bounded query per
+    * partition instead of the reference's single unbounded
+    * `fetchall()` (`service_layer/service.py:59`). */
+  def jdbc(
+      spark: SparkSession,
+      url: String,
+      tableName: String,
+      user: String,
+      password: String,
+      partitionColumn: Option[String] = None,
+      lowerBound: Option[Long] = None,
+      upperBound: Option[Long] = None,
+      numPartitions: Int = 32): DataFrame = {
+    val base = spark.read
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", tableName)
+      .option("user", user)
+      .option("password", password)
+    val withPart = partitionColumn match {
+      case Some(c) =>
+        base
+          .option("partitionColumn", c)
+          .option("lowerBound", lowerBound.getOrElse(0L).toString)
+          .option("upperBound", upperBound.getOrElse(1L).toString)
+          .option("numPartitions", numPartitions.toString)
+      case None => base
+    }
+    withPart.load()
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Cdc
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** CDC semantics (SURVEY §5.4): strict-`>` watermark, empty-delta skip,
+  * watermark advance to max(ts), idempotent re-run (the property the
+  * reference LACKS — its UUID ids duplicate on retry, T3). */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("strict-> delta excludes rows equal to the watermark (T2 parity)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-02 00:00:00")),
+      (3L, ts("2024-01-03 00:00:00"))).toDF("event_id", "ts")
+    val delta = Cdc.deltaScan(df, "ts", Some(ts("2024-01-02 00:00:00")))
+    assert(delta.select("event_id").as[Long].collect().toSet == Set(3L))
+    // no watermark → full scan (first sync, service.py:55-57)
+    assert(Cdc.deltaScan(df, "ts", None).count() == 3)
+  }
+
+  test("watermark store: absent → None; upsert is last-writer-wins by max") {
+    val state = Files.createTempDirectory("graft_wm").toString
+    assert(Cdc.getWatermark(spark, state, "t1").isEmpty)
+    Cdc.updateWatermark(spark, state, "t1", ts("2024-01-02 00:00:00"))
+    assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-01-02 00:00:00")))
+    // MERGE semantics: second upsert with later value advances
+    Cdc.updateWatermark(spark, state, "t1", ts("2024-01-05 00:00:00"))
+    assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-01-05 00:00:00")))
+    // independent keys don't interfere
+    Cdc.updateWatermark(spark, state, "t2", ts("2024-01-01 00:00:00"))
+    assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-01-05 00:00:00")))
+  }
+
+  test("vector upsert: same id overwrites (Pinecone semantics, service.py:160-166)") {
+    val sink = Files.createTempDirectory("graft_sink").toString
+    Cdc.initVectorSink(spark, sink)
+    val b1 = Seq(("a#1", Array(1f), "t", "old"), ("a#2", Array(2f), "t", "x"))
+      .toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b1)
+    val b2 = Seq(("a#1", Array(9f), "t", "new")).toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b2)
+    val out = Cdc.readVectorSink(spark, sink).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("text")).toMap
+    assert(out == Map("a#1" -> "new", "a#2" -> "x"))
+  }
+
+  test("two-batch incremental sync: second batch picks up only ts > wm; " +
+    "re-run is a no-op (idempotence via content-hash ids)") {
+    val scratch = Files.createTempDirectory("graft_cdc").toString
+    val src = s"$scratch/src"; val state = s"$scratch/state"; val sink = s"$scratch/sink"
+    new java.io.File(src).mkdirs()
+    val batch1 = (1 to 150).map(i => (i.toLong, ts(f"2024-01-01 00:${i % 60}%02d:${i % 60}%02d"), s"u$i"))
+      .toDF("event_id", "ts", "payload")
+    batch1.write.parquet(s"$src/events.parquet")
+    val r1 = Cdc.syncCycle(spark, src, state, sink)
+    assert(r1("events") == 150)
+    val wm1 = Cdc.getWatermark(spark, state, "events").get
+    val n1 = Cdc.readVectorSink(spark, sink).count()
+    assert(n1 == 2) // ceil(150/100) chunks
+
+    // append newer rows (overwrite table with union)
+    val batch2 = (151 to 180).map(i => (i.toLong, ts("2024-01-02 00:00:00"), s"u$i"))
+      .toDF("event_id", "ts", "payload")
+    batch1.union(batch2).write.mode("overwrite").parquet(s"$src/events.parquet")
+    val r2 = Cdc.syncCycle(spark, src, state, sink)
+    assert(r2("events") == 30) // only the delta
+    assert(Cdc.getWatermark(spark, state, "events").get.after(wm1))
+
+    // third run: empty delta → skip, watermark unchanged (P6)
+    val wm2 = Cdc.getWatermark(spark, state, "events").get
+    val r3 = Cdc.syncCycle(spark, src, state, sink)
+    assert(r3("events") == 0)
+    assert(Cdc.getWatermark(spark, state, "events").get == wm2)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Chunker
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Chunking boundary cases mirroring the reference's tail-flush branch
+  * (`service_layer/service.py:139-145`): 0, 1, 99, 100, 101, 250 rows. */
+class ChunkerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  private def mk(n: Int) =
+    (1 to n).map(i => (i.toLong, s"doc$i")).toDF("id", "doc")
+
+  for ((n, expChunks) <- Seq(0 -> 0, 1 -> 1, 99 -> 1, 100 -> 1, 101 -> 2, 250 -> 3)) {
+    test(s"chunk of $n rows yields $expChunks chunks (size 100)") {
+      val out = Chunker.chunkDeterministic(mk(n), col("id"), col("doc"), "t", 100).collect()
+      assert(out.length == expChunks)
+      assert(out.map(_.getAs[Long]("n_rows")).sum == n)
+      // every chunk <= 100 rows; only the last may be partial
+      assert(out.forall(_.getAs[Long]("n_rows") <= 100))
+    }
+  }
+
+  test("chunk contents are in order and space-joined; ids are content hashes") {
+    val out = Chunker.chunkDeterministic(mk(101), col("id"), col("doc"), "t", 100)
+      .orderBy("chunk_no").collect()
+    val first = out(0).getAs[String]("text")
+    assert(first.startsWith("doc1 doc2 doc3"))
+    assert(first.endsWith("doc100"))
+    assert(out(1).getAs[String]("text") == "doc101")
+    // id = source#sha256(text) — reference format table#id (service.py:130)
+    assert(out.forall(r => r.getAs[String]("id").startsWith("t#")))
+    assert(out.forall(r => r.getAs[String]("id").length == 2 + 64))
+  }
+
+  test("chunking is deterministic across runs (UUID replacement, SURVEY §7)") {
+    val a = Chunker.chunkDeterministic(mk(250), col("id"), col("doc"), "t", 100).collect()
+    val b = Chunker.chunkDeterministic(mk(250), col("id"), col("doc"), "t", 100).collect()
+    assert(a.map(_.getAs[String]("id")).sorted.sameElements(b.map(_.getAs[String]("id")).sorted))
+  }
+
+  test("scalable chunking covers all rows with bounded chunk size") {
+    val out = Chunker.chunkScalable(mk(250).repartition(4), col("doc"), "t", 100).collect()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == 250)
+    assert(out.forall(_.getAs[Long]("n_rows") <= 100))
+  }
+}

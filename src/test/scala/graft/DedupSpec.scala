@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"),       // near dup of 1
+    (4L, "completely unrelated text about database engines and query optimization plans"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exactByText keeps min id per distinct text and counts dups") {
+    val out = Dedup.exactByText(corpus, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(out(1L) == 2)          // ids 1,2 collapse to 1
+    assert(!out.contains(2L))
+    assert(out(3L) == 1)
+    assert(out.size == 4)          // 1,3,4,5
+  }
+
+  test("minhash LSH finds the exact-dup pair and the near-dup pair") {
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical → all bands collide, jaccard 1
+    // (1,3) share most shingles; bands may or may not collide but jaccard
+    // is high — assert no FALSE positives against doc 4 at least:
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("simhash pairs: identical docs at hamming 0; unrelated docs not paired") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("hamming")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 4L)))
+  }
+
+  test("ngram jaccard pairs with unigram shingles finds dups above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", shingleN = 1, threshold = 0.9, lengthBucket = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embedding near-dup via sign buckets finds identical vectors") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.5f, 0.3f, 0.2f, -0.1f, 0.9f, 0.4f, -0.2f)),
+      (2L, Array(0.5f, -0.5f, 0.3f, 0.2f, -0.1f, 0.9f, 0.4f, -0.2f)),
+      (3L, Array(-0.5f, 0.5f, -0.3f, -0.2f, 0.1f, -0.9f, -0.4f, 0.2f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", threshold = 0.95, bits = 8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L))) // 3 is opposite → different bucket AND cosine -1
+  }
+}
