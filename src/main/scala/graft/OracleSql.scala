@@ -38,9 +38,10 @@ object OracleSql {
   /** Mirror of TextOps.quantize6 (floor-quantization, engine-portable). */
   private def qz6(x: String) = s"floor(($x) * 1000000.0) / 1000000.0"
 
-  /** Mirror of TextOps.distinctWordShingles(text, 3) over a token-list col `w`. */
-  private val SHINGLES3 =
-    "list_distinct(list_transform(range(1, greatest(length(w)-2, 0)+1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+  /** Mirror of TextOps.wordShingles(text, 3) (raw, duplicates kept) over a
+    * token-list col `w` — callers hash then list_distinct. */
+  private val SHINGLES3RAW =
+    "list_transform(range(1, greatest(length(w)-2, 0)+1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
 
   private val DEC1 = "cast(1 AS decimal(18,2))"
 
@@ -164,21 +165,25 @@ object OracleSql {
         SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
       w AS (SELECT doc_id, $TOKS AS w FROM docs2),
-      sh AS (SELECT doc_id, $SHINGLES3 AS sh FROM w),
-      sig AS (SELECT doc_id, sh,
-        list_transform(range(16), k -> coalesce(
-          list_min(list_transform(sh, s2 -> ${h32("k::varchar || ':' || s2")})), 4294967296)) AS sig
-        FROM sh),
-      bands AS (SELECT doc_id, sh,
+      hsh AS (SELECT doc_id,
+        list_distinct(list_transform($SHINGLES3RAW, s2 -> ${h32("s2")})) AS hs FROM w),
+      sig AS (SELECT doc_id, hs, length(hs)::bigint AS sz,
+        list_transform(range(16), j -> coalesce(
+          list_min(list_transform(hs, h -> (h * (999983*j + 1000003) + (999979*j + 12345)) % 4294967291)),
+          4294967296)) AS sig
+        FROM hsh),
+      bands AS (SELECT doc_id, hs, sz,
         b::varchar || '_' || sig[b*4+1]::varchar || '_' || sig[b*4+2]::varchar
           || '_' || sig[b*4+3]::varchar || '_' || sig[b*4+4]::varchar AS band_key
         FROM sig, range(4) t(b)),
-      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        CASE WHEN length(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-             ELSE length(list_intersect(a.sh, b.sh))::double / length(list_distinct(a.sh || b.sh))::double
-        END AS jaccard
-        FROM bands a JOIN bands b USING (band_key) WHERE a.doc_id < b.doc_id)
-      SELECT id_a, id_b, jaccard FROM cand WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+      j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          length(list_intersect(a.hs, b.hs))::bigint AS inter, a.sz + b.sz AS szsum
+        FROM bands a JOIN bands b USING (band_key)
+        WHERE a.doc_id < b.doc_id AND greatest(a.sz, b.sz) > 0
+          AND least(a.sz, b.sz) * 1000000 >= 500000 * greatest(a.sz, b.sz))
+      SELECT DISTINCT id_a, id_b,
+        ${qz6("inter::double / (szsum - inter)::double")} AS jaccard
+      FROM j WHERE inter * 1000000 >= 500000 * (szsum - inter) ORDER BY id_a, id_b""",
 
     "q19_simhash" -> s"""
       WITH toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
@@ -190,14 +195,18 @@ object OracleSql {
 
     "q20_ngram_jaccard" -> s"""
       WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
-      p AS (SELECT doc_id, list_distinct(toks) AS sh, floor(length(toks) / 16)::bigint AS block FROM d),
-      raw AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        CASE WHEN length(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
-             ELSE length(list_intersect(a.sh, b.sh))::double / length(list_distinct(a.sh || b.sh))::double
-        END AS j
-        FROM p a JOIN p b USING (block) WHERE a.doc_id < b.doc_id),
-      pairs AS (SELECT id_a, id_b, ${qz6("j")} AS jaccard FROM raw)
-      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.9 ORDER BY id_a, id_b""",
+      p AS (SELECT doc_id,
+        list_distinct(list_transform(toks, t -> ${h32("t")})) AS hs,
+        floor(length(toks) / 16)::bigint AS block FROM d),
+      p2 AS (SELECT doc_id, hs, length(hs)::bigint AS sz, block FROM p),
+      j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          length(list_intersect(a.hs, b.hs))::bigint AS inter, a.sz + b.sz AS szsum
+        FROM p2 a JOIN p2 b USING (block)
+        WHERE a.doc_id < b.doc_id AND greatest(a.sz, b.sz) > 0
+          AND least(a.sz, b.sz) * 1000000 >= 900000 * greatest(a.sz, b.sz))
+      SELECT DISTINCT id_a, id_b,
+        ${qz6("inter::double / (szsum - inter)::double")} AS jaccard
+      FROM j WHERE inter * 1000000 >= 900000 * (szsum - inter) ORDER BY id_a, id_b""",
 
     "q21_langid" -> s"""
       WITH d AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),

@@ -29,32 +29,59 @@ object TextOps {
       (acc, x) => acc + x)
 
   /** Word n-gram shingles of the token stream (dedup/minhash input).
-    * Guarded: Spark `sequence(1, 0)` counts DOWN, so short docs must
-    * short-circuit to an empty array (oracle mirror: `range(1, max(cnt,0)+1)`
-    * which is empty for cnt <= 0). */
+    *
+    * Implemented as (n-1) zip_with folds of the token array against its
+    * k-shifted tails, NOT as `transform(sequence(...), i => slice(ts,i,n))`:
+    * an expression referenced inside a higher-order-function lambda body is
+    * re-evaluated per ELEMENT (HOFs are interpreted, no CSE), so the slice
+    * formulation re-tokenizes the whole document once per token — O(n²)
+    * per doc (measured 60ms/doc at ~80 tokens). Arguments of a HOF evaluate
+    * once per ROW, so the zip formulation is O(n).
+    *
+    * zip_with pads the shorter (shifted) side with nulls; the final filter
+    * drops them, leaving exactly size-n+1 in-order shingles — identical to
+    * the ANSI `range`-based mirror in OracleSql. */
   def wordShingles(text: Column, n: Int): Column = {
     val ts = tokens(text)
-    val cnt = size(ts) - lit(n - 1)
-    when(cnt < 1, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(ts, i, lit(n)))))
+    if (n == 1) ts
+    else {
+      def shifted(k: Int): Column = {
+        val t = tokens(text)
+        when(size(t) <= k, array().cast("array<string>"))
+          .otherwise(slice(t, lit(k + 1), size(t) - lit(k)))
+      }
+      val zipped = (1 until n).foldLeft(ts) { (acc, k) =>
+        zip_with(acc, shifted(k),
+          (a, b) => when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b)))
+      }
+      filter(zipped, x => x.isNotNull)
+    }
   }
 
   /** Distinct word n-gram shingles. */
   def distinctWordShingles(text: Column, n: Int): Column =
     array_distinct(wordShingles(text, n))
 
-  /** MinHash signature: k independent 32-bit hash families over the distinct
-    * shingle set; element i = min over shingles of hash32(i || ':' || s).
-    * Empty shingle set → signature of 2^32 sentinels (never collides with a
-    * real minimum below it only if real mins equal it — acceptable). */
-  def minhashSignature(shingles: Column, k: Int): Column = {
+  /** Largest 32-bit prime — modulus of the universal-hash permutations. */
+  val MinhashP = 4294967291L
+
+  /** MinHash signature from PRE-HASHED shingles: element i = min over
+    * shingle hashes h of (aᵢ·h + bᵢ) mod p (universal hashing — Carter &
+    * Wegman). One md5 per shingle total, k cheap arithmetic permutations,
+    * instead of k md5 passes. aᵢ < 2²⁴ keeps aᵢ·h < 2⁵⁶ (no Long overflow).
+    * Empty set → 2³² sentinels. */
+  def minhashFromHashes(hashes: Column, k: Int): Column = {
     val sentinel = lit(4294967296L)
     array((0 until k).map { i =>
-      coalesce(
-        array_min(transform(shingles, s => PortableHash.hash32(i, s))),
-        sentinel)
+      val a = 999983L * i + 1000003L
+      val b = 999979L * i + 12345L
+      coalesce(array_min(transform(hashes, h => (h * a + b) % MinhashP)), sentinel)
     }: _*)
   }
+
+  /** MinHash signature of a shingle-string set. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    minhashFromHashes(transform(shingles, s => PortableHash.hash32(s)), k)
 
   /** LSH band keys from a minhash signature: bands of `rowsPerBand` hashed
     * together; docs sharing any band key are near-dup candidates. */

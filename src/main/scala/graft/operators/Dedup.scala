@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{PortableHash, TextOps, VectorOps}
+import graft.plans.ArrayExprs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -53,19 +54,43 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
-    val withSig = df.select(
-      col(idCol).as("doc_id"),
-      col(textCol).as("text"),
-      TextOps.distinctWordShingles(col(textCol), shingleN).as("shingles"))
-      .withColumn("sig", TextOps.minhashSignature(col("shingles"), k))
+    val thrNum = math.round(threshold * 1e6)
+    // One md5 per raw shingle; the distinct HASH set is both the minhash
+    // input (universal-hash permutations) and the Jaccard-verify set —
+    // long arrays shuffle ~2× lighter than string arrays.
+    val withSig = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
+        transform(TextOps.wordShingles(col("text"), shingleN), s => PortableHash.hash32(s))))))
+      .withColumn("sz", size(col("hs")))
+      .withColumn("sig", ArrayExprs.sticky(ArrayExprs.minhashSignatureFast(col("hs"), k)))
       .withColumn("band_key", explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand)))
-    val a = withSig.select(col("band_key"), col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val b = withSig.select(col("band_key"), col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val a = withSig.select(col("band_key"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
+    val b = withSig.select(col("band_key"), col("doc_id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
+    joinVerify(a, b, "band_key", thrNum)
+  }
+
+  /** Candidate join + exact-Jaccard refine shared by the LSH and blocked
+    * variants. Exactness-preserving prefilter in the JOIN condition:
+    * J = |∩|/|∪| ≤ min(szA,szB)/max(szA,szB), so pairs failing the size
+    * ratio can't reach the threshold — the expensive intersect never runs
+    * for them. The threshold test itself is integer math
+    * (10⁶·inter ≥ thrNum·union), identical across engines. */
+  private def joinVerify(a: DataFrame, b0: DataFrame, key: String, thrNum: Long): DataFrame = {
+    val b = b0.withColumnRenamed(key, key + "_r")
+    val joined = a.join(b,
+      col(key) === col(key + "_r") &&
+        col("id_a") < col("id_b") &&
+        greatest(col("sz_a"), col("sz_b")) > 0 &&
+        least(col("sz_a"), col("sz_b")) * lit(1000000L) >= lit(thrNum) * greatest(col("sz_a"), col("sz_b")))
+    val inter = ArrayExprs.sticky(ArrayExprs.sortedIntersectCount(col("hs_a"), col("hs_b")).cast("long"))
+    joined
+      .select(col("id_a"), col("id_b"), inter.as("inter"),
+        (col("sz_a").cast("long") + col("sz_b")).as("szsum"))
+      .select(col("id_a"), col("id_b"), col("inter"), (col("szsum") - col("inter")).as("uni"))
+      .where(col("inter") * lit(1000000L) >= lit(thrNum) * col("uni"))
+      .select(col("id_a"), col("id_b"),
+        TextOps.quantize6(col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
       .distinct()
-      .where(col("jaccard") >= threshold)
   }
 
   /** True Jaccard similarity of two (distinct-element) arrays. */
@@ -111,16 +136,15 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.3,
       lengthBucket: Int = 16): DataFrame = {
-    val prepped = df.select(
-      col(idCol).as("doc_id"),
-      TextOps.distinctWordShingles(col(textCol), shingleN).as("sh"),
-      floor(TextOps.tokenCount(col(textCol)) / lengthBucket).as("block"))
-    val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), TextOps.quantize6(jaccard(col("sh_a"), col("sh_b"))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    val thrNum = math.round(threshold * 1e6)
+    val prepped = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
+        transform(TextOps.wordShingles(col("text"), shingleN), s => PortableHash.hash32(s))))))
+      .withColumn("sz", size(col("hs")))
+      .withColumn("block", ArrayExprs.sticky(floor(TextOps.tokenCount(col("text")) / lengthBucket)))
+    val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
+    val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
+    joinVerify(a, b, "block", thrNum)
   }
 
   /** Embedding near-dup: pairs with cosine ≥ `threshold`, blocked by

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 moved these conversions behind
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`); housing
+  * this object under `org.apache.spark.sql` grants access — the same
+  * pattern public Spark extension libraries use for package-private APIs. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
