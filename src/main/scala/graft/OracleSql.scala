@@ -338,5 +338,45 @@ object OracleSql {
       WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents)
       SELECT doc_id, length(toks)::bigint AS ws_tokens,
         list_sum(list_transform(toks, t -> 1 + floor(length(t) / 6)::int))::bigint AS bpe_tokens
-      FROM d ORDER BY doc_id""")
+      FROM d ORDER BY doc_id""",
+
+    "q36_minhash_sigs" -> s"""
+      WITH w AS (SELECT doc_id, $TOKS AS w FROM documents),
+      hsh AS (SELECT doc_id, list_distinct(list_transform($SHINGLES3RAW, s2 -> ${h32("s2")})) AS hs FROM w),
+      sig AS (SELECT doc_id,
+        list_transform(range(16), j -> coalesce(
+          list_min(list_transform(hs, h -> (h * (999983*j + 1000003) + (999979*j + 12345)) % 4294967291)),
+          4294967296)) AS sig
+        FROM hsh)
+      SELECT doc_id, sig[1] AS sig_1, sig[8] AS sig_8, sig[16] AS sig_16
+      FROM sig ORDER BY doc_id""",
+
+    "q37_simhash_pairs" -> s"""
+      WITH docs2 AS (SELECT doc_id, text FROM documents
+                     UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+      toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM docs2),
+      h AS (SELECT doc_id, ${h32("tok")} AS h FROM toks),
+      bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+               FROM h, range(32) t(i) GROUP BY doc_id, i),
+      sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::bigint << i) ELSE 0 END)::bigint AS simhash
+             FROM bits GROUP BY doc_id),
+      blocked AS (SELECT doc_id, simhash,
+        b::varchar || ':' || ((simhash >> (b*8)) & 255)::varchar AS block
+        FROM sh, range(4) t(b)),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          bit_count(xor(a.simhash, b.simhash))::bigint AS hamming
+        FROM blocked a JOIN blocked b USING (block) WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    "q38_knn_join_batch" -> s"""
+      WITH eb AS (SELECT vec_id, embedding, ${bucketN("embedding", 4)} AS bucket FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket FROM eb WHERE vec_id < 20),
+      sc AS (SELECT p.probe_id, e.vec_id AS index_id,
+        round(CASE WHEN sqrt(${normSq("e.embedding")}) * sqrt(${normSq("p.pe")}) = 0 THEN 0.0
+              ELSE ${dotExpr("e.embedding", "p.pe")} / (sqrt(${normSq("e.embedding")}) * sqrt(${normSq("p.pe")}))
+              END, 6) AS score
+        FROM eb e JOIN p USING (bucket)),
+      rk AS (SELECT probe_id, index_id, score,
+        row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, index_id) AS rnk FROM sc)
+      SELECT probe_id, rnk, index_id, score FROM rk WHERE rnk <= 3 ORDER BY probe_id, rnk""")
 }

@@ -223,11 +223,15 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash per document (32-bit word-feature simhash). */
-  private def q19(s: SparkSession, dir: String): DataFrame =
+  /** SimHash per document (32-bit word-feature simhash; fused codegen
+    * expression — value-identical to the TextOps.simhash32 composition). */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.ArrayExprs
     t(s, dir, "documents")
-      .select(col("doc_id"), TextOps.simhash32(col("text")).as("simhash"))
+      .select(col("doc_id"), ArrayExprs.simhash32Fast(
+        transform(TextOps.tokens(col("text")), tk => PortableHash.hash32(tk))).as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   /** Blocked n-gram (unigram) Jaccard near-dup pairs. */
   private def q20(s: SparkSession, dir: String): DataFrame =
@@ -265,7 +269,7 @@ object SparkEntry {
     val probe = e.where(col("vec_id") === 0).select(col("embedding").as("probe_emb"))
     e.crossJoin(broadcast(probe))
       .where(col("vec_id") =!= 0)
-      .select(col("vec_id"), round(VectorOps.cosine(col("embedding"), col("probe_emb")), 6).as("score"))
+      .select(col("vec_id"), round(VectorOps.cosineFast(col("embedding"), col("probe_emb")), 6).as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(10)
   }
@@ -279,7 +283,7 @@ object SparkEntry {
       .select(col("embedding").as("probe_emb"), col("bucket"))
     e.join(broadcast(probe), Seq("bucket"))
       .where(col("vec_id") =!= 0)
-      .select(col("vec_id"), round(VectorOps.cosine(col("embedding"), col("probe_emb")), 6).as("score"))
+      .select(col("vec_id"), round(VectorOps.cosineFast(col("embedding"), col("probe_emb")), 6).as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(10)
   }
@@ -384,6 +388,39 @@ object SparkEntry {
         TextOps.approxBpeCount(col("text")).cast("long").as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** MinHash signatures themselves (universal-hash family) — spot-checks
+    * three permutation lanes per document. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.ArrayExprs
+    t(s, dir, "documents")
+      .withColumn("hs", array_sort(array_distinct(
+        transform(TextOps.wordShingles(col("text"), 3), sh => PortableHash.hash32(sh)))))
+      .withColumn("sig", ArrayExprs.minhashSignatureFast(col("hs"), 16))
+      .select(
+        col("doc_id"),
+        element_at(col("sig"), 1).as("sig_1"),
+        element_at(col("sig"), 8).as("sig_8"),
+        element_at(col("sig"), 16).as("sig_16"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs via byte blocking over documents ∪ copy. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+    Dedup.simhashPairs(doubled, "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Batch kNN join: top-3 bucket-local neighbors for the first 20 probes. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    SimilaritySearch.knnJoin(
+      e, e.where(col("vec_id") < 20), "vec_id", "embedding", "vec_id", "embedding", k = 3, bits = 4)
+      .select(col("probe_id"), col("rank").cast("long").as("rnk"), col("index_id"), col("score"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------------
   // Non-SQL-expressible operators (rows-only driver check): the embed UDF
   // (F7/F8), the full CDC cycle (stateful), multimodal plumbing.
@@ -463,6 +500,9 @@ object SparkEntry {
     "q33_scalar_subquery" -> (q33 _),
     "q34_like_filter" -> (q34 _),
     "q35_bpe_tokens" -> (q35 _),
+    "q36_minhash_sigs" -> (q36 _),
+    "q37_simhash_pairs" -> (q37 _),
+    "q38_knn_join_batch" -> (q38 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),

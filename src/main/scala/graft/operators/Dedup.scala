@@ -111,7 +111,10 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "byte-blocking is exact only for maxHamming <= 3 over 4 bytes")
-    val withSim = df.select(col(idCol).as("doc_id"), TextOps.simhash32(col(textCol)).as("simhash"))
+    val withSim = df.select(
+      col(idCol).as("doc_id"),
+      ArrayExprs.sticky(ArrayExprs.simhash32Fast(
+        transform(TextOps.tokens(col(textCol)), t => PortableHash.hash32(t)))).as("simhash"))
     val blocked = withSim.withColumn(
       "block",
       explode(array((0 until 4).map { byteIdx =>
@@ -164,7 +167,7 @@ object Dedup {
     val b = withBucket.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(VectorOps.cosine(col("v_a"), col("v_b")), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), round(VectorOps.cosineFast(col("v_a"), col("v_b")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -27,7 +27,7 @@ object SimilaritySearch {
   /** Exact brute-force top-k by cosine against one probe vector. */
   def topK(index: DataFrame, idCol: String, vecCol: String, probe: Column, k: Int): DataFrame =
     index
-      .select(col(idCol), round(VectorOps.cosine(col(vecCol), probe), 6).as("score"))
+      .select(col(idCol), round(VectorOps.cosineFast(col(vecCol), probe), 6).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
 
@@ -51,7 +51,7 @@ object SimilaritySearch {
     index
       .withColumn("_bucket", VectorOps.signBucket(col(vecCol), bits))
       .where(col("_bucket") === lit(bucket))
-      .select(col(idCol), round(VectorOps.cosine(col(vecCol), lit(probe).cast("array<float>")), 6).as("score"))
+      .select(col(idCol), round(VectorOps.cosineFast(col(vecCol), lit(probe).cast("array<float>")), 6).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
@@ -81,7 +81,7 @@ object SimilaritySearch {
       .select(
         col("probe_id"),
         col("index_id"),
-        round(VectorOps.cosine(col("_iv"), col("_pv")), 6).as("score"))
+        round(VectorOps.cosineFast(col("_iv"), col("_pv")), 6).as("score"))
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("score"), col("index_id"))
     scored
       .withColumn("rank", row_number().over(w))

@@ -124,6 +124,116 @@ object ArrayExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 32-bit SimHash over a pre-hashed token array (duplicates kept): bit b
+    * of the result is set iff Σ over tokens of (±1 by bit b of the token
+    * hash) is positive. One fused loop — replaces 32 interpreted
+    * `aggregate` folds (each of which re-evaluated the token-hash transform
+    * per doc). Value-identical to TextOps.simhash32 / the oracle mirror. */
+  case class SimHash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val votes = new Array[Long](32)
+      val n = hs.numElements()
+      var i = 0
+      while (i < n) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 32) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 32) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, hs => {
+        val votes = ctx.freshName("votes"); val n = ctx.freshName("n")
+        val i = ctx.freshName("i"); val b = ctx.freshName("b")
+        val h = ctx.freshName("h"); val out = ctx.freshName("out")
+        s"""
+        final long[] $votes = new long[32];
+        final int $n = $hs.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          final long $h = $hs.getLong($i);
+          for (int $b = 0; $b < 32; $b++) {
+            $votes[$b] += (((($h >> $b) & 1L) == 1L) ? 1L : -1L);
+          }
+        }
+        long $out = 0L;
+        for (int $b = 0; $b < 32; $b++) { if ($votes[$b] > 0) $out |= (1L << $b); }
+        ${ev.value} = $out;
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Cosine similarity of two float vectors in double precision (F9 — the
+    * reference's Pinecone index metric, `service_layer/service.py:91`).
+    * One fused loop accumulates dot, ‖a‖², ‖b‖² with the same strict
+    * left-to-right fold order as the declarative
+    * `aggregate(zip_with(...))` composition in VectorOps.cosine, so
+    * results are bit-identical to it AND to the DuckDB oracle's
+    * `list_reduce` mirror. Zero-vector guard: denom == 0 → 0.0. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var sa = 0.0; var sb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+        dot += xi * yi; sa += xi * xi; sb += yi * yi
+        i += 1
+      }
+      // tails contribute only to the norms (zip_with truncates the dot)
+      var j = n
+      while (j < x.numElements()) { val v = x.getFloat(j).toDouble; sa += v * v; j += 1 }
+      j = n
+      while (j < y.numElements()) { val v = y.getFloat(j).toDouble; sb += v * v; j += 1 }
+      val denom = math.sqrt(sa) * math.sqrt(sb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val dot = ctx.freshName("dot"); val sa = ctx.freshName("sa"); val sb = ctx.freshName("sb")
+        val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi"); val denom = ctx.freshName("denom")
+        s"""
+        final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $sa = 0.0, $sb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          final double $xi = (double) $a.getFloat($i);
+          final double $yi = (double) $b.getFloat($i);
+          $dot += $xi * $yi; $sa += $xi * $xi; $sb += $yi * $yi;
+        }
+        for (int $j = $n; $j < $a.numElements(); $j++) {
+          final double $xi = (double) $a.getFloat($j); $sa += $xi * $xi;
+        }
+        for (int $j = $n; $j < $b.numElements(); $j++) {
+          final double $yi = (double) $b.getFloat($j); $sb += $yi * $yi;
+        }
+        final double $denom = java.lang.Math.sqrt($sa) * java.lang.Math.sqrt($sb);
+        ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Optimizer-barrier identity: evaluates to its child but reports
     * `deterministic = false`, which stops Catalyst from (a) inlining the
     * child into every downstream use (CollapseProject), (b) duplicating it
@@ -149,6 +259,12 @@ object ArrayExprs {
 
   def minhashSignatureFast(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), k))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def simhash32Fast(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(tokenHashes)))
 
   /** Materialization barrier for an expensive column (see [[Sticky]]). */
   def sticky(c: Column): Column =

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{Embeddings, JsonRows}
+import graft.operators.Chunker
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY §5.3): chunking laws, embedding
+  * determinism/dim/norm, serialization round-trip, watermark monotonicity.
+  * Uses scalacheck generators sampled with fixed seeds (the scalatest
+  * bridge artifact isn't available offline). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("chunking: count = ceil(n/size); concat of chunks == concat of inputs; every chunk <= size") {
+    for ((n, size) <- samples(Gen.zip(Gen.chooseNum(0, 400), Gen.chooseNum(1, 120)), 12)) {
+      val df = (1 to n).map(i => (i.toLong, s"d$i")).toDF("id", "doc")
+      val out = Chunker.chunkDeterministic(df, col("id"), col("doc"), "t", size)
+        .orderBy("chunk_no").collect()
+      assert(out.length == math.ceil(n.toDouble / size).toInt)
+      assert(out.forall(_.getAs[Long]("n_rows") <= size))
+      val joined = out.map(_.getAs[String]("text")).mkString(" ")
+      val expected = (1 to n).map(i => s"d$i").mkString(" ")
+      assert(joined == expected)
+    }
+  }
+
+  test("embedding: deterministic, fixed dim, unit norm (or zero) for arbitrary text") {
+    for (s <- samples(Gen.asciiPrintableStr, 30)) {
+      val a = Embeddings.embed(s)
+      val b = Embeddings.embed(s)
+      assert(a.sameElements(b))
+      assert(a.length == Embeddings.Dim)
+      val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+      assert(norm == 0.0 || math.abs(norm - 1.0) < 1e-4)
+    }
+  }
+
+  test("from_json(to_json(row)) round-trips values (F1 inverse)") {
+    val df = Seq(
+      (1L, "plain", Some(1.5), Some(java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456"))),
+      (2L, "uniçøde \"quoted\"", None, None),
+      (3L, "", Some(-0.0), Some(java.sql.Timestamp.valueOf("1999-12-31 23:59:59")))
+    ).toDF("id", "s", "d", "ts")
+    val json = df.select(JsonRows.toJsonCol(df).as("j"))
+    val back = json.select(JsonRows.fromJsonCol(col("j"), df.schema).as("r")).select("r.*")
+    val orig = df.collect().map(_.toSeq).toSeq
+    val rt = back.collect().map(_.toSeq).toSeq
+    assert(rt == orig)
+  }
+
+  test("watermark strict-> is monotone: repeated delta extraction never re-reads") {
+    val rows = (1 to 50).map(i => (i.toLong, new java.sql.Timestamp(i * 60000L)))
+    val df = rows.toDF("event_id", "ts")
+    // simulate batch commits at increasing watermarks
+    var wm: Option[java.sql.Timestamp] = None
+    var seen = Set.empty[Long]
+    for (cut <- Seq(10, 25, 25, 50)) {
+      val upTo = df.where(col("event_id") <= cut)
+      val delta = graft.operators.Cdc.deltaScan(upTo, "ts", wm)
+      val ids = delta.select("event_id").as[Long].collect().toSet
+      assert(ids.intersect(seen).isEmpty) // exactly-once per watermark tick
+      seen ++= ids
+      if (ids.nonEmpty) wm = Some(new java.sql.Timestamp(ids.max * 60000L))
+    }
+    assert(seen == (1 to 50).map(_.toLong).toSet)
+  }
+}

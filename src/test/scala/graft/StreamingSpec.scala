@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.Cdc
+import graft.streaming.CdcStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Structured-Streaming pipeline (SURVEY §2.6): micro-batch CDC via
+  * foreachBatch + checkpoint, and windowed event-time aggregation (T4). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** The file stream source lists plain files in the input dir — a nested
+    * `df.write.parquet(dir/x.parquet)` DIRECTORY is invisible to it. Write
+    * to a scratch dir and move the part file in as one drop file. */
+  private def writeDrop(df: org.apache.spark.sql.DataFrame, inDir: String, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft_drop").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, new java.io.File(s"$inDir/$name.parquet").toPath)
+  }
+
+  test("streaming CDC pipeline: drops arrive, chunks are embedded and upserted, " +
+    "watermark advances; second drain is incremental") {
+    val scratch = Files.createTempDirectory("graft_stream").toString
+    val in = s"$scratch/in"; val state = s"$scratch/state"; val sink = s"$scratch/sink"
+    new java.io.File(in).mkdirs()
+    Cdc.initVectorSink(spark, sink)
+
+    val batch1 = (1 to 120).map(i => (i.toLong, ts(f"2024-01-01 01:${i % 60}%02d:00"), s"p$i"))
+      .toDF("event_id", "ts", "payload")
+    writeDrop(batch1, in, "drop1")
+
+    val schema = batch1.schema
+    val writer = CdcStream.pipeline(spark, in, schema, state, sink, "events")
+    CdcStream.runOnce(writer)
+
+    val n1 = Cdc.readVectorSink(spark, sink).count()
+    assert(n1 == 2) // ceil(120/100)
+    val wm1 = Cdc.getWatermark(spark, state, "events").get
+    assert(wm1 == ts("2024-01-01 01:59:00"))
+
+    // second drop: only newer rows contribute (strict > on the stored wm)
+    val batch2 = Seq(
+      (200L, ts("2024-01-01 01:30:00"), "late-row-dropped"), // <= wm → excluded (T2)
+      (201L, ts("2024-01-02 00:00:00"), "new-row")).toDF("event_id", "ts", "payload")
+    writeDrop(batch2, in, "drop2")
+    CdcStream.runOnce(CdcStream.pipeline(spark, in, schema, state, sink, "events"))
+
+    val sinkRows = Cdc.readVectorSink(spark, sink).collect()
+    assert(sinkRows.length == 3) // one new chunk
+    assert(Cdc.getWatermark(spark, state, "events").get == ts("2024-01-02 00:00:00"))
+    val texts = sinkRows.map(_.getAs[String]("text")).mkString(" ")
+    assert(texts.contains("new-row"))
+    assert(!texts.contains("late-row-dropped")) // T2 data-loss window, by design
+  }
+
+  test("windowed streaming aggregation with watermark produces per-window counts") {
+    val scratch = Files.createTempDirectory("graft_wstream").toString
+    val in = s"$scratch/in"
+    new java.io.File(in).mkdirs()
+    val events = Seq(
+      (1L, ts("2024-01-01 00:10:00"), "click", 1.0),
+      (2L, ts("2024-01-01 00:20:00"), "click", 2.0),
+      (3L, ts("2024-01-01 01:10:00"), "view", 3.0)).toDF("event_id", "ts", "event_type", "value")
+    writeDrop(events, in, "drop1")
+
+    val agg = CdcStream.windowedCounts(spark, in, events.schema)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("graft_windowed")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val out = spark.sql(
+      "SELECT window.start, event_type, n, total_value FROM graft_windowed ORDER BY 1, 2").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Timestamp]("start") == ts("2024-01-01 00:00:00"))
+    assert(out(0).getAs[Long]("n") == 2)
+    assert(out(0).getAs[Double]("total_value") == 3.0)
+    assert(out(1).getAs[String]("event_type") == "view")
+  }
+}
