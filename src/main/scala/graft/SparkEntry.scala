@@ -464,6 +464,16 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** IVF ANN: deterministic k-means coarse quantizer, nprobe cluster scan
+    * (rows-only: the trained centroids aren't ANSI-SQL-expressible). */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = SimilaritySearch.ivfTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+    val probe = e.where(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    SimilaritySearch.ivfTopK(e, "vec_id", "embedding", centroids, probe, k = 10, nprobe = 2)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_delta_scan" -> (q02 _),
@@ -506,7 +516,8 @@ object SparkEntry {
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),
-    "q93_cdc_cycle" -> (q93 _))
+    "q93_cdc_cycle" -> (q93 _),
+    "q94_ivf_ann" -> (q94 _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

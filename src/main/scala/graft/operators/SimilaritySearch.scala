@@ -56,6 +56,87 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  // --- IVF (inverted-file) ANN ------------------------------------------
+
+  /** Coarse quantizer: deterministic Lloyd k-means over the index vectors.
+    * Seeded with the first k vectors by id (deterministic, no RNG — RNG
+    * seeds don't reproduce across partitionings), refined `iters` times.
+    * Model state is k·dim floats — driver-resident by design, like any
+    * ANN index's coarse centroids; the assignment passes are distributed.
+    * At 100 TB the k-means would run on a sample (`df.sample`) — the
+    * assignment cost, not the training cost, dominates either way. */
+  def ivfTrain(
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 3): Array[Array[Float]] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Float]] = index
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    for (_ <- 0 until iters) {
+      val assigned = index.select(
+        nearestCentroid(col(vecCol), centroids).as("cluster"),
+        col(vecCol).as("v"))
+      val updated: Map[Int, Array[Float]] = assigned
+        .groupBy("cluster")
+        .agg(collect_list(col("v")).as("vs"))
+        .as[(Int, Seq[Seq[Float]])]
+        .collect()
+        .map { case (cid, vs) =>
+          val dim = vs.head.length
+          val acc = new Array[Float](dim)
+          vs.foreach { v => var i = 0; while (i < dim) { acc(i) += v(i); i += 1 } }
+          var i = 0; while (i < dim) { acc(i) /= vs.size; i += 1 }
+          cid -> acc
+        }.toMap
+      // a cluster that lost all members keeps its previous centroid
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Index of the closest centroid by cosine (ties → lowest index): sort
+    * (score, -index) structs ascending, take the last. */
+  private def nearestCentroid(v: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.cosineFast(v, lit(c).cast("array<float>")).as("s"), lit(-i).as("ni"))
+    }
+    element_at(array_sort(array(scored: _*)), -1).getField("ni") * lit(-1)
+  }
+
+  /** IVF ANN top-k: assign every index vector to its nearest coarse
+    * centroid (this becomes the partitioning/bucketing key at scale —
+    * partition pruning replaces the full scan), then score only the
+    * `nprobe` clusters nearest to the probe. Recall rises with nprobe. */
+  def ivfTopK(
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Float]],
+      probe: Array[Float],
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); sa += a(i).toDouble * a(i); sb += b(i).toDouble * b(i); i += 1 }
+      val d = math.sqrt(sa) * math.sqrt(sb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val probeClusters = centroids.zipWithIndex
+      .map { case (c, i) => (cos(c, probe), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe).map(_._2)
+    index
+      .withColumn("_cluster", nearestCentroid(col(vecCol), centroids))
+      .where(col("_cluster").isin(probeClusters.toSeq: _*))
+      .select(col(idCol), round(VectorOps.cosineFast(col(vecCol), lit(probe).cast("array<float>")), 6).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Batch kNN join: top-k index neighbors for EVERY probe row, bucketed so
     * each probe only meets its bucket's vectors. `probes` is expected to be
     * the small side (broadcast). */

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL surface of the custom expressions (GraftExtensions). Uses its own
+  * session: extensions bind at session construction. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-ext-test")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("graft_cosine is callable from SQL and matches hand math") {
+    val r = spark.sql(
+      "SELECT graft_cosine(cast(array(1.0, 0.0) as array<float>), cast(array(0.0, 1.0) as array<float>)) AS c," +
+        " graft_cosine(cast(array(1.0, 2.0) as array<float>), cast(array(1.0, 2.0) as array<float>)) AS s").collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("graft_intersect_count over sorted arrays") {
+    val r = spark.sql(
+      "SELECT graft_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L, 9L)) AS n").collect()(0)
+    assert(r.getInt(0) == 2)
+  }
+
+  test("graft_minhash_sig returns k mins; empty array gives sentinels") {
+    val r = spark.sql(
+      "SELECT size(graft_minhash_sig(array(7L, 11L), 16)) AS k," +
+        " graft_minhash_sig(array()::array<bigint>, 4)[0] AS sentinel").collect()(0)
+    assert(r.getInt(0) == 16)
+    assert(r.getLong(1) == 4294967296L)
+  }
+
+  test("graft_simhash equals the declarative composition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq("spark table scan filter merge").toDF("text")
+    val both = df.select(
+      graft.plans.ArrayExprs.simhash32Fast(
+        transform(graft.functions.TextOps.tokens(col("text")),
+          t => graft.functions.PortableHash.hash32(t))).as("fast"),
+      graft.functions.TextOps.simhash32(col("text")).as("slow")).collect()(0)
+    assert(both.getLong(0) == both.getLong(1))
+  }
+}
