@@ -378,5 +378,33 @@ object OracleSql {
         FROM eb e JOIN p USING (bucket)),
       rk AS (SELECT probe_id, index_id, score,
         row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, index_id) AS rnk FROM sc)
-      SELECT probe_id, rnk, index_id, score FROM rk WHERE rnk <= 3 ORDER BY probe_id, rnk""")
+      SELECT probe_id, rnk, index_id, score FROM rk WHERE rnk <= 3 ORDER BY probe_id, rnk""",
+
+    "q39_pivot" -> """
+      SELECT n_name,
+        cast(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN cast(c_acctbal AS decimal(18,2)) END) AS double) AS "MACHINERY",
+        cast(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN cast(c_acctbal AS decimal(18,2)) END) AS double) AS "AUTOMOBILE",
+        cast(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN cast(c_acctbal AS decimal(18,2)) END) AS double) AS "BUILDING"
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+
+    "q40_posexplode" -> s"""
+      WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id < 30),
+      e AS (SELECT doc_id,
+        unnest(list_transform(range(length(toks)), i -> struct_pack(pos := i::int, tok := toks[i+1]))) AS s
+        FROM d)
+      SELECT doc_id, s.pos AS pos, s.tok AS tok FROM e ORDER BY doc_id, pos""",
+
+    "q41_percentiles" -> s"""
+      SELECT p_type,
+        ${qz6("quantile_cont(p_size, 0.25)")} AS q1,
+        ${qz6("quantile_cont(p_size, 0.5)")} AS med,
+        ${qz6("quantile_cont(p_size, 0.75)")} AS q3,
+        count(1) AS n
+      FROM part GROUP BY p_type ORDER BY p_type""",
+
+    "q42_edit_distance" -> """
+      SELECT a.doc_id, levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))::bigint AS edit_dist
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      ORDER BY a.doc_id""")
 }

@@ -421,6 +421,44 @@ object SparkEntry {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Pivot (wide conditional aggregation) — segment balances per nation. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("c_mktsegment", Seq("MACHINERY", "AUTOMOBILE", "BUILDING"))
+      .agg(dsum(col("c_acctbal"), 2))
+      .orderBy(col("n_name"))
+
+  /** Generator/UDTF family: posexplode of the token array (first 30 docs). */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("doc_id") < 30)
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** Exact interpolated percentiles (quantize6 absorbs the one-ulp
+    * interpolation-association difference between engines). */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_type"))
+      .agg(
+        TextOps.quantize6(expr("percentile(p_size, 0.25)")).as("q1"),
+        TextOps.quantize6(expr("percentile(p_size, 0.5)")).as("med"),
+        TextOps.quantize6(expr("percentile(p_size, 0.75)")).as("q3"),
+        count(lit(1)).as("n"))
+      .orderBy(col("p_type"))
+
+  /** Edit distance between consecutive documents (dedup-adjacent metric;
+    * integer DP — bit-identical across engines). */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), substring(col("text"), 1, 40).as("head40"))
+    val b = d.select((col("doc_id") - 1).as("doc_id"), col("head40").as("head40_next"))
+    d.join(b, Seq("doc_id"))
+      .select(col("doc_id"), levenshtein(col("head40"), col("head40_next")).cast("long").as("edit_dist"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Non-SQL-expressible operators (rows-only driver check): the embed UDF
   // (F7/F8), the full CDC cycle (stateful), multimodal plumbing.
@@ -513,6 +551,10 @@ object SparkEntry {
     "q36_minhash_sigs" -> (q36 _),
     "q37_simhash_pairs" -> (q37 _),
     "q38_knn_join_batch" -> (q38 _),
+    "q39_pivot" -> (q39 _),
+    "q40_posexplode" -> (q40 _),
+    "q41_percentiles" -> (q41 _),
+    "q42_edit_distance" -> (q42 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),
