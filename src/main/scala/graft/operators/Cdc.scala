@@ -143,12 +143,13 @@ object Cdc {
       sinkDir: String,
       changeCol: String = "ts",
       orderCol: String = "event_id",
-      chunkSize: Int = Chunker.DefaultChunkSize): Map[String, Long] = {
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      deterministicChunks: Boolean = true): Map[String, Long] = {
     initVectorSink(spark, sinkDir)
     val tables = Tables.listTables(sourceDir)
       .filter(_ != WatermarkTable) // P5 anti-filter
     tables.flatMap { t =>
-      try Some(t -> syncTable(spark, sourceDir, stateDir, sinkDir, t, changeCol, orderCol, chunkSize))
+      try Some(t -> syncTable(spark, sourceDir, stateDir, sinkDir, t, changeCol, orderCol, chunkSize, deterministicChunks))
       catch {
         case e: Exception => // T6: log-and-continue, per-table isolation
           System.err.println(s"[cdc] table $t failed: ${e.getMessage}")
@@ -157,7 +158,16 @@ object Cdc {
     }.toMap
   }
 
-  /** Sync one table: delta → chunk → embed → upsert → commit watermark. */
+  /** Sync one table: delta → chunk → embed → upsert → commit watermark.
+    *
+    * `deterministicChunks = true` reproduces exact chunk boundaries via a
+    * total order on `orderCol` (bounded batches — the reference's polls
+    * are bounded, and the global row_number window is single-partition).
+    * Set false for very large deltas: `Chunker.chunkScalable` keeps
+    * partition-local boundaries with no global ordering barrier — the
+    * reference's own boundaries are arbitrary arrival order anyway
+    * (`SELECT *` with no ORDER BY, service_layer/service.py:53-57), and
+    * content-hash ids keep the upsert idempotent either way. */
   def syncTable(
       spark: SparkSession,
       sourceDir: String,
@@ -166,7 +176,8 @@ object Cdc {
       tableName: String,
       changeCol: String,
       orderCol: String,
-      chunkSize: Int): Long = {
+      chunkSize: Int,
+      deterministicChunks: Boolean = true): Long = {
     val src = Tables.table(spark, sourceDir, tableName)
     if (!src.columns.contains(changeCol)) return 0L // not a CDC table
     val wm = getWatermark(spark, stateDir, tableName)
@@ -178,7 +189,13 @@ object Cdc {
       val n = agg.getLong(0)
       if (n == 0L) return 0L
       val newWm = agg.getTimestamp(1)
-      val chunks = Chunker.chunkRowsAsJson(delta, col(orderCol), tableName, chunkSize)
+      val chunks =
+        if (deterministicChunks)
+          Chunker.chunkRowsAsJson(delta, col(orderCol), tableName, chunkSize)
+        else {
+          val json = delta.withColumn("_json", graft.functions.JsonRows.toJsonCol(delta))
+          Chunker.chunkScalable(json, col("_json"), tableName, chunkSize)
+        }
       val vectors = chunks.select(
         col("id"),
         Embeddings.embedCol(col("text")).as("embedding"),

@@ -27,6 +27,28 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.deltaScan(df, "ts", None).count() == 3)
   }
 
+  test("deltaScanWithLateness re-reads the lateness window (T2 documented fix)") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:10:00")),
+      (3L, ts("2024-01-01 00:20:00"))).toDF("event_id", "ts")
+    val delta = Cdc.deltaScanWithLateness(df, "ts", Some(ts("2024-01-01 00:10:00")), latenessSeconds = 600)
+    // >= (wm - 10min) → includes rows 1 (equal to adjusted), 2 and 3
+    assert(delta.select("event_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("scalable chunking in the sync path covers the same rows (flag off)") {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_cdc_sc").toString
+    val src = s"$scratch/src"
+    new java.io.File(src).mkdirs()
+    (1 to 250).map(i => (i.toLong, ts(f"2024-01-01 00:${i % 60}%02d:${i % 60}%02d"), s"u$i"))
+      .toDF("event_id", "ts", "payload").write.parquet(s"$src/events.parquet")
+    val n = Cdc.syncCycle(spark, src, s"$scratch/state", s"$scratch/sink", deterministicChunks = false)
+    assert(n("events") == 250)
+    val sink = Cdc.readVectorSink(spark, s"$scratch/sink")
+    assert(sink.count() >= 3) // >= ceil(250/100); partition-local boundaries may add chunks
+  }
+
   test("watermark store: absent → None; upsert is last-writer-wins by max") {
     val state = Files.createTempDirectory("graft_wm").toString
     assert(Cdc.getWatermark(spark, state, "t1").isEmpty)
