@@ -502,6 +502,19 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Sketch family (rows-only: HLL/KLL sketches are engine-specific, no
+    * cross-engine oracle): approx distinct + approx percentiles, with the
+    * exact values alongside for sanity. */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** IVF ANN: deterministic k-means coarse quantizer, nprobe cluster scan
     * (rows-only: the trained centroids aren't ANSI-SQL-expressible). */
   private def q94(s: SparkSession, dir: String): DataFrame = {
@@ -559,7 +572,8 @@ object SparkEntry {
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),
     "q93_cdc_cycle" -> (q93 _),
-    "q94_ivf_ann" -> (q94 _))
+    "q94_ivf_ann" -> (q94 _),
+    "q95_sketches" -> (q95 _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }
