@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Cdc
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Physical-plan audits (the 100 TB checklist): predicate pushdown reaches
+  * the parquet scan, projections prune the read schema, dimension joins
+  * broadcast. These assert on the optimized/executed plans, not on
+  * results — regressions here are silent performance cliffs. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    (1 to 1000).map(i => (i.toLong, Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 00:00:00"), s"p$i", i * 1.5))
+      .toDF("event_id", "ts", "payload", "value")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("CDC delta filter is pushed to the parquet scan (µs-timestamp source)") {
+    val src = spark.read.parquet(s"$dir/events.parquet")
+    val delta = Cdc.deltaScan(src, "ts", Some(Timestamp.valueOf("2024-01-15 00:00:00")))
+    val scan = delta.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(ts"), s"no pushdown in:\n$scan")
+  }
+
+  test("projection prunes the parquet read schema to referenced columns") {
+    val narrow = spark.read.parquet(s"$dir/events.parquet").select("event_id", "value")
+    val scan = narrow.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<event_id:bigint,value:double>"), s"unpruned scan:\n$scan")
+  }
+
+  test("dimension join broadcasts (no shuffle of the small side)") {
+    val fact = (1 to 5000).map(i => (i.toLong, (i % 25).toLong)).toDF("id", "nk")
+    val dim = (0 until 25).map(i => (i.toLong, s"n$i")).toDF("nk", "name")
+    val joined = fact.join(broadcast(dim), Seq("nk"))
+    joined.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("knnJoin probes broadcast; index side never shuffles by bucket") {
+    val vecs = (0 until 200).map(i => (i.toLong, Array.fill(8)(((i * 31 + 7) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.SimilaritySearch.knnJoin(
+      vecs, vecs.where(col("vec_id") < 5), "vec_id", "embedding", "vec_id", "embedding", k = 2, bits = 4)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe side should broadcast:\n$plan")
+  }
+}
