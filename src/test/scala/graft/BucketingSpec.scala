@@ -25,17 +25,34 @@ class BucketingSpec extends AnyFunSuite {
   }
   import spark.implicits._
 
+  /** getOrCreate may reuse an earlier suite's session (configs ignored),
+    * so never rely on the warehouse location: drop tables AND scrub their
+    * default-warehouse directories before creating. */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(loc)
+  }
+
   test("join of two bucketed tables plans no shuffle exchange") {
+    resetTable("b_orders"); resetTable("b_items")
     val orders = (1 to 1000).map(i => (i.toLong, s"o$i")).toDF("key", "o")
     val items = (1 to 3000).map(i => ((i % 1000 + 1).toLong, i.toDouble)).toDF("key", "v")
     orders.write.mode("overwrite").bucketBy(4, "key").sortBy("key").saveAsTable("b_orders")
     items.write.mode("overwrite").bucketBy(4, "key").sortBy("key").saveAsTable("b_items")
 
     val joined = spark.table("b_orders").join(spark.table("b_items"), "key")
+      .hint("merge") // ensure SMJ even if a session without the no-broadcast conf was reused
     val plan = joined.queryExecution.executedPlan
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
     assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n$plan")
     assert(joined.count() == 3000)
+    spark.sql("DROP TABLE IF EXISTS b_orders"); spark.sql("DROP TABLE IF EXISTS b_items")
   }
 
   test("unbucketed control: the same join DOES shuffle") {
