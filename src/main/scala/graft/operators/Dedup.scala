@@ -124,7 +124,10 @@ object Dedup {
     val b = blocked.select(col("block"), col("doc_id").as("id_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), TextOps.hammingDistance32(col("sim_a"), col("sim_b")).as("hamming"))
+      // bit_count(xor) == TextOps.hammingDistance32, but stays a single
+      // codegen'd instruction instead of a 32-term expression tree
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

@@ -55,6 +55,21 @@ object Tables {
   def sparkCatalogTables(spark: SparkSession): Seq[String] =
     spark.catalog.listTables().collect().map(_.name).toSeq
 
+  /** S3: primary-key metadata lookup (`utils/util.py:2-18` reads
+    * `information_schema.KEY_COLUMN_USAGE`; its result is fetched and then
+    * never used downstream — kept here as the equivalent catalog API).
+    * Parquet has no constraint metadata, so fixture keys are static
+    * config; a JDBC deployment would query information_schema the same
+    * way via [[jdbc]]. */
+  val fixturePrimaryKeys: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", // composite (l_orderkey, l_linenumber); first column, like the reference's fetchone
+    "events" -> "event_id", "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  def primaryKey(tableName: String): Option[String] = fixturePrimaryKeys.get(tableName)
+
   /** S1/S5: JDBC source with parallel partitioned reads and predicate
     * pushdown. `predicates`/bounds make Spark issue one bounded query per
     * partition instead of the reference's single unbounded
