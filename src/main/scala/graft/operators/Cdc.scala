@@ -123,10 +123,14 @@ object Cdc {
     * overwrites", `service_layer/service.py:160-166`): new batch wins on id
     * collision via anti-join of the old index, then union. */
   def upsertVectors(spark: SparkSession, sinkDir: String, batch: DataFrame): Unit = {
-    val newRows = batch.select("id", "embedding", "source", "text").dropDuplicates("id")
-    val existing = readVectorSink(spark, sinkDir)
-    val kept = existing.join(newRows.select("id"), Seq("id"), "left_anti")
-    atomicOverwrite(spark, kept.unionByName(newRows), s"$sinkDir/vectors")
+    // cache: the batch plan (chunk→embed) feeds BOTH the anti-join key set
+    // and the union — uncached it would execute twice
+    val newRows = batch.select("id", "embedding", "source", "text").dropDuplicates("id").cache()
+    try {
+      val existing = readVectorSink(spark, sinkDir)
+      val kept = existing.join(newRows.select("id"), Seq("id"), "left_anti")
+      atomicOverwrite(spark, kept.unionByName(newRows), s"$sinkDir/vectors")
+    } finally { newRows.unpersist(); () }
   }
 
   // --- the cycle (§3.2) ----------------------------------------------------
