@@ -20,7 +20,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.range(1000000).selectExpr("sum(id)").collect() // warmup
+    // Warm the JVM, codegen cache, and JIT on the smallest scale factor:
+    // the generated code for each query shape is identical across scale
+    // factors, so steady-state (not first-compile) cost is measured.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+      }
+    } else {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+    }
+    ()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

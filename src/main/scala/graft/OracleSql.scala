@@ -406,5 +406,24 @@ object OracleSql {
     "q42_edit_distance" -> """
       SELECT a.doc_id, levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))::bigint AS edit_dist
       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-      ORDER BY a.doc_id""")
+      ORDER BY a.doc_id""",
+
+    "q43_asof_join" -> """
+      WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_id < 2000),
+      j AS (SELECT l.event_id, l.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        row_number() OVER (PARTITION BY l.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM l LEFT JOIN orders o ON l.user_id = o.o_custkey AND o.o_orderdate <= l.ts)
+      SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
+      FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    "q44_sessionize" -> """
+      WITH o AS (SELECT user_id, event_id, ts, value,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events),
+      f AS (SELECT *, CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END AS brk FROM o),
+      s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no FROM f)
+      SELECT user_id, session_no::bigint AS session_no, count(1) AS n,
+        min(ts) AS start_ts, max(ts) AS end_ts,
+        cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+      FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""")
 }

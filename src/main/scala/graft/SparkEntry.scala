@@ -502,6 +502,40 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** As-of join: latest order at-or-before each event's timestamp per
+    * customer (the scalable union+window formulation — no pair explosion). */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val events = t(s, dir, "events")
+      .where(col("event_id") < 2000)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    AsOfJoin.asof(events, orders, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user (lag + running sum of
+    * break flags), with per-session aggregates. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("_pts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("_brk",
+        when(col("_pts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("_pts"))) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_no", sum(col("_brk")).over(wRun).cast("long"))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        dsum(col("value"), 6).as("total_value"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
   /** Sketch family (rows-only: HLL/KLL sketches are engine-specific, no
     * cross-engine oracle): approx distinct + approx percentiles, with the
     * exact values alongside for sanity. */
@@ -568,6 +602,8 @@ object SparkEntry {
     "q40_posexplode" -> (q40 _),
     "q41_percentiles" -> (q41 _),
     "q42_edit_distance" -> (q42 _),
+    "q43_asof_join" -> (q43 _),
+    "q44_sessionize" -> (q44 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),
