@@ -184,6 +184,10 @@ object Cdc {
       deterministicChunks: Boolean = true): Long = {
     val src = Tables.table(spark, sourceDir, tableName)
     if (!src.columns.contains(changeCol)) return 0L // not a CDC table
+    // chunk order: the table's primary key when known (SURVEY §7: defined
+    // order makes chunks deterministic), else the caller's orderCol
+    val effOrderCol =
+      Tables.primaryKey(tableName).filter(src.columns.contains).getOrElse(orderCol)
     val wm = getWatermark(spark, stateDir, tableName)
     val delta = Cdc.deltaScan(src, changeCol, wm).cache()
     try {
@@ -195,7 +199,7 @@ object Cdc {
       val newWm = agg.getTimestamp(1)
       val chunks =
         if (deterministicChunks)
-          Chunker.chunkRowsAsJson(delta, col(orderCol), tableName, chunkSize)
+          Chunker.chunkRowsAsJson(delta, col(effOrderCol), tableName, chunkSize)
         else {
           val json = delta.withColumn("_json", graft.functions.JsonRows.toJsonCol(delta))
           Chunker.chunkScalable(json, col("_json"), tableName, chunkSize)
