@@ -124,7 +124,8 @@ object OracleSql {
 
     "q13_json_extract" -> """
       SELECT json_extract_string(props, '$.k')::int AS k, count(1) AS n,
-        cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+        cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value,
+        count(1) AS n_parse_agree
       FROM events GROUP BY 1 ORDER BY k""",
 
     "q14_window_day" -> """

@@ -161,12 +161,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), 2).as("acctbal"))
       .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
 
-  /** F1⁻¹ JSON reading: extract props.k from the events JSON column. */
+  /** F1⁻¹ JSON reading: both path extraction (`get_json_object`) and
+    * schema-full parsing (`from_json` — the inverse of the F1 serializer,
+    * SURVEY §2.5) over the events JSON column; grouped on the parsed key
+    * with a parity check column proving both readers agree. */
   private def q13(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k_struct", from_json(col("props"), "k INT").getField("k"))
       .groupBy(col("k"))
-      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value"), 6).as("total_value"),
+        sum(when(col("k") === col("k_struct"), 1L).otherwise(0L)).as("n_parse_agree"))
       .orderBy(col("k"))
 
   /** T4 batch analog: tumbling daily window aggregation. */
