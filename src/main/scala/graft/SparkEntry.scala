@@ -44,7 +44,9 @@ object SparkEntry {
     val events = t(spark, dir, "events")
     val delta = Cdc.deltaScan(events, "ts", Some(Timestamp.valueOf("2024-01-10 00:00:00")))
     val chunks = Chunker.chunkRowsAsJson(delta, col("event_id"), "events", 100)
-    val vectors = chunks.select(col("id"), Embeddings.embedCol(col("text")).as("embedding"))
+    // cache: the vectors feed both sides of the self-kNN join — uncached,
+    // the chunk→embed pipeline would execute twice
+    val vectors = chunks.select(col("id"), Embeddings.embedCol(col("text")).as("embedding")).cache()
     SimilaritySearch.knnJoin(vectors, vectors, "id", "embedding", "id", "embedding", k = 3, bits = 4)
   }
 
