@@ -170,7 +170,8 @@ object SparkEntry {
   private def q13(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
-      .withColumn("k_struct", from_json(col("props"), "k INT").getField("k"))
+      .withColumn("k_struct",
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
       .groupBy(col("k"))
       .agg(
         count(lit(1)).as("n"),
