@@ -62,6 +62,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(!texts.contains("late-row-dropped")) // T2 data-loss window, by design
   }
 
+  test("flatMapGroupsWithState sessionizer: closes sessions on gap, keeps state open") {
+    import graft.streaming.Sessionizer
+    import graft.streaming.Sessionizer.{Event, Session}
+    val scratch = Files.createTempDirectory("graft_sess").toString
+    val in = s"$scratch/in"
+    new java.io.File(in).mkdirs()
+    val events = Seq(
+      Event(1L, ts("2024-01-01 00:00:00"), 1.0),
+      Event(1L, ts("2024-01-01 00:10:00"), 2.0), // same session (gap 10m)
+      Event(1L, ts("2024-01-01 02:00:00"), 3.0), // gap 110m → closes session 1
+      Event(2L, ts("2024-01-01 00:00:00"), 9.0)  // other key, stays open
+    ).toDF("user_id", "ts", "value")
+    writeDrop(events, in, "drop1")
+
+    val stream = spark.readStream.schema(events.schema).parquet(in).as[Event]
+    val q = Sessionizer.sessionize(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions")
+      .option("checkpointLocation", s"$scratch/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // only the CLOSED session is emitted (append mode): user 1, events 1-2
+    val out = spark.table("graft_sessions").as[Session].collect()
+    assert(out.length == 1)
+    assert(out(0).user_id == 1L && out(0).n == 2 && out(0).total_value == 3.0)
+    assert(out(0).start_ts == ts("2024-01-01 00:00:00") && out(0).end_ts == ts("2024-01-01 00:10:00"))
+
+    // a later drop beyond user 1's gap closes the 02:00 session (fresh
+    // checkpoint: the memory sink can't recover one, so this drain
+    // reprocesses all drops — the gap-close semantics are what's under test)
+    writeDrop(Seq(Event(1L, ts("2024-01-01 05:00:00"), 4.0)).toDF("user_id", "ts", "value"), in, "drop2")
+    val q2 = Sessionizer.sessionize(spark.readStream.schema(events.schema).parquet(in).as[Event])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions2")
+      .option("checkpointLocation", s"$scratch/cp2")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val out2 = spark.table("graft_sessions2").as[Session].collect()
+    assert(out2.exists(s0 => s0.user_id == 1L && s0.n == 1 && s0.total_value == 3.0)) // 02:00 session closed
+  }
+
   test("windowed streaming aggregation with watermark produces per-window counts") {
     val scratch = Files.createTempDirectory("graft_wstream").toString
     val in = s"$scratch/in"
