@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.Embeddings
+import graft.operators.{Cdc, SimilaritySearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-facing facade — everything the reference's process does, as one
+  * object (`app.py` + `controller/controller.py` surface):
+  *
+  *  - [[initializeIndex]] ↔ `initialize_index()` (`app.py:14`,
+  *    `controller/controller.py:9-15`, `service_layer/service.py:82-100`)
+  *  - [[runSyncCycle]] ↔ one tick of `run_continuously()`
+  *    (`controller/controller.py:17-35`)
+  *  - [[runPolling]] ↔ the scheduler loop itself (fixed-delay sleep like
+  *    the reference's `time.sleep(300)`; bounded cycles so it's testable)
+  *  - [[searchSimilar]] ↔ the latent Pinecone read path the reference
+  *    declares but never wires to a route (§3.3: `embed_query` +
+  *    cosine index)
+  *
+  * A user of the reference switches by pointing `sourceDir` at their table
+  * drops (or adapting `Tables.jdbc` for a live MySQL) and calling
+  * [[runPolling]]; vectors land in the parquet vector sink instead of
+  * Pinecone, queryable with [[searchSimilar]].
+  */
+class Engine(
+    val spark: SparkSession,
+    sourceDir: String,
+    stateDir: String,
+    sinkDir: String,
+    changeCol: String = "ts",
+    chunkSize: Int = 100) { // service_layer/service.py:109
+
+  /** S8: create the vector sink if absent. */
+  def initializeIndex(): Unit = Cdc.initVectorSink(spark, sinkDir)
+
+  /** One CDC sync tick over every source table. Returns rows synced. */
+  def runSyncCycle(): Map[String, Long] =
+    Cdc.syncCycle(spark, sourceDir, stateDir, sinkDir, changeCol, chunkSize = chunkSize)
+
+  /** The polling scheduler (T1): fixed-delay like the reference —
+    * sleep AFTER each cycle's work, so drift accumulates identically
+    * (`controller/controller.py:35`). `maxCycles` bounds the loop
+    * (the reference runs forever; tests and batch backfills shouldn't). */
+  def runPolling(intervalSeconds: Long = 300, maxCycles: Int = Int.MaxValue): Unit = {
+    var i = 0
+    while (i < maxCycles) {
+      try runSyncCycle()
+      catch { case e: Exception => System.err.println(s"[engine] cycle failed: ${e.getMessage}") }
+      i += 1
+      if (i < maxCycles) Thread.sleep(intervalSeconds * 1000)
+    }
+  }
+
+  /** The made-real read path: embed a text query (F8), cosine top-k over
+    * the vector sink. */
+  def searchSimilar(query: String, k: Int = 10): DataFrame =
+    SimilaritySearch.topK(
+      Cdc.readVectorSink(spark, sinkDir), "id", "embedding",
+      Embeddings.embedQueryCol(query), k)
+
+  /** Current per-table watermarks (the reference's `watermark` table). */
+  def watermarks(): DataFrame = Cdc.readWatermarks(spark, stateDir)
+}
