@@ -426,5 +426,24 @@ object OracleSql {
       SELECT user_id, session_no::bigint AS session_no, count(1) AS n,
         min(ts) AS start_ts, max(ts) AS end_ts,
         cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
-      FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""")
+      FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""",
+
+    "q45_dedup_clusters" -> s"""
+      WITH RECURSIVE d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      p2 AS (SELECT doc_id, list_distinct(list_transform(toks, t -> ${h32("t")})) AS hs,
+             length(list_distinct(list_transform(toks, t -> ${h32("t")})))::bigint AS sz,
+             floor(length(toks) / 16)::bigint AS block FROM d),
+      j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          length(list_intersect(a.hs, b.hs))::bigint AS inter, a.sz + b.sz AS szsum
+        FROM p2 a JOIN p2 b USING (block)
+        WHERE a.doc_id < b.doc_id AND greatest(a.sz, b.sz) > 0
+          AND least(a.sz, b.sz) * 1000000 >= 900000 * greatest(a.sz, b.sz)),
+      pr AS (SELECT id_a, id_b FROM j WHERE inter * 1000000 >= 900000 * (szsum - inter)),
+      e AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+      r AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst)
+      SELECT src AS doc_id, min(dst) AS canonical, (src = min(dst)) AS is_canonical
+      FROM r GROUP BY src ORDER BY doc_id""")
 }

@@ -512,6 +512,16 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Dedup clustering: connected components over unigram-Jaccard near-dup
+    * pairs; every doc maps to its canonical (minimal) representative. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 1, threshold = 0.9, lengthBucket = 16)
+    Dedup.dedupClusters(docs, "doc_id", pairs)
+      .orderBy(col("doc_id"))
+  }
+
   /** As-of join: latest order at-or-before each event's timestamp per
     * customer (the scalable union+window formulation — no pair explosion). */
   private def q43(s: SparkSession, dir: String): DataFrame = {
@@ -614,6 +624,7 @@ object SparkEntry {
     "q42_edit_distance" -> (q42 _),
     "q43_asof_join" -> (q43 _),
     "q44_sessionize" -> (q44 _),
+    "q45_dedup_clusters" -> (q45 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),

@@ -93,6 +93,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-dup pairs — the dedup ACTION: every
+    * doc gets the minimal doc-id reachable through dup edges as its
+    * canonical representative (keep rows where id == canonical, drop the
+    * rest). Iterative min-label propagation, converging in O(component
+    * diameter) rounds (near-dup components are dense cliques → 1-2
+    * rounds). All joins hash-partition on id — no global structures, the
+    * standard GraphX-free CC at any scale. The fixpoint (min id per
+    * component) is algorithm-independent, so an exact SQL reachability
+    * mirror verifies it. */
+  def dedupClusters(ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).cache()
+    try {
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        val newLabels = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+          .select(labels("id"), least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
+          .cache()
+        newLabels.count() // materialize before dropping the old cache
+        changed = newLabels.join(labels.withColumnRenamed("label", "old"), "id")
+          .where(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = newLabels
+        i += 1
+      }
+      labels.select(col("id").as(idCol), col("label").as("canonical"),
+        (col("id") === col("label")).as("is_canonical"))
+    } finally { edges.unpersist(); () }
+  }
+
   /** True Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
