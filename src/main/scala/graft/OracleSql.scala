@@ -429,7 +429,7 @@ object OracleSql {
       FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""",
 
     "q45_dedup_clusters" -> s"""
-      WITH RECURSIVE d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      WITH RECURSIVE d AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id < 500),
       p2 AS (SELECT doc_id, list_distinct(list_transform(toks, t -> ${h32("t")})) AS hs,
              length(list_distinct(list_transform(toks, t -> ${h32("t")})))::bigint AS sz,
              floor(length(toks) / 16)::bigint AS block FROM d),
@@ -441,7 +441,7 @@ object OracleSql {
       pr AS (SELECT id_a, id_b FROM j WHERE inter * 1000000 >= 900000 * (szsum - inter)),
       e AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
       r AS (
-        SELECT doc_id AS src, doc_id AS dst FROM documents
+        SELECT doc_id AS src, doc_id AS dst FROM documents WHERE doc_id < 500
         UNION
         SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst)
       SELECT src AS doc_id, min(dst) AS canonical, (src = min(dst)) AS is_canonical

@@ -106,21 +106,34 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).cache()
+    // localCheckpoint (not cache) each round: iterative DataFrames grow a
+    // nested logical plan per iteration, and Catalyst re-analyzes the whole
+    // tree every round — lineage truncation keeps planning O(1) per round.
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint(true)
     try {
       var changed = 1L
       var i = 0
       while (changed > 0 && i < maxIter) {
+        // 1. hook: pull the min label across edges
         val neighborMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        val newLabels = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
-          .select(labels("id"), least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"))
-          .cache()
-        newLabels.count() // materialize before dropping the old cache
-        changed = newLabels.join(labels.withColumnRenamed("label", "old"), "id")
-          .where(col("label") =!= col("old")).count()
-        labels.unpersist()
-        labels = newLabels
+        val hooked = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+          .select(labels("id"),
+            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
+            labels("label").as("_old"))
+          .localCheckpoint(true) // referenced twice below (both sides of the jump join)
+        // 2. pointer jump: label := label(label) — halves chain depth each
+        //    round, so convergence is O(log n) even for path-shaped
+        //    components (plain propagation needs O(diameter) rounds and
+        //    could exhaust maxIter on long chains)
+        val lookup = hooked.select(col("id").as("_lid"), col("label").as("_llabel"))
+        val newLabels = hooked.join(lookup, hooked("label") === lookup("_lid"), "left_outer")
+          .select(hooked("id"),
+            least(hooked("label"), coalesce(col("_llabel"), hooked("label"))).as("label"),
+            col("_old"))
+          .localCheckpoint(true)
+        changed = newLabels.where(col("label") =!= col("_old")).count()
+        labels = newLabels.drop("_old")
         i += 1
       }
       labels.select(col("id").as(idCol), col("label").as("canonical"),
