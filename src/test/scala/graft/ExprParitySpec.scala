@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.{PortableHash, TextOps, VectorOps}
+import graft.plans.ArrayExprs
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Interpreted-eval vs codegen parity for the custom Catalyst expressions:
+  * each has BOTH `nullSafeEval` and `doGenCode`, and Spark picks per stage
+  * — a divergence would corrupt results silently wherever codegen falls
+  * back. Runs every expression under forced-interpreted mode and compares
+  * with the default (codegen) run and the declarative composition. */
+class ExprParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "completely different content with other words entirely"),
+    (3L, "a b"), // shorter than the shingle width
+    (4L, "")).toDF("doc_id", "text")
+
+  private lazy val vecs = Seq(
+    (1L, Array(0.5f, -0.25f, 0.125f, 1.5f)),
+    (2L, Array(-1.0f, 2.0f, 0.0f, 3.0f)),
+    (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "v")
+
+  private def withInterpreted[T](f: => T): T = {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try f
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("MinHashSignature: interpreted == codegen == declarative composition") {
+    def sigs() = docs.select(col("doc_id"),
+      ArrayExprs.minhashSignatureFast(
+        array_sort(array_distinct(transform(TextOps.wordShingles(col("text"), 3), sh => PortableHash.hash32(sh)))), 16).as("sig"),
+      TextOps.minhashFromHashes(
+        array_distinct(transform(TextOps.wordShingles(col("text"), 3), sh => PortableHash.hash32(sh))), 16).as("ref"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    val gen = sigs()
+    val interp = withInterpreted(sigs())
+    gen.foreach { case (_, fast, ref) => assert(fast == ref) }
+    assert(gen.map(t => (t._1, t._2)).toSeq == interp.map(t => (t._1, t._2)).toSeq)
+  }
+
+  test("SortedIntersectCount: interpreted == codegen == size(array_intersect)") {
+    val pairs = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(3L, 4L, 5L)),
+      (Array.empty[Long], Array(1L)),
+      (Array(2L, 4L), Array(2L, 4L))).toDF("a", "b")
+    def counts() = pairs.select(
+      ArrayExprs.sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    counts().foreach { case (f, r) => assert(f == r) }
+    assert(counts().toSeq == withInterpreted(counts()).toSeq)
+  }
+
+  test("CosineSimilarity: interpreted == codegen == declarative (bitwise)") {
+    def cos() = vecs.crossJoin(vecs.select(col("v").as("w"), col("vec_id").as("wid")))
+      .select(
+        ArrayExprs.cosineSimilarity(col("v"), col("w")).as("fast"),
+        VectorOps.cosine(col("v"), col("w")).as("ref")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    cos().foreach { case (f, r) => assert(f == r) } // bit-identical, not approx
+    assert(cos().toSeq == withInterpreted(cos()).toSeq)
+  }
+
+  test("SimHash32: interpreted == codegen == declarative composition") {
+    def sh() = docs.select(
+      ArrayExprs.simhash32Fast(transform(TextOps.tokens(col("text")), tk => PortableHash.hash32(tk))).as("fast"),
+      TextOps.simhash32(col("text")).as("ref")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    sh().foreach { case (f, r) => assert(f == r) }
+    assert(sh().toSeq == withInterpreted(sh()).toSeq)
+  }
+
+  test("Sticky is a transparent identity in both modes") {
+    def v() = docs.orderBy("doc_id")
+      .select(ArrayExprs.sticky(length(col("text")) * 2).as("x"), (length(col("text")) * 2).as("ref"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    v().foreach { case (x, ref) => assert(x == ref) }
+    assert(v() == withInterpreted(v()))
+  }
+}
