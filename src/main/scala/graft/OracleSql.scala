@@ -445,5 +445,44 @@ object OracleSql {
         UNION
         SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst)
       SELECT src AS doc_id, min(dst) AS canonical, (src = min(dst)) AS is_canonical
-      FROM r GROUP BY src ORDER BY doc_id""")
+      FROM r GROUP BY src ORDER BY doc_id""",
+
+    "q46_split" -> s"""
+      WITH d AS (SELECT doc_id, $TOKS AS toks,
+        ${h32("'split:' || doc_id::varchar")} % 100 AS bucket FROM documents)
+      SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        count(1) AS n_docs, sum(length(toks))::bigint AS n_tokens
+      FROM d GROUP BY 1 ORDER BY split""",
+
+    "q47_source_quota" -> s"""
+      WITH d AS (SELECT doc_id, source, text, $TOKS AS toks FROM documents),
+      m AS (SELECT doc_id, source,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+        CASE WHEN length(toks) = 0 THEN 0.0
+             ELSE length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(toks) END AS stop_r,
+        length(text) AS len FROM d),
+      q AS (SELECT doc_id, source,
+        ${qz6("least(len::double / 500.0, 1.0) * 0.4 + least(stop_r * 5.0, 1.0) * 0.3 + greatest(1.0 - punct_r * 4.0, 0.0) * 0.3")} AS quality
+        FROM m),
+      rk AS (SELECT source, doc_id, quality,
+        row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk FROM q)
+      SELECT source, rnk, doc_id, quality FROM rk WHERE rnk <= 5 ORDER BY source, rnk""",
+
+    "q48_corpus_stats" -> s"""
+      WITH d AS (SELECT doc_id, lang, text, $TOKS AS toks FROM documents),
+      m AS (SELECT lang,
+        length(toks)::bigint AS ws,
+        list_sum(list_transform(toks, t -> 1 + floor(length(t) / 6)::int))::bigint AS bpe,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+        CASE WHEN length(toks) = 0 THEN 0.0
+             ELSE length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(toks) END AS stop_r,
+        length(text) AS len FROM d),
+      q AS (SELECT lang, ws, bpe,
+        ${qz6("least(len::double / 500.0, 1.0) * 0.4 + least(stop_r * 5.0, 1.0) * 0.3 + greatest(1.0 - punct_r * 4.0, 0.0) * 0.3")} AS quality
+        FROM m)
+      SELECT lang, count(1) AS n_docs, sum(ws)::bigint AS ws_tokens, sum(bpe)::bigint AS bpe_tokens,
+        cast(sum(cast(quality AS decimal(18,6))) AS double) / count(1)::double AS mean_quality
+      FROM q GROUP BY lang ORDER BY lang""")
 }

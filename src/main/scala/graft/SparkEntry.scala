@@ -512,6 +512,49 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Deterministic train/val/test split — hash-based (never `rand()`:
+    * reproducible across runs, partitionings, and engines; the property a
+    * training-data pipeline actually needs). 80/10/10 by doc_id hash. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val bucket = PortableHash.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy(col("split"))
+  }
+
+  /** Per-source quota sampling: keep the top-5 quality docs per source
+    * (domain caps — the anti-overrepresentation step in corpus curation). */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(desc("quality"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 5)
+      .select(col("source"), col("rnk"), col("doc_id"), col("quality"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** Corpus accounting rollup: per language — docs, whitespace tokens,
+    * BPE-ish tokens, mean quality (the numbers a training run budgets on). */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("ws"),
+        TextOps.approxBpeCount(col("text")).cast("long").as("bpe"),
+        TextOps.qualityScore(col("text")).as("q"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        (sum(col("q").cast("decimal(18,6)")).cast("double") / count(lit(1)).cast("double")).as("mean_quality"))
+      .orderBy(col("lang"))
+
   /** Dedup clustering: connected components over unigram-Jaccard near-dup
     * pairs; every doc maps to its canonical (minimal) representative. */
   private def q45(s: SparkSession, dir: String): DataFrame = {
@@ -630,6 +673,9 @@ object SparkEntry {
     "q43_asof_join" -> (q43 _),
     "q44_sessionize" -> (q44 _),
     "q45_dedup_clusters" -> (q45 _),
+    "q46_split" -> (q46 _),
+    "q47_source_quota" -> (q47 _),
+    "q48_corpus_stats" -> (q48 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),
