@@ -417,6 +417,14 @@ object OracleSql {
       SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
       FROM j WHERE rn = 1 ORDER BY event_id""",
 
+    "q49_asof_custom_exec" -> """
+      WITH l AS (SELECT event_id, ts, user_id FROM events WHERE event_id < 2000),
+      j AS (SELECT l.event_id, l.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        row_number() OVER (PARTITION BY l.event_id ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM l LEFT JOIN orders o ON l.user_id = o.o_custkey AND o.o_orderdate <= l.ts)
+      SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
+      FROM j WHERE rn = 1 ORDER BY event_id""",
+
     "q44_sessionize" -> """
       WITH o AS (SELECT user_id, event_id, ts, value,
         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events),

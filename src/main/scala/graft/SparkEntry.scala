@@ -604,6 +604,21 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_no"))
   }
 
+  /** The SAME as-of join as q43 but through the custom
+    * LogicalPlan+Strategy+physical operator (graft.plans.AsOfJoinPlan) —
+    * the whole-operator Catalyst tier, verified against the identical
+    * DuckDB oracle. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+      .where(col("event_id") < 2000)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    graft.plans.AsOfJoinPlan.asofExec(events, orders, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   /** Sketch family (rows-only: HLL/KLL sketches are engine-specific, no
     * cross-engine oracle): approx distinct + approx percentiles, with the
     * exact values alongside for sanity. */
@@ -676,6 +691,7 @@ object SparkEntry {
     "q46_split" -> (q46 _),
     "q47_source_quota" -> (q47 _),
     "q48_corpus_stats" -> (q48 _),
+    "q49_asof_custom_exec" -> (q49 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),
