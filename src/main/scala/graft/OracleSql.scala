@@ -455,6 +455,35 @@ object OracleSql {
       SELECT src AS doc_id, min(dst) AS canonical, (src = min(dst)) AS is_canonical
       FROM r GROUP BY src ORDER BY doc_id""",
 
+    "q50_heavy_hitters" -> s"""
+      WITH d AS (SELECT doc_id, list_distinct($TOKS) AS toks FROM documents),
+      e AS (SELECT doc_id, unnest(toks) AS term FROM d)
+      SELECT term, count(1) AS df FROM e GROUP BY term
+      ORDER BY df DESC, term LIMIT 20""",
+
+    "q51_bigram_lm" -> s"""
+      WITH d AS (SELECT $TOKS AS toks FROM documents),
+      b AS (SELECT unnest(list_transform(range(1, greatest(length(toks)-1, 0)+1),
+            i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM d),
+      bg AS (SELECT split_part(bigram, ' ', 1) AS w1, bigram, count(1) AS n12 FROM b GROUP BY 1, 2),
+      ug AS (SELECT w1, sum(n12)::bigint AS n1 FROM bg GROUP BY w1)
+      SELECT bigram, n12, n1, ${qz6("n12::double / n1::double")} AS p_cond
+      FROM bg JOIN ug USING (w1) WHERE n12 >= 10
+      ORDER BY n12 DESC, bigram LIMIT 50""",
+
+    "q52_tfidf" -> s"""
+      WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      cnt AS (SELECT count(1) AS n_docs FROM documents),
+      e AS (SELECT doc_id, unnest(toks) AS term FROM d),
+      tfs AS (SELECT doc_id, term, count(1) AS tf FROM e GROUP BY 1, 2),
+      dfs AS (SELECT term, count(1) AS df FROM tfs GROUP BY term),
+      rk AS (SELECT t.doc_id, t.term, t.tf, f.df,
+        row_number() OVER (PARTITION BY t.doc_id ORDER BY t.tf DESC, f.df, t.term) AS rnk
+        FROM tfs t JOIN dfs f USING (term))
+      SELECT doc_id, term, tf, df,
+        ${qz6("tf::double * ln((SELECT n_docs FROM cnt)::double / df::double)")} AS tfidf
+      FROM rk WHERE rnk = 1 ORDER BY doc_id""",
+
     "q46_split" -> s"""
       WITH d AS (SELECT doc_id, $TOKS AS toks,
         ${h32("'split:' || doc_id::varchar")} % 100 AS bucket FROM documents)

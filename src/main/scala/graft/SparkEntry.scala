@@ -604,6 +604,53 @@ object SparkEntry {
       .orderBy(col("user_id"), col("session_no"))
   }
 
+  /** Heavy hitters: top-20 corpus terms by document frequency (explode →
+    * two-level aggregation; the word-count shape every corpus report runs). */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), col("term"))
+      .limit(20)
+
+  /** Bigram language-model statistics: count(w1,w2) and the conditional
+    * p(w2|w1) as an exact ratio of identical integers in both engines. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bigrams = docs
+      .select(explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .groupBy(col("w1"), col("bigram")).agg(count(lit(1)).as("n12"))
+    val unigramTotals = bigrams.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    bigrams.join(unigramTotals, "w1")
+      .where(col("n12") >= 10)
+      .select(col("bigram"), col("n12"), col("n1"),
+        TextOps.quantize6(col("n12").cast("double") / col("n1").cast("double")).as("p_cond"))
+      .orderBy(desc("n12"), col("bigram"))
+      .limit(50)
+  }
+
+  /** TF-IDF-style top term per document. Ranked on the INTEGER triple
+    * (tf desc, df asc, term) — engine-exact — with the tf·idf score as a
+    * quantized display column (ln differs by ulps across libm
+    * implementations, so it must not decide ordering). */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count() // small catalog-style count, used as a literal
+    val terms = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("tf"), col("df"), col("term"))
+    terms.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        TextOps.quantize6(col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df").cast("double"))).as("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The SAME as-of join as q43 but through the custom
     * LogicalPlan+Strategy+physical operator (graft.plans.AsOfJoinPlan) —
     * the whole-operator Catalyst tier, verified against the identical
@@ -692,6 +739,9 @@ object SparkEntry {
     "q47_source_quota" -> (q47 _),
     "q48_corpus_stats" -> (q48 _),
     "q49_asof_custom_exec" -> (q49 _),
+    "q50_heavy_hitters" -> (q50 _),
+    "q51_bigram_lm" -> (q51 _),
+    "q52_tfidf" -> (q52 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),
