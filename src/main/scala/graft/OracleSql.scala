@@ -186,13 +186,18 @@ object OracleSql {
         ${qz6("inter::double / (szsum - inter)::double")} AS jaccard
       FROM j WHERE inter * 1000000 >= 500000 * (szsum - inter) ORDER BY id_a, id_b""",
 
+    // left join + coalesce(simhash, 0): unnest of an empty token list emits
+    // no rows, but the engine emits simhash=0 for zero-token documents —
+    // the left join keeps row parity if such a doc ever enters the fixture
     "q19_simhash" -> s"""
       WITH toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
       h AS (SELECT doc_id, ${h32("tok")} AS h FROM toks),
       bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
-               FROM h, range(32) t(i) GROUP BY doc_id, i)
-      SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::bigint << i) ELSE 0 END)::bigint AS simhash
-      FROM bits GROUP BY doc_id ORDER BY doc_id""",
+               FROM h, range(32) t(i) GROUP BY doc_id, i),
+      sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::bigint << i) ELSE 0 END)::bigint AS simhash
+             FROM bits GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(sh.simhash, 0)::bigint AS simhash
+      FROM documents d LEFT JOIN sh USING (doc_id) ORDER BY doc_id""",
 
     "q20_ngram_jaccard" -> s"""
       WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
@@ -352,6 +357,8 @@ object OracleSql {
       SELECT doc_id, sig[1] AS sig_1, sig[8] AS sig_8, sig[16] AS sig_16
       FROM sig ORDER BY doc_id""",
 
+    // left join + coalesce(simhash, 0) for zero-token docs, as in q19 —
+    // they must still generate blocked candidate pairs like the engine side
     "q37_simhash_pairs" -> s"""
       WITH docs2 AS (SELECT doc_id, text FROM documents
                      UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
@@ -359,8 +366,10 @@ object OracleSql {
       h AS (SELECT doc_id, ${h32("tok")} AS h FROM toks),
       bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
                FROM h, range(32) t(i) GROUP BY doc_id, i),
-      sh AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::bigint << i) ELSE 0 END)::bigint AS simhash
-             FROM bits GROUP BY doc_id),
+      sh0 AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::bigint << i) ELSE 0 END)::bigint AS simhash
+              FROM bits GROUP BY doc_id),
+      sh AS (SELECT d.doc_id, coalesce(sh0.simhash, 0)::bigint AS simhash
+             FROM docs2 d LEFT JOIN sh0 USING (doc_id)),
       blocked AS (SELECT doc_id, simhash,
         b::varchar || ':' || ((simhash >> (b*8)) & 255)::varchar AS block
         FROM sh, range(4) t(b)),

@@ -38,7 +38,12 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       tieBreaker: String): DataFrame = {
-    val taggedRight = right.select(
+    // Drop null-key right rows BEFORE the union: window partitioning groups
+    // NULL keys together, so without this a null-key left row would "match"
+    // a null-key right row — diverging from SQL equality semantics (and
+    // from AsOfJoinExec, which emits null right columns for null left keys).
+    val rightKeyed = right.where(col(rightKey).isNotNull)
+    val taggedRight = rightKeyed.select(
       col(rightKey).as("_k"),
       col(rightTime).cast("timestamp").as("_t"),
       lit(0).as("_tag"),

@@ -176,8 +176,12 @@ object Dedup {
       // codegen'd instruction instead of a 32-term expression tree
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE the pair-dedup: hamming is functionally determined by
+      // (id_a, id_b), so the result is identical, but the distinct's shuffle
+      // now carries only surviving pairs instead of every byte-block
+      // candidate pair
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Blocked n-gram Jaccard pairs (the brute-ish baseline the LSH variants

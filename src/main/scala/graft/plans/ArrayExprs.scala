@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, TypesBridge}
+import org.apache.spark.sql.graftbridge.TypesBridge.AbstractDataType
 import org.apache.spark.sql.types._
 
 /** Custom codegen'd Catalyst expressions for the similarity hot path.
@@ -28,8 +29,13 @@ object ArrayExprs {
   /** |a ∩ b| for two SORTED long arrays (distinct elements), via linear
     * merge — no per-row hash set, no boxing. */
   case class SortedIntersectCount(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = IntegerType
+    // declared input types make bad SQL input (these are exposed via
+    // GraftExtensions) fail analysis instead of reading misaligned bytes
+    // from UnsafeArrayData
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
@@ -73,8 +79,9 @@ object ArrayExprs {
     * TextOps.minhashFromHashes — one fused O(n·k) loop instead of k
     * interpreted transforms). Empty input → all-sentinel (2³²). */
   case class MinHashSignature(child: Expression, k: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
 
     final val P = 4294967291L
     final val Sentinel = 4294967296L
@@ -129,8 +136,9 @@ object ArrayExprs {
     * hash) is positive. One fused loop — replaces 32 interpreted
     * `aggregate` folds (each of which re-evaluated the token-hash transform
     * per doc). Value-identical to TextOps.simhash32 / the oracle mirror. */
-  case class SimHash32(child: Expression) extends UnaryExpression {
+  case class SimHash32(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = LongType
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
 
     override def nullSafeEval(input: Any): Any = {
       val hs = input.asInstanceOf[ArrayData]
@@ -179,12 +187,19 @@ object ArrayExprs {
     * reference's Pinecone index metric, `service_layer/service.py:91`).
     * One fused loop accumulates dot, ‖a‖², ‖b‖² with the same strict
     * left-to-right fold order as the declarative
-    * `aggregate(zip_with(...))` composition in VectorOps.cosine, so
-    * results are bit-identical to it AND to the DuckDB oracle's
-    * `list_reduce` mirror. Zero-vector guard: denom == 0 → 0.0. */
+    * `aggregate(zip_with(...))` composition in VectorOps.cosine, so for
+    * EQUAL-LENGTH vectors results are bit-identical to it AND to the
+    * DuckDB oracle's `list_reduce` mirror. For unequal lengths the
+    * composition yields NULL (zip_with pads with null); this expression
+    * instead truncates the dot to the common prefix and counts both full
+    * tails toward the norms — a finite, still-deterministic value
+    * (covered by ExprParitySpec's mismatched-length case). Zero-vector
+    * guard: denom == 0 → 0.0. */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = DoubleType
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]

@@ -115,9 +115,15 @@ object AsOfJoinPlan {
             if (k == null) {
               proj(joined(lRow, nullRight))
             } else {
-              // new key group → forget the previous key's match
-              if (matchKey == null || keyOrd.compare(matchKey, k) != 0) matchRow = null
-              matchKey = k
+              // new key group → forget the previous key's match. The stored
+              // key MUST be copied: for StringType/BinaryType, eval returns
+              // a UTF8String view into the reused UnsafeRow buffer, which
+              // silently mutates to the next row's key and would keep this
+              // reset from ever firing (stale matchRow leaking across keys).
+              if (matchKey == null || keyOrd.compare(matchKey, k) != 0) {
+                matchRow = null
+                matchKey = InternalRow.copyValue(k)
+              }
               // advance the right side up to (k, t]
               var advancing = true
               while (advancing && rBuf.hasNext) {

@@ -22,3 +22,9 @@ object ColumnBridge {
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 }
+
+/** Re-exports of `private[sql]` types needed to declare expression input
+  * types (ExpectsInputTypes.inputTypes is Seq[AbstractDataType]). */
+object TypesBridge {
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+}

@@ -80,6 +80,27 @@ class ExprParitySpec extends AnyFunSuite {
     assert(sh().toSeq == withInterpreted(sh()).toSeq)
   }
 
+  test("CosineSimilarity mismatched lengths: documented divergence from composition") {
+    // Composition (zip_with pads with null → aggregate → NULL) vs custom
+    // expression (truncated dot, full tails in the norms → finite). The
+    // custom behavior must itself be codegen/interpreted-consistent.
+    val mixed = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)),
+      (Array(0.5f), Array(0.5f, 0.0f, 0.0f))).toDF("v", "w")
+    def both() = mixed.select(
+      ArrayExprs.cosineSimilarity(col("v"), col("w")).as("fast"),
+      VectorOps.cosine(col("v"), col("w")).as("ref")).collect()
+      .map(r => (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val gen = both()
+    gen.foreach { case (f, ref) =>
+      assert(ref.isEmpty, "composition yields NULL on length mismatch")
+      assert(!f.isNaN && f.abs <= 1.0, "custom expr yields a finite cosine")
+    }
+    // hand math for row 1: dot over prefix = 1+4 = 5; norms over FULL vecs
+    assert(math.abs(gen(0)._1 - 5.0 / (math.sqrt(14.0) * math.sqrt(5.0))) < 1e-12)
+    assert(gen.toSeq == withInterpreted(both()).toSeq)
+  }
+
   test("Sticky is a transparent identity in both modes") {
     def v() = docs.orderBy("doc_id")
       .select(ArrayExprs.sticky(length(col("text")) * 2).as("x"), (length(col("text")) * 2).as("ref"))
