@@ -165,13 +165,14 @@ object Cdc {
   /** Sync one table: delta → chunk → embed → upsert → commit watermark.
     *
     * `deterministicChunks = true` reproduces exact chunk boundaries via a
-    * total order on `orderCol` (bounded batches — the reference's polls
-    * are bounded, and the global row_number window is single-partition).
-    * Set false for very large deltas: `Chunker.chunkScalable` keeps
-    * partition-local boundaries with no global ordering barrier — the
-    * reference's own boundaries are arbitrary arrival order anyway
-    * (`SELECT *` with no ORDER BY, service_layer/service.py:53-57), and
-    * content-hash ids keep the upsert idempotent either way. */
+    * total order on `orderCol`; the numbering is distributed (range
+    * partition + broadcast offsets — see Chunker.chunkDeterministic), so
+    * this is safe as the default at any delta size. Set false to skip the
+    * global ordering pass entirely: `Chunker.chunkScalable` keeps
+    * partition-local boundaries — the reference's own boundaries are
+    * arbitrary arrival order anyway (`SELECT *` with no ORDER BY,
+    * service_layer/service.py:53-57), and content-hash ids keep the upsert
+    * idempotent either way. */
   def syncTable(
       spark: SparkSession,
       sourceDir: String,

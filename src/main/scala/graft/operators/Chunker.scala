@@ -16,34 +16,82 @@ import org.apache.spark.sql.functions._
   *
   * Two modes:
   *  - [[chunkDeterministic]]: a total order over an explicit key defines
-  *    chunk membership — testable, oracle-checkable. The global
-  *    `row_number` is a single-partition shuffle; use for bounded inputs
-  *    (the reference's own batches are bounded by a poll interval).
+  *    chunk membership — testable, oracle-checkable. Implemented as a
+  *    DISTRIBUTED global numbering (range partition + per-partition counts
+  *    + broadcast offsets), NOT a single-partition `Window.orderBy`: same
+  *    chunk boundaries, no one-executor bottleneck.
   *  - [[chunkScalable]]: partition-local chunk ids salted by
-  *    `spark_partition_id` — no global ordering barrier, arbitrary-but-
+  *    `spark_partition_id` — no global ordering pass at all, arbitrary-but-
   *    deterministic-per-partition boundaries. The reference's own chunk
   *    boundaries are arbitrary arrival order (`SELECT *` with no ORDER BY,
   *    `service_layer/service.py:53-57`), so this matches its contract at
-  *    any scale.
+  *    any scale; content-hash ids keep the sink idempotent either way.
   */
 object Chunker {
 
   val DefaultChunkSize = 100 // service_layer/service.py:109
 
-  /** Deterministic chunking: order by `orderCol`, group rows into chunks of
-    * `chunkSize`, space-join `docCol` values in order.
-    * Output: (chunk_no, id, source, text, n_rows). */
+  /** Deterministic chunking: order by `orderCol` (callers should pass a
+    * unique key — ties make chunk membership partition-order-dependent),
+    * group rows into chunks of `chunkSize`, space-join `docCol` values in
+    * order. Output: (chunk_no, id, source, text, n_rows).
+    *
+    * Global row numbers WITHOUT a single-partition window (the classic
+    * zipWithIndex-for-DataFrames): range-partition by the order key, sort
+    * within partitions, take `monotonically_increasing_id` = (partition <<
+    * 33) | local index, then add broadcast per-partition cumulative offsets.
+    *
+    * The indexed relation is localCheckpoint'ed (eager) before being read
+    * by both the counts pass and the numbering pass: range partitioning
+    * SAMPLES its input to pick bounds, so two independent executions of
+    * the same repartitionByRange can bucket rows differently — offsets
+    * computed on one partitioning applied to another would corrupt the
+    * numbering. Materializing once makes both passes see identical
+    * partitions by construction (exchange reuse would usually dedupe the
+    * scan anyway, but correctness must not hinge on an optimizer
+    * optimization). Every stage is fully distributed; the only
+    * driver-size object is the (≤ numPartitions)-row offsets relation,
+    * which is broadcast. */
   def chunkDeterministic(
       df: DataFrame,
       orderCol: Column,
       docCol: Column,
       source: String,
       chunkSize: Int = DefaultChunkSize): DataFrame = {
-    val w = Window.orderBy(orderCol)
-    val numbered = df
-      .withColumn("_rn", row_number().over(w))
+    val nPart =
+      math.max(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
+    // partition-local index in sorted order: m_i_i is assigned in row-flow
+    // order, which the preceding intra-partition sort makes deterministic
+    // (_doc as tiebreak: equal (ord, doc) rows are interchangeable)
+    val indexed = df
+      .select(orderCol.as("_ord"), docCol.as("_doc"))
+      .repartitionByRange(nPart, col("_ord"))
+      .sortWithinPartitions(col("_ord"), col("_doc"))
+      .withColumn("_mid", monotonically_increasing_id())
+      .select(
+        shiftright(col("_mid"), 33).as("_pid"),
+        col("_mid").bitwiseAND(lit((1L << 33) - 1)).as("_local"),
+        col("_doc"))
+      .localCheckpoint() // one materialization; both passes below share it
+    // per-range-partition sizes: partial-aggregates to one row per partition
+    // map-side, so the counts pass shuffles ~nPart rows
+    val counts = indexed.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    // exclusive prefix sum over the tiny counts relation (range partition
+    // ids are ordered by _ord, so offset order == global order). The
+    // constant-valued-but-non-foldable partition key keeps this off the
+    // "all data to a single partition" warning path (a foldable key would
+    // be stripped by EliminateWindowPartitions) — by construction this
+    // window sees ≤ nPart rows, one per range partition
+    val wOff = Window.partitionBy(pmod(col("_pid"), lit(1L))).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val numbered = indexed
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_rn", col("_off") + col("_local") + lit(1L))
       .withColumn("_chunk_no", floor((col("_rn") - 1) / chunkSize))
-      .select(col("_chunk_no"), col("_rn"), docCol.as("_doc"))
+      .select(col("_chunk_no"), col("_rn"), col("_doc"))
     assemble(numbered, source)
   }
 
