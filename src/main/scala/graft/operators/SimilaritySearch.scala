@@ -62,36 +62,46 @@ object SimilaritySearch {
     * Seeded with the first k vectors by id (deterministic, no RNG — RNG
     * seeds don't reproduce across partitionings), refined `iters` times.
     * Model state is k·dim floats — driver-resident by design, like any
-    * ANN index's coarse centroids; the assignment passes are distributed.
-    * At 100 TB the k-means would run on a sample (`df.sample`) — the
-    * assignment cost, not the training cost, dominates either way. */
+    * ANN index's coarse centroids.
+    *
+    * The centroid update is DISTRIBUTED: posexplode each vector to
+    * (cluster, dim, x) and mean per (cluster, dim). Partial aggregation
+    * collapses every partition to ≤ k·dim rows map-side, so both the
+    * shuffle and the driver collect carry only the k×dim centroid matrix
+    * — never the index itself (the previous formulation collected every
+    * member vector per iteration, a guaranteed driver OOM at scale).
+    * `sampleFraction` < 1 trains on a seeded sample — at 100 TB a small
+    * sample gives statistically identical coarse centroids for a fraction
+    * of the assignment cost. */
   def ivfTrain(
       index: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int = 3): Array[Array[Float]] = {
+      iters: Int = 3,
+      sampleFraction: Double = 1.0): Array[Array[Float]] = {
     val spark = index.sparkSession
     import spark.implicits._
+    val train =
+      if (sampleFraction < 1.0) index.sample(withReplacement = false, sampleFraction, seed = 42L)
+      else index
     var centroids: Array[Array[Float]] = index
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).as[Array[Float]].collect()
     for (_ <- 0 until iters) {
-      val assigned = index.select(
+      val assigned = train.select(
         nearestCentroid(col(vecCol), centroids).as("cluster"),
         col(vecCol).as("v"))
       val updated: Map[Int, Array[Float]] = assigned
-        .groupBy("cluster")
-        .agg(collect_list(col("v")).as("vs"))
-        .as[(Int, Seq[Seq[Float]])]
-        .collect()
-        .map { case (cid, vs) =>
-          val dim = vs.head.length
-          val acc = new Array[Float](dim)
-          vs.foreach { v => var i = 0; while (i < dim) { acc(i) += v(i); i += 1 } }
-          var i = 0; while (i < dim) { acc(i) /= vs.size; i += 1 }
-          cid -> acc
-        }.toMap
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dims"))
+        .as[(Int, Seq[(Int, Double)])]
+        .collect() // k rows × dim doubles — the centroid matrix, nothing more
+        .map { case (cid, dims) => cid -> dims.map(_._2.toFloat).toArray }
+        .toMap
       // a cluster that lost all members keeps its previous centroid
       centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
     }

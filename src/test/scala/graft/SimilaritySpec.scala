@@ -36,6 +36,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.contains(7L) && top.contains(99L))
   }
 
+  test("distributed ivfTrain equals a driver-side Lloyd reference (same seed/assignment/mean)") {
+    // Reference implementation of the same deterministic Lloyd iteration,
+    // entirely on the driver: first-k-by-id seeding, cosine assignment with
+    // ties to the lowest index, double-precision mean. The distributed
+    // posexplode + avg path must reproduce it (it replaced a
+    // collect-the-whole-index formulation; this guards the rewrite).
+    val data = vecs.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); sa += a(i).toDouble * a(i); sb += b(i).toDouble * b(i); i += 1
+      }
+      val d = math.sqrt(sa) * math.sqrt(sb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val k = 4; val iters = 2
+    var ref = data.take(k).map(_._2)
+    for (_ <- 0 until iters) {
+      val assigned = data.map { case (_, v) =>
+        val best = ref.zipWithIndex.map { case (c, i) => (cos(v, c), i) }
+          .maxBy { case (s, i) => (s, -i) }._2
+        (best, v)
+      }
+      ref = ref.indices.map { cid =>
+        val members = assigned.filter(_._1 == cid).map(_._2)
+        if (members.isEmpty) ref(cid)
+        else {
+          val dim = members.head.length
+          Array.tabulate(dim)(d => (members.map(_(d).toDouble).sum / members.size).toFloat)
+        }
+      }.toArray
+    }
+    val dist = SimilaritySearch.ivfTrain(vecs, "vec_id", "embedding", k = k, iters = iters)
+    assert(dist.length == ref.length)
+    dist.zip(ref).foreach { case (dc, rc) =>
+      dc.zip(rc).foreach { case (a, b) => assert(math.abs(a - b) < 1e-5f, s"$a vs $b") }
+    }
+  }
+
   test("ivfTopK scans only nprobe clusters (candidate restriction is real)") {
     val centroids = SimilaritySearch.ivfTrain(vecs, "vec_id", "embedding", k = 4, iters = 2)
     val probe = vecs.where(col("vec_id") === 0).collect()(0).getSeq[Float](1).toArray
