@@ -52,11 +52,20 @@ class Engine(
   }
 
   /** The made-real read path: embed a text query (F8), cosine top-k over
-    * the vector sink. */
-  def searchSimilar(query: String, k: Int = 10): DataFrame =
+    * one namespace of the vector sink (`service_layer/service.py:166`) —
+    * the namespace filter prunes to that namespace's partition dirs. */
+  def searchSimilar(
+      query: String,
+      k: Int = 10,
+      namespace: String = Cdc.DefaultNamespace): DataFrame = {
+    import org.apache.spark.sql.functions.col
     SimilaritySearch.topK(
-      Cdc.readVectorSink(spark, sinkDir), "id", "embedding",
-      Embeddings.embedQueryCol(query), k)
+      Cdc.readVectorSink(spark, sinkDir).where(col("namespace") === namespace),
+      "id", "embedding", Embeddings.embedQueryCol(query), k)
+  }
+
+  /** `describe_index_stats` analog (`service_layer/service.py:97`). */
+  def indexStats(): DataFrame = Cdc.sinkStats(spark, sinkDir)
 
   /** Current per-table watermarks (the reference's `watermark` table). */
   def watermarks(): DataFrame = Cdc.readWatermarks(spark, stateDir)

@@ -39,11 +39,28 @@ object Cdc {
     StructField("table_name", StringType, nullable = false),
     StructField("last_updated", TimestampType, nullable = true)))
 
+  /** Pinecone upserts into `namespace='task1'` (service_layer/service.py:166). */
+  val DefaultNamespace = "task1"
+
+  /** Physical id-buckets per namespace: the sink directory is partitioned
+    * by (namespace, bucket) so an upsert rewrites only the buckets its ids
+    * hash into, not the whole sink. 64 here; thousands at 100 TB (bucket
+    * count bounds rewrite granularity AND per-bucket file size). */
+  val SinkBuckets = 64
+
+  /** namespace + bucket are Hive-style partition columns on disk. */
   val vectorSinkSchema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("embedding", ArrayType(FloatType), nullable = true),
     StructField("source", StringType, nullable = true),
-    StructField("text", StringType, nullable = true)))
+    StructField("text", StringType, nullable = true),
+    StructField("namespace", StringType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false)))
+
+  /** Deterministic id → bucket assignment (portable hash — reproducible by
+    * any engine reading the layout). */
+  def bucketOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(graft.functions.PortableHash.hash32(id), lit(SinkBuckets)).cast("int")
 
   // --- watermark state store (S6/S7) --------------------------------------
 
@@ -104,34 +121,77 @@ object Cdc {
   // --- vector sink (S8/S9) ------------------------------------------------
 
   /** S8: create-if-absent (`service_layer/service.py:82-100`): an empty
-    * parquet dir with the fixed (id, embedding, source, text) schema. */
+    * (namespace, bucket)-partitioned parquet dir with the fixed schema. */
   def initVectorSink(spark: SparkSession, sinkDir: String): Unit = {
     val path = s"$sinkDir/vectors"
     if (!new java.io.File(path).exists()) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorSinkSchema)
-        .write.mode(SaveMode.Overwrite).parquet(path)
+        .write.partitionBy("namespace", "bucket").mode(SaveMode.Overwrite).parquet(path)
     }
   }
 
+  /** Explicit schema: partition columns come from directory names, data
+    * columns from the files; an empty (just-initialized) sink reads as an
+    * empty relation instead of failing schema inference. */
   def readVectorSink(spark: SparkSession, sinkDir: String): DataFrame = {
     val path = s"$sinkDir/vectors"
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    if (new java.io.File(path).exists()) spark.read.schema(vectorSinkSchema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorSinkSchema)
   }
 
   /** S9: idempotent key-based upsert, Pinecone semantics ("same id
-    * overwrites", `service_layer/service.py:160-166`): new batch wins on id
-    * collision via anti-join of the old index, then union. */
-  def upsertVectors(spark: SparkSession, sinkDir: String, batch: DataFrame): Unit = {
-    // cache: the batch plan (chunk→embed) feeds BOTH the anti-join key set
-    // and the union — uncached it would execute twice
-    val newRows = batch.select("id", "embedding", "source", "text").dropDuplicates("id").cache()
+    * overwrites", `service_layer/service.py:160-166`; namespace isolation,
+    * `:166`): new batch wins on id collision via anti-join of the old
+    * rows, then union.
+    *
+    * Scale shape: only the buckets the incoming ids hash into are read
+    * (partition pruning on the isin filter) and only those partitions are
+    * rewritten (dynamic partition overwrite) — the rest of the sink is
+    * untouched bytes. A 300 s poll that touches 1% of buckets rewrites 1%
+    * of the sink, not 100% (the previous full read-modify-write). In
+    * production the same contract is a Delta/Iceberg MERGE; this is the
+    * no-new-deps parquet equivalent. */
+  def upsertVectors(
+      spark: SparkSession,
+      sinkDir: String,
+      batch: DataFrame,
+      namespace: String = DefaultNamespace): Unit = {
+    val path = s"$sinkDir/vectors"
+    // cache: the batch plan (chunk→embed) feeds the bucket list, the
+    // anti-join key set AND the union — uncached it would execute 3×
+    val newRows = batch.select("id", "embedding", "source", "text")
+      .dropDuplicates("id")
+      .withColumn("namespace", lit(namespace))
+      .withColumn("bucket", bucketOf(col("id")))
+      .cache()
     try {
-      val existing = readVectorSink(spark, sinkDir)
-      val kept = existing.join(newRows.select("id"), Seq("id"), "left_anti")
-      atomicOverwrite(spark, kept.unionByName(newRows), s"$sinkDir/vectors")
+      // the touched-bucket list is ≤ SinkBuckets values — driver-size
+      val buckets = newRows.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+      if (buckets.nonEmpty) {
+        val existing = readVectorSink(spark, sinkDir)
+          .where(col("namespace") === namespace && col("bucket").isin(buckets: _*))
+        val kept = existing.join(newRows.select("id"), Seq("id"), "left_anti")
+        // materialize before writing: the dynamic overwrite below replaces
+        // partitions it is otherwise still reading from
+        val out = kept.unionByName(newRows).localCheckpoint()
+        out.write
+          .mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("namespace", "bucket")
+          .parquet(path)
+      }
     } finally { newRows.unpersist(); () }
   }
+
+  /** `describe_index_stats` analog (`service_layer/service.py:97`):
+    * per-namespace vector count + dimension summary. */
+  def sinkStats(spark: SparkSession, sinkDir: String): DataFrame =
+    readVectorSink(spark, sinkDir)
+      .groupBy(col("namespace"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        max(size(col("embedding"))).as("dim"),
+        countDistinct(col("bucket")).as("n_buckets"))
 
   // --- the cycle (§3.2) ----------------------------------------------------
 
@@ -148,12 +208,13 @@ object Cdc {
       changeCol: String = "ts",
       orderCol: String = "event_id",
       chunkSize: Int = Chunker.DefaultChunkSize,
-      deterministicChunks: Boolean = true): Map[String, Long] = {
+      deterministicChunks: Boolean = true,
+      namespace: String = DefaultNamespace): Map[String, Long] = {
     initVectorSink(spark, sinkDir)
     val tables = Tables.listTables(sourceDir)
       .filter(_ != WatermarkTable) // P5 anti-filter
     tables.flatMap { t =>
-      try Some(t -> syncTable(spark, sourceDir, stateDir, sinkDir, t, changeCol, orderCol, chunkSize, deterministicChunks))
+      try Some(t -> syncTable(spark, sourceDir, stateDir, sinkDir, t, changeCol, orderCol, chunkSize, deterministicChunks, namespace))
       catch {
         case e: Exception => // T6: log-and-continue, per-table isolation
           System.err.println(s"[cdc] table $t failed: ${e.getMessage}")
@@ -182,7 +243,8 @@ object Cdc {
       changeCol: String,
       orderCol: String,
       chunkSize: Int,
-      deterministicChunks: Boolean = true): Long = {
+      deterministicChunks: Boolean = true,
+      namespace: String = DefaultNamespace): Long = {
     val src = Tables.table(spark, sourceDir, tableName)
     if (!src.columns.contains(changeCol)) return 0L // not a CDC table
     // chunk order: the table's primary key when known (SURVEY §7: defined
@@ -210,7 +272,7 @@ object Cdc {
         Embeddings.embedCol(col("text")).as("embedding"),
         col("source"),
         col("text"))
-      upsertVectors(spark, sinkDir, vectors)
+      upsertVectors(spark, sinkDir, vectors, namespace)
       // S7 commit AFTER the sink write — reference order, T3.
       updateWatermark(spark, stateDir, tableName, newWm)
       n

@@ -75,6 +75,66 @@ class CdcSpec extends AnyFunSuite {
     assert(out == Map("a#1" -> "new", "a#2" -> "x"))
   }
 
+  test("namespaces isolate ids: same id upserted into two namespaces keeps both") {
+    val sink = Files.createTempDirectory("graft_sink_ns").toString
+    Cdc.initVectorSink(spark, sink)
+    val b = Seq(("a#1", Array(1f), "t", "in-task1")).toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b) // default namespace task1
+    val b2 = Seq(("a#1", Array(2f), "t", "in-task2")).toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b2, namespace = "task2")
+    val rows = Cdc.readVectorSink(spark, sink).collect()
+      .map(r => (r.getAs[String]("namespace"), r.getAs[String]("text")))
+    assert(rows.toSet == Set(("task1", "in-task1"), ("task2", "in-task2")))
+    // overwriting in task2 leaves task1 untouched
+    val b3 = Seq(("a#1", Array(3f), "t", "in-task2-v2")).toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b3, namespace = "task2")
+    val after = Cdc.readVectorSink(spark, sink).collect()
+      .map(r => (r.getAs[String]("namespace"), r.getAs[String]("text")))
+    assert(after.toSet == Set(("task1", "in-task1"), ("task2", "in-task2-v2")))
+  }
+
+  test("upsert rewrites only touched buckets: other bucket files stay byte-identical") {
+    val sink = Files.createTempDirectory("graft_sink_bk").toString
+    Cdc.initVectorSink(spark, sink)
+    // spread ids over buckets, then find two ids in different buckets
+    val ids = (1 to 40).map(i => s"t#$i")
+    val b1 = ids.map(id => (id, Array(1f), "t", s"v1-$id")).toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b1)
+    val byBucket = Cdc.readVectorSink(spark, sink).select("id", "bucket").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val (touchId, touchBucket) = byBucket.head
+    val otherBucket = byBucket.values.find(_ != touchBucket).get
+    def bucketFiles(bk: Int): Map[String, String] = {
+      val dir = new java.io.File(s"$sink/vectors/namespace=task1/bucket=$bk")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getName -> java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5").digest(bytes))
+      }.toMap
+    }
+    val before = bucketFiles(otherBucket)
+    assert(before.nonEmpty)
+    // upsert touching only touchBucket
+    val b2 = Seq((touchId, Array(9f), "t", "v2")).toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b2)
+    assert(bucketFiles(otherBucket) == before, "untouched bucket files must be byte-identical")
+    val texts = Cdc.readVectorSink(spark, sink).where(col("id") === touchId)
+      .select("text").collect().map(_.getString(0))
+    assert(texts.toSeq == Seq("v2"))
+  }
+
+  test("sinkStats summarizes per-namespace count and dim (describe_index_stats analog)") {
+    val sink = Files.createTempDirectory("graft_sink_st").toString
+    Cdc.initVectorSink(spark, sink)
+    val b = Seq(("a#1", Array(1f, 2f, 3f), "t", "x"), ("a#2", Array(4f, 5f, 6f), "t", "y"))
+      .toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b)
+    val st = Cdc.sinkStats(spark, sink).collect()(0)
+    assert(st.getAs[String]("namespace") == "task1")
+    assert(st.getAs[Long]("n_vectors") == 2L)
+    assert(st.getAs[Int]("dim") == 3)
+  }
+
   test("two-batch incremental sync: second batch picks up only ts > wm; " +
     "re-run is a no-op (idempotence via content-hash ids)") {
     val scratch = Files.createTempDirectory("graft_cdc").toString
