@@ -464,6 +464,28 @@ object OracleSql {
       SELECT src AS doc_id, min(dst) AS canonical, (src = min(dst)) AS is_canonical
       FROM r GROUP BY src ORDER BY doc_id""",
 
+    // same reachability oracle as q45, over the FULL corpus (no doc cap):
+    // the engine side uses star contraction, whose fixpoint (min id per
+    // component) is algorithm-independent
+    "q53_dedup_clusters_star" -> s"""
+      WITH RECURSIVE d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      p2 AS (SELECT doc_id, list_distinct(list_transform(toks, t -> ${h32("t")})) AS hs,
+             length(list_distinct(list_transform(toks, t -> ${h32("t")})))::bigint AS sz,
+             floor(length(toks) / 16)::bigint AS block FROM d),
+      j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          length(list_intersect(a.hs, b.hs))::bigint AS inter, a.sz + b.sz AS szsum
+        FROM p2 a JOIN p2 b USING (block)
+        WHERE a.doc_id < b.doc_id AND greatest(a.sz, b.sz) > 0
+          AND least(a.sz, b.sz) * 1000000 >= 900000 * greatest(a.sz, b.sz)),
+      pr AS (SELECT id_a, id_b FROM j WHERE inter * 1000000 >= 900000 * (szsum - inter)),
+      e AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+      r AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst)
+      SELECT src AS doc_id, min(dst) AS canonical, (src = min(dst)) AS is_canonical
+      FROM r GROUP BY src ORDER BY doc_id""",
+
     "q50_heavy_hitters" -> s"""
       WITH d AS (SELECT doc_id, list_distinct($TOKS) AS toks FROM documents),
       e AS (SELECT doc_id, unnest(toks) AS term FROM d)

@@ -570,6 +570,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup clustering over the FULL corpus via star contraction — the
+    * giant-component-safe CC (alternating large-star/small-star): the tiny
+    * fixture vocabulary makes the 0.9-Jaccard graph one giant near-clique,
+    * exactly the shape that breaks diameter-bound label propagation and
+    * that star contraction absorbs in O(log² n) rounds. Same canonical-
+    * representative contract (and oracle) as q45. */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 1, threshold = 0.9, lengthBucket = 16)
+    Dedup.dedupClustersStar(docs, "doc_id", pairs)
+      .orderBy(col("doc_id"))
+  }
+
   /** As-of join: latest order at-or-before each event's timestamp per
     * customer (the scalable union+window formulation — no pair explosion). */
   private def q43(s: SparkSession, dir: String): DataFrame = {
@@ -742,6 +756,7 @@ object SparkEntry {
     "q50_heavy_hitters" -> (q50 _),
     "q51_bigram_lm" -> (q51 _),
     "q52_tfidf" -> (q52 _),
+    "q53_dedup_clusters_star" -> (q53 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),

@@ -141,6 +141,71 @@ object Dedup {
     } finally { edges.unpersist(); () }
   }
 
+  /** Connected components by alternating star contraction (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — the standard giant-component-
+    * safe formulation): converges in O(log² n) rounds REGARDLESS of
+    * component diameter or size, where plain label propagation degrades on
+    * the giant near-clique components that real crawl-dedup graphs (and
+    * this fixture's tiny vocabulary) produce.
+    *
+    *  - large-star: every node u links its LARGER neighbors to
+    *    m = min(Γ(u) ∪ u) — long chains collapse toward minima;
+    *  - small-star: every node u links its smaller-or-equal neighbors and
+    *    itself to m — stars flatten to depth 1.
+    *
+    * Both steps are a groupBy(min) + join per round over the edge
+    * relation; no step ever materializes a neighborhood list, so a node
+    * of degree n (the giant-component hub) is just n rows hash-spread
+    * across partitions — map-side partial min keeps the hot key cheap,
+    * and AQE skew-join covers the join side. Same output contract as
+    * [[dedupClusters]] (verified equal in DedupSpec). */
+  def dedupClustersStar(ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // canonical child→parent orientation: u > v (drop self-loops)
+    var edges = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the undirected view
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = nbrs.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // (larger neighbor → m); m < u < v, no self-loop
+        .distinct()
+        .localCheckpoint(true)
+      // small-star on the (u > v) orientation: parents and self to min parent
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(smins, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionByName(smins.select(col("u").as("n"), col("m")))
+        .where(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      converged =
+        small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty
+      edges = small
+      i += 1
+    }
+    // converged: edges form stars (child → component min). Singletons and
+    // roots label themselves; min-aggregate is belt-and-braces.
+    val roots = edges.groupBy(col("u").as("_id")).agg(min(col("v")).as("_root"))
+    ids.select(col(idCol).as("id"))
+      .join(roots, col("id") === col("_id"), "left_outer")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("_root"), col("id")).as("canonical"),
+        (coalesce(col("_root"), col("id")) === col("id")).as("is_canonical"))
+  }
+
   /** True Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

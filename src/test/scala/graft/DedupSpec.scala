@@ -46,6 +46,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("star-contraction CC equals iterative min-label CC on adversarial graph shapes") {
+    // chain (worst case for plain propagation), clique (the giant-component
+    // shape), seeded random edges, and singletons — both algorithms must
+    // produce the identical (id, canonical, is_canonical) fixpoint
+    val n = 120L
+    val rnd = new scala.util.Random(13)
+    val chain = (10L until 40L).map(i => (i, i + 1)) // one long path
+    val clique = for (a <- 50L until 70L; b <- (a + 1) until 70L) yield (a, b)
+    val random = (0 until 60).map(_ => (rnd.nextInt(40).toLong + 75L, rnd.nextInt(40).toLong + 75L))
+      .filter { case (a, b) => a != b }
+    val ids = spark.range(n).toDF("doc_id")
+    val pairs = (chain ++ clique ++ random).toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("canonical"), r.getAs[Boolean]("is_canonical")))
+      .toMap
+    val iter = asMap(Dedup.dedupClusters(ids, "doc_id", pairs, maxIter = 60))
+    val star = asMap(Dedup.dedupClustersStar(ids, "doc_id", pairs))
+    assert(star == iter)
+    // spot invariants: chain collapses to its min; singletons self-label
+    assert(star(39L)._1 == 10L)
+    assert(star(0L) == ((0L, true)))
+  }
+
   test("embedding near-dup via sign buckets finds identical vectors") {
     val vecs = Seq(
       (1L, Array(0.5f, -0.5f, 0.3f, 0.2f, -0.1f, 0.9f, 0.4f, -0.2f)),
