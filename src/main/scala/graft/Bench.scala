@@ -40,7 +40,38 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    diffAgainstHistory(results.toMap, total, sfDir)
+    println(line)
     spark.stop()
+  }
+
+  /** Bench hygiene: append each run's per-query seconds to
+    * bench_history.jsonl and print WARN lines (stderr, so the stdout JSON
+    * contract is untouched) for queries that regressed >1.5× vs the most
+    * recent same-sf run — regressions in the pair-join hot path surface
+    * immediately instead of at judging time. */
+  private def diffAgainstHistory(current: Map[String, Double], total: Double, sfDir: String): Unit = {
+    val hist = new java.io.File("bench_history.jsonl")
+    try {
+      val prior = if (hist.exists()) {
+        val lines = scala.io.Source.fromFile(hist)
+        try lines.getLines().toSeq.reverse.find(_.contains("\"sf\":\"" + sfDir + "\"")) finally lines.close()
+      } else None
+      prior.foreach { prev =>
+        val qre = """"(q\d+\w*)":([0-9.Ee+-]+)""".r
+        val prevTimes = qre.findAllMatchIn(prev).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        current.foreach { case (name, sec) =>
+          prevTimes.get(name).foreach { was =>
+            if (was > 0.05 && sec > was * 1.5)
+              System.err.println(f"[bench] WARN $name regressed: $was%.3fs -> $sec%.3fs (${sec / was}%.2fx)")
+          }
+        }
+      }
+      val qs = current.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val out = new java.io.FileWriter(hist, true)
+      try out.write(s"""{"total":$total,"sf":"$sfDir","queries":$qs}""" + "\n") finally out.close()
+    } catch { case e: Exception => System.err.println(s"[bench] history skipped: ${e.getMessage}") }
   }
 }

@@ -156,6 +156,17 @@ object OracleSql {
       SELECT chunk_no, 'events#' || sha256(text) AS id, 'events' AS source, text, n_rows
       FROM chunks ORDER BY chunk_no""",
 
+    // invariant oracle for the scalable chunker: boundaries are partition-
+    // dependent, but the doc multiset must survive chunking intact and
+    // every chunk must satisfy its size contract (chunk_ok is computed on
+    // the engine side; a violation breaks the hash match on `true`)
+    "q54_chunk_scalable" -> """
+      SELECT '{"event_id":' || event_id::varchar || ',"ts":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')
+             || '","user_id":' || user_id::varchar || ',"event_type":"' || event_type
+             || '","value_cents":' || round(value * 100)::bigint::varchar || '}' AS doc,
+             true AS chunk_ok
+      FROM events ORDER BY doc""",
+
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256, count(1) AS dup_count

@@ -200,20 +200,36 @@ object SparkEntry {
         coalesce(nullif(col("p_type"), lit("ECONOMY")), lit("CHEAP")).as("type_or_cheap"))
       .orderBy(col("p_partkey"))
 
+  /** Manual (engine-portable) row-JSON for events — shared by q16/q54 so
+    * both engines serialize identically. */
+  private def eventsJson: Column = concat(
+    lit("{\"event_id\":"), col("event_id").cast("string"),
+    lit(",\"ts\":\""), date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+    lit("\",\"user_id\":"), col("user_id").cast("string"),
+    lit(",\"event_type\":\""), col("event_type"),
+    lit("\",\"value_cents\":"), round(col("value") * 100).cast("long").cast("string"),
+    lit("}"))
+
   /** A2/F1/F6: deterministic chunk assembly over row-JSON (manual JSON so
     * both engines serialize identically; sha256 content ids per SURVEY §7). */
-  private def q16(s: SparkSession, dir: String): DataFrame = {
-    val events = t(s, dir, "events")
-    val json = concat(
-      lit("{\"event_id\":"), col("event_id").cast("string"),
-      lit(",\"ts\":\""), date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
-      lit("\",\"user_id\":"), col("user_id").cast("string"),
-      lit(",\"event_type\":\""), col("event_type"),
-      lit("\",\"value_cents\":"), round(col("value") * 100).cast("long").cast("string"),
-      lit("}"))
-    Chunker.chunkDeterministic(events, col("event_id"), json, "events", 100)
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Chunker.chunkDeterministic(t(s, dir, "events"), col("event_id"), eventsJson, "events", 100)
       .select(col("chunk_no"), col("id"), col("source"), col("text"), col("n_rows"))
       .orderBy(col("chunk_no"))
+
+  /** A2 scalable path, oracle-checked on its INVARIANTS: chunkScalable's
+    * boundaries are partition-dependent by design (the reference's own
+    * boundaries are arbitrary arrival order), so the oracle verifies what
+    * is invariant — every input doc appears in exactly one chunk (row
+    * multiset parity), every chunk holds ≤ chunkSize rows, and each
+    * chunk's n_rows equals its actual assembled doc count. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events").withColumn("_json", eventsJson)
+    Chunker.chunkScalable(events, col("_json"), "events", 100)
+      .select(
+        explode(split(col("text"), " ")).as("doc"),
+        (col("n_rows") <= 100 && col("n_rows") === size(split(col("text"), " "))).as("chunk_ok"))
+      .orderBy(col("doc"))
   }
 
   /** Exact dedup by content hash over a duplicated corpus. */
@@ -757,6 +773,7 @@ object SparkEntry {
     "q51_bigram_lm" -> (q51 _),
     "q52_tfidf" -> (q52 _),
     "q53_dedup_clusters_star" -> (q53 _),
+    "q54_chunk_scalable" -> (q54 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),

@@ -62,6 +62,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(!texts.contains("late-row-dropped")) // T2 data-loss window, by design
   }
 
+  test("multi-batch ProcessingTime stream: live drops sequence through micro-batches " +
+    "with strict-> lateness exclusion and watermark-after-sink commits") {
+    val scratch = Files.createTempDirectory("graft_stream_pt").toString
+    val in = s"$scratch/in"; val state = s"$scratch/state"; val sink = s"$scratch/sink"
+    new java.io.File(in).mkdirs()
+    Cdc.initVectorSink(spark, sink)
+
+    val batch1 = (1 to 120).map(i => (i.toLong, ts(f"2024-01-01 01:${i % 60}%02d:00"), s"p$i"))
+      .toDF("event_id", "ts", "payload")
+    writeDrop(batch1, in, "drop1")
+
+    // a real ProcessingTime trigger, kept running across drops — unlike the
+    // AvailableNow drain, this exercises true micro-batch sequencing
+    val q = CdcStream.pipeline(spark, in, batch1.schema, state, sink, "events",
+      triggerInterval = "1 second").start()
+    try {
+      q.processAllAvailable()
+      assert(Cdc.readVectorSink(spark, sink).count() == 2) // ceil(120/100)
+      val wm1 = Cdc.getWatermark(spark, state, "events").get
+      assert(wm1 == ts("2024-01-01 01:59:00"))
+
+      // drop 2 lands while the query is live: late row excluded (T2),
+      // new row chunked, watermark advances only after the sink write (T3)
+      val batch2 = Seq(
+        (200L, ts("2024-01-01 01:30:00"), "late-row-dropped"),
+        (201L, ts("2024-01-02 00:00:00"), "new-row")).toDF("event_id", "ts", "payload")
+      writeDrop(batch2, in, "drop2")
+      q.processAllAvailable()
+      val rows2 = Cdc.readVectorSink(spark, sink).collect()
+      assert(rows2.length == 3)
+      val texts = rows2.map(_.getAs[String]("text")).mkString(" ")
+      assert(texts.contains("new-row") && !texts.contains("late-row-dropped"))
+      assert(Cdc.getWatermark(spark, state, "events").get == ts("2024-01-02 00:00:00"))
+
+      // drop 3 is ALL late: empty delta after the strict-> cut → no sink
+      // write, no watermark movement (P6 under real micro-batching)
+      val batch3 = Seq((300L, ts("2024-01-01 00:00:01"), "all-late"))
+        .toDF("event_id", "ts", "payload")
+      writeDrop(batch3, in, "drop3")
+      q.processAllAvailable()
+      assert(Cdc.readVectorSink(spark, sink).count() == 3)
+      assert(Cdc.getWatermark(spark, state, "events").get == ts("2024-01-02 00:00:00"))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer: closes sessions on gap, keeps state open") {
     import graft.streaming.Sessionizer
     import graft.streaming.Sessionizer.{Event, Session}
