@@ -52,16 +52,33 @@ class Engine(
   }
 
   /** The made-real read path: embed a text query (F8), cosine top-k over
-    * one namespace of the vector sink (`service_layer/service.py:166`) —
-    * the namespace filter prunes to that namespace's partition dirs. */
+    * one namespace of the vector sink (`service_layer/service.py:166`).
+    *
+    * The scan is partition-pruned twice: the namespace filter prunes to
+    * that namespace's directories, and — because the sink is sub-partitioned
+    * by the embedding's sign-bucket (`Cdc.SimBits`) — the probe's
+    * multi-probe bucket list prunes to `nprobe`/2^SimBits of the namespace
+    * instead of scanning all of it. That locality pruning is the whole
+    * point of a vector index at scale: Pinecone never scans the full
+    * namespace per query, and neither does this. Recall < 1 by LSH
+    * construction; raise `nprobe` for recall, or pass `nprobe = 0` for an
+    * exact full-namespace scan (recall 1, cost O(namespace)). */
   def searchSimilar(
       query: String,
       k: Int = 10,
-      namespace: String = Cdc.DefaultNamespace): DataFrame = {
+      namespace: String = Cdc.DefaultNamespace,
+      nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.functions.col
-    SimilaritySearch.topK(
-      Cdc.readVectorSink(spark, sinkDir).where(col("namespace") === namespace),
-      "id", "embedding", Embeddings.embedQueryCol(query), k)
+    val probe = Embeddings.embed(query)
+    val ns = Cdc.readVectorSink(spark, sinkDir).where(col("namespace") === namespace)
+    val pruned =
+      if (nprobe <= 0) ns
+      else {
+        val buckets = SimilaritySearch.multiProbeBuckets(probe, Cdc.SimBits, nprobe).map(_.toInt)
+        ns.where(col("simb").isin(buckets: _*))
+      }
+    SimilaritySearch.topK(pruned, "id", "embedding",
+      org.apache.spark.sql.functions.lit(probe).cast("array<float>"), k)
   }
 
   /** `describe_index_stats` analog (`service_layer/service.py:97`). */

@@ -47,7 +47,10 @@ object SparkEntry {
     // cache: the vectors feed both sides of the self-kNN join — uncached,
     // the chunk→embed pipeline would execute twice
     val vectors = chunks.select(col("id"), Embeddings.embedCol(col("text")).as("embedding")).cache()
-    SimilaritySearch.knnJoin(vectors, vectors, "id", "embedding", "id", "embedding", k = 3, bits = 4)
+    // self-kNN: the probe side IS the corpus — never broadcast it (a
+    // corpus-sized broadcast OOMs at scale); shuffle-join on the LSH bucket
+    SimilaritySearch.knnJoin(vectors, vectors, "id", "embedding", "id", "embedding", k = 3, bits = 4,
+      broadcastProbes = false)
   }
 
   // ---------------------------------------------------------------------

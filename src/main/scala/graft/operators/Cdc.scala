@@ -48,19 +48,36 @@ object Cdc {
     * count bounds rewrite granularity AND per-bucket file size). */
   val SinkBuckets = 64
 
-  /** namespace + bucket are Hive-style partition columns on disk. */
+  /** Similarity-locality sub-partition: sign-bucket LSH bits over the
+    * embedding (VectorOps.signBucket). `bucket` optimizes WRITES (an upsert
+    * prunes to the id-buckets it touches); `simb` optimizes READS — a
+    * similarity query computes its probe's bucket(s) and partition-prunes
+    * the scan to 2^-SimBits of each namespace instead of scanning all of it
+    * (the Pinecone read path, service_layer/service.py:91). 4 bits → a
+    * 16-way read fan-out; production tunes bits to data volume. */
+  val SimBits = 4
+
+  /** namespace + bucket + simb are Hive-style partition columns on disk. */
   val vectorSinkSchema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("embedding", ArrayType(FloatType), nullable = true),
     StructField("source", StringType, nullable = true),
     StructField("text", StringType, nullable = true),
     StructField("namespace", StringType, nullable = false),
-    StructField("bucket", IntegerType, nullable = false)))
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("simb", IntegerType, nullable = false)))
 
   /** Deterministic id → bucket assignment (portable hash — reproducible by
     * any engine reading the layout). */
   def bucketOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(graft.functions.PortableHash.hash32(id), lit(SinkBuckets)).cast("int")
+
+  /** Embedding → similarity-locality bucket; -1 catches null/short vectors
+    * so the partition column honors its non-nullable contract. */
+  def simBucketOf(embedding: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(embedding.isNull || size(embedding) < SimBits, lit(-1))
+      .otherwise(graft.functions.VectorOps.signBucket(embedding, SimBits))
+      .cast("int")
 
   // --- watermark state store (S6/S7) --------------------------------------
 
@@ -126,7 +143,7 @@ object Cdc {
     val path = s"$sinkDir/vectors"
     if (!new java.io.File(path).exists()) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorSinkSchema)
-        .write.partitionBy("namespace", "bucket").mode(SaveMode.Overwrite).parquet(path)
+        .write.partitionBy("namespace", "bucket", "simb").mode(SaveMode.Overwrite).parquet(path)
     }
   }
 
@@ -145,10 +162,14 @@ object Cdc {
     * rows, then union.
     *
     * Scale shape: only the buckets the incoming ids hash into are read
-    * (partition pruning on the isin filter) and only those partitions are
-    * rewritten (dynamic partition overwrite) — the rest of the sink is
-    * untouched bytes. A 300 s poll that touches 1% of buckets rewrites 1%
-    * of the sink, not 100% (the previous full read-modify-write). In
+    * (partition pruning on the isin filter) and only those id-bucket
+    * directories are rewritten — the rest of the sink is untouched bytes.
+    * A 300 s poll that touches 1% of buckets rewrites 1% of the sink, not
+    * 100% (the previous full read-modify-write). The rewrite is
+    * delete-then-append per touched bucket rather than dynamic partition
+    * overwrite: a re-upserted id whose embedding changed may move to a
+    * different `simb` sub-partition, and dynamic overwrite would leave the
+    * old (bucket, simb) file behind if no new row lands there. In
     * production the same contract is a Delta/Iceberg MERGE; this is the
     * no-new-deps parquet equivalent. */
   def upsertVectors(
@@ -158,11 +179,15 @@ object Cdc {
       namespace: String = DefaultNamespace): Unit = {
     val path = s"$sinkDir/vectors"
     // cache: the batch plan (chunk→embed) feeds the bucket list, the
-    // anti-join key set AND the union — uncached it would execute 3×
+    // anti-join key set AND the union — uncached it would execute 3×.
+    // null ids are dropped: a null would land in a default partition the
+    // bucket pruning could never overwrite consistently.
     val newRows = batch.select("id", "embedding", "source", "text")
+      .where(col("id").isNotNull)
       .dropDuplicates("id")
       .withColumn("namespace", lit(namespace))
       .withColumn("bucket", bucketOf(col("id")))
+      .withColumn("simb", simBucketOf(col("embedding")))
       .cache()
     try {
       // the touched-bucket list is ≤ SinkBuckets values — driver-size
@@ -171,13 +196,14 @@ object Cdc {
         val existing = readVectorSink(spark, sinkDir)
           .where(col("namespace") === namespace && col("bucket").isin(buckets: _*))
         val kept = existing.join(newRows.select("id"), Seq("id"), "left_anti")
-        // materialize before writing: the dynamic overwrite below replaces
-        // partitions it is otherwise still reading from
+        // materialize BEFORE deleting the directories the plan reads from
         val out = kept.unionByName(newRows).localCheckpoint()
+        buckets.foreach { b =>
+          deleteRecursively(new java.io.File(s"$path/namespace=$namespace/bucket=$b"))
+        }
         out.write
-          .mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("namespace", "bucket")
+          .mode(SaveMode.Append)
+          .partitionBy("namespace", "bucket", "simb")
           .parquet(path)
       }
     } finally { newRows.unpersist(); () }

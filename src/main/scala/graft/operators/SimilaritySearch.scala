@@ -35,22 +35,35 @@ object SimilaritySearch {
   def topKText(index: DataFrame, idCol: String, vecCol: String, query: String, k: Int): DataFrame =
     topK(index, idCol, vecCol, Embeddings.embedQueryCol(query), k)
 
-  /** ANN top-k: only vectors in the probe's sign-bucket are scored. With
+  /** The probe's sign bucket plus the `nprobe - 1` next-most-likely
+    * buckets (multi-probe LSH, Lv et al. 2007): a vector lands on the
+    * other side of hyperplane i most easily where |component i| is
+    * smallest, so the best extra probes flip the lowest-|magnitude| bits.
+    * Deterministic, driver-side, O(bits log bits). */
+  def multiProbeBuckets(probe: Array[Float], bits: Int, nprobe: Int): Seq[Long] = {
+    var base = 0L
+    (0 until bits).foreach(i => if (probe(i) > 0f) base |= (1L << i))
+    val flipOrder = (0 until bits).sortBy(i => math.abs(probe(i).toDouble))
+    base +: flipOrder.take(math.max(nprobe - 1, 0)).map(i => base ^ (1L << i))
+  }
+
+  /** ANN top-k: only vectors in the probe's sign-bucket(s) are scored. With
     * the index pre-partitioned by bucket, non-matching partitions are
     * pruned at the scan. Recall < 1 by construction; raise recall by
-    * lowering `bits` or probing neighboring buckets (multi-probe). */
+    * lowering `bits` or raising `nprobe` (multi-probe neighbors — see
+    * [[multiProbeBuckets]]). */
   def topKByBuckets(
       index: DataFrame,
       idCol: String,
       vecCol: String,
       probe: Array[Float],
       k: Int,
-      bits: Int = 8): DataFrame = {
-    var bucket = 0L
-    (0 until bits).foreach(i => if (probe(i) > 0f) bucket |= (1L << i))
+      bits: Int = 8,
+      nprobe: Int = 1): DataFrame = {
+    val buckets = multiProbeBuckets(probe, bits, nprobe)
     index
       .withColumn("_bucket", VectorOps.signBucket(col(vecCol), bits))
-      .where(col("_bucket") === lit(bucket))
+      .where(col("_bucket").isin(buckets: _*))
       .select(col(idCol), round(VectorOps.cosineFast(col(vecCol), lit(probe).cast("array<float>")), 6).as("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
@@ -148,8 +161,15 @@ object SimilaritySearch {
   }
 
   /** Batch kNN join: top-k index neighbors for EVERY probe row, bucketed so
-    * each probe only meets its bucket's vectors. `probes` is expected to be
-    * the small side (broadcast). */
+    * each probe only meets its bucket's vectors.
+    *
+    * `broadcastProbes = true` hints the probe side into a broadcast join —
+    * correct ONLY when probes are genuinely small (a query batch). For
+    * probe sets of index scale (self-kNN over a corpus), pass false: both
+    * sides then shuffle-partition on `_bucket` (AQE still upgrades to
+    * broadcast at runtime if the probe side turns out under the
+    * threshold) — an unconditional broadcast of a corpus-sized probe side
+    * is a driver/executor OOM at 100 TB. */
   def knnJoin(
       index: DataFrame,
       probes: DataFrame,
@@ -158,7 +178,8 @@ object SimilaritySearch {
       probeId: String,
       probeVec: String,
       k: Int,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 8,
+      broadcastProbes: Boolean = true): DataFrame = {
     val idx = index.select(
       col(indexId).as("index_id"),
       col(indexVec).as("_iv"),
@@ -168,7 +189,7 @@ object SimilaritySearch {
       col(probeVec).as("_pv"),
       VectorOps.signBucket(col(probeVec), bits).as("_bucket"))
     val scored = idx
-      .join(broadcast(prb), Seq("_bucket"))
+      .join(if (broadcastProbes) broadcast(prb) else prb, Seq("_bucket"))
       .select(
         col("probe_id"),
         col("index_id"),

@@ -105,10 +105,13 @@ class CdcSpec extends AnyFunSuite {
     val (touchId, touchBucket) = byBucket.head
     val otherBucket = byBucket.values.find(_ != touchBucket).get
     def bucketFiles(bk: Int): Map[String, String] = {
+      // recurse: parquet files live under simb= sub-partitions of the bucket
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
       val dir = new java.io.File(s"$sink/vectors/namespace=task1/bucket=$bk")
-      dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+      walk(dir).filter(_.getName.endsWith(".parquet")).map { f =>
         val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-        f.getName -> java.util.Base64.getEncoder.encodeToString(
+        f.getPath.stripPrefix(dir.getPath) -> java.util.Base64.getEncoder.encodeToString(
           java.security.MessageDigest.getInstance("MD5").digest(bytes))
       }.toMap
     }
@@ -121,6 +124,30 @@ class CdcSpec extends AnyFunSuite {
     val texts = Cdc.readVectorSink(spark, sink).where(col("id") === touchId)
       .select("text").collect().map(_.getString(0))
     assert(texts.toSeq == Seq("v2"))
+  }
+
+  test("re-upsert that moves an id to a new simb sub-partition leaves no stale copy") {
+    val sink = Files.createTempDirectory("graft_sink_simb").toString
+    Cdc.initVectorSink(spark, sink)
+    // all-positive leading signs → simb 15; all-negative → simb 0
+    val b1 = Seq(("a#1", Array(1f, 1f, 1f, 1f), "t", "v1")).toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b1)
+    val b2 = Seq(("a#1", Array(-1f, -1f, -1f, -1f), "t", "v2")).toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b2)
+    val rows = Cdc.readVectorSink(spark, sink).select("id", "text", "simb").collect()
+    assert(rows.length == 1, s"stale simb copy survived: ${rows.mkString(",")}")
+    assert(rows(0).getAs[String]("text") == "v2")
+    assert(rows(0).getAs[Int]("simb") == 0)
+  }
+
+  test("upsertVectors drops null ids (non-nullable partition contract)") {
+    val sink = Files.createTempDirectory("graft_sink_nullid").toString
+    Cdc.initVectorSink(spark, sink)
+    val b = Seq((null.asInstanceOf[String], Array(1f), "t", "x"), ("a#1", Array(1f), "t", "y"))
+      .toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b)
+    val ids = Cdc.readVectorSink(spark, sink).select("id").collect().map(_.getString(0))
+    assert(ids.toSeq == Seq("a#1"))
   }
 
   test("sinkStats summarizes per-namespace count and dim (describe_index_stats analog)") {

@@ -25,9 +25,46 @@ class EngineSpec extends AnyFunSuite {
     val wm = engine.watermarks().collect()
     assert(wm.length == 1 && wm(0).getAs[String]("table_name") == "events")
 
-    val hits = engine.searchSimilar("payload-42 payload-43", k = 2).collect()
+    // nprobe = 0 → exact full-namespace scan: a 2-chunk sink must return
+    // both regardless of which simb partitions the chunks hash into
+    val hits = engine.searchSimilar("payload-42 payload-43", k = 2, nprobe = 0).collect()
     assert(hits.length == 2)
     assert(hits(0).getAs[Double]("score") > 0.1) // tokens overlap the indexed chunks
     assert(hits(0).getAs[String]("id").startsWith("events#"))
+  }
+
+  test("searchSimilar partition-prunes the scan to the probe's simb buckets") {
+    import graft.operators.{Cdc, SimilaritySearch}
+    import graft.functions.Embeddings
+    val scratch = Files.createTempDirectory("graft_engine_prune").toString
+    val sink = s"$scratch/sink"
+    Cdc.initVectorSink(spark, sink)
+    // vectors spanning several simb partitions: real embeddings of distinct texts
+    val batch = (1 to 40).map(i => (s"d#$i", Embeddings.embed(s"alpha beta doc number $i"), "t", s"text $i"))
+      .toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, batch)
+    val nSimb = Cdc.readVectorSink(spark, sink).select("simb").distinct().count()
+    assert(nSimb > 1, "fixture must span multiple simb partitions for the pruning test to bite")
+
+    val engine = new Engine(spark, s"$scratch/src", s"$scratch/state", sink)
+    val query = "alpha beta doc number 7"
+    val result = engine.searchSimilar(query, k = 5, nprobe = 2)
+    val ids = result.collect().map(_.getAs[String]("id"))
+    // the probe's own bucket contains doc 7 → it must surface
+    assert(ids.contains("d#7"))
+    // the scan must carry the simb filter as a PARTITION filter (directory
+    // pruning, not a post-scan row filter) ...
+    val planStr = result.queryExecution.executedPlan.toString
+    assert(planStr.matches("(?s).*PartitionFilters: \\[[^\\]]*simb.*"),
+      s"simb must prune partitions at the scan:\n$planStr")
+    // ... and actually read fewer files than the sink holds
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    val totalFiles = walk(new java.io.File(s"$sink/vectors")).count(_.getName.endsWith(".parquet"))
+    val scanned = result.queryExecution.executedPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
+    }.sum
+    assert(scanned > 0 && scanned < totalFiles,
+      s"pruned scan should read a strict subset of files ($scanned of $totalFiles)")
   }
 }

@@ -53,4 +53,20 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"probe side should broadcast:\n$plan")
   }
+
+  test("knnJoin(broadcastProbes = false) does NOT broadcast a corpus-sized probe side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // model an above-threshold probe side
+    try {
+      val vecs = (0 until 200).map(i => (i.toLong, Array.fill(8)(((i * 31 + 7) % 13 - 6).toFloat)))
+        .toDF("vec_id", "embedding")
+      val out = graft.operators.SimilaritySearch.knnJoin(
+        vecs, vecs, "vec_id", "embedding", "vec_id", "embedding", k = 2, bits = 4,
+        broadcastProbes = false)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"corpus-sized probe side must shuffle-join on the bucket, not broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
