@@ -58,8 +58,10 @@ object Chunker {
       docCol: Column,
       source: String,
       chunkSize: Int = DefaultChunkSize): DataFrame = {
-    val nPart =
-      math.max(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
+    val nPart = math.max(
+      scala.util.Try(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .getOrElse(32), // non-numeric conf (e.g. "auto" in forks) → safe default
+      1)
     // partition-local index in sorted order: m_i_i is assigned in row-flow
     // order, which the preceding intra-partition sort makes deterministic
     // (_doc as tiebreak: equal (ord, doc) rows are interchangeable)

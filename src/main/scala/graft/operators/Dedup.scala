@@ -110,6 +110,7 @@ object Dedup {
     // nested logical plan per iteration, and Catalyst re-analyzes the whole
     // tree every round — lineage truncation keeps planning O(1) per round.
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint(true)
+    var prevCkpt = labels // superseded checkpoint blocks are freed each round
     try {
       var changed = 1L
       var i = 0
@@ -133,13 +134,31 @@ object Dedup {
             col("_old"))
           .localCheckpoint(true)
         changed = newLabels.where(col("label") =!= col("_old")).count()
+        // newLabels is materialized — the blocks it was built from are dead
+        freeLocalCheckpoint(prevCkpt)
+        freeLocalCheckpoint(hooked)
+        prevCkpt = newLabels
         labels = newLabels.drop("_old")
         i += 1
       }
+      if (changed > 0)
+        System.err.println(
+          s"[dedup] WARN dedupClusters exited unconverged after $maxIter rounds ($changed labels still moving)")
       labels.select(col("id").as(idCol), col("label").as("canonical"),
         (col("id") === col("label")).as("is_canonical"))
     } finally { edges.unpersist(); () }
   }
+
+  /** Release the block-manager storage behind an eager `localCheckpoint`
+    * Dataset once it is superseded (iterative loops otherwise accumulate
+    * one full copy of the working relation per round). The final round's
+    * checkpoint must stay persisted — localCheckpoint data is NOT
+    * recomputable, so only blocks no downstream plan reads are freed. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Connected components by alternating star contraction (the
     * large-star/small-star algorithm of Kiveris et al., "Connected
@@ -168,6 +187,7 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    var sig = edgeSignature(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -190,11 +210,24 @@ object Dedup {
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
         .localCheckpoint(true)
-      converged =
-        small.exceptAll(edges).isEmpty && edges.exceptAll(small).isEmpty
+      // Convergence = the (distinct) edge set is unchanged. Compared via a
+      // one-action order-independent signature of the materialized `small`
+      // (count + two independent 64-bit xor-folds — xor never overflows, so
+      // it is ANSI-safe; false equality needs a simultaneous 2⁻¹²⁸ double
+      // collision) instead of the former 2×exceptAll + 2×isEmpty, which
+      // shuffled the full edge relation twice and ran four jobs per round.
+      // The previous round's signature is reused — edges == last small.
+      val newSig = edgeSignature(small)
+      converged = newSig == sig
+      freeLocalCheckpoint(large)
+      freeLocalCheckpoint(edges)
       edges = small
+      sig = newSig
       i += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[dedup] WARN dedupClustersStar exited unconverged after $maxIter rounds; labels may be non-minimal")
     // converged: edges form stars (child → component min). Singletons and
     // roots label themselves; min-aggregate is belt-and-braces.
     val roots = edges.groupBy(col("u").as("_id")).agg(min(col("v")).as("_root"))
@@ -204,6 +237,18 @@ object Dedup {
         col("id").as(idCol),
         coalesce(col("_root"), col("id")).as("canonical"),
         (coalesce(col("_root"), col("id")) === col("id")).as("is_canonical"))
+  }
+
+  /** Order-independent signature of a (u, v) edge relation, one aggregation
+    * action: row count plus two xor-folds of independent 64-bit row hashes.
+    * Equal signatures ⇒ equal distinct-edge sets (w.h.p.); used as the
+    * star-contraction fixpoint test. */
+  private def edgeSignature(edges: DataFrame): (Long, Long, Long) = {
+    val r = edges.agg(
+      count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)),
+      coalesce(expr("bit_xor(xxhash64(42L, u, v))"), lit(0L))).collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** True Jaccard similarity of two (distinct-element) arrays. */
