@@ -152,6 +152,7 @@ object Cdc {
     * empty relation instead of failing schema inference. */
   def readVectorSink(spark: SparkSession, sinkDir: String): DataFrame = {
     val path = s"$sinkDir/vectors"
+    recoverVectorSink(sinkDir) // heal an interrupted swap before listing files
     if (new java.io.File(path).exists()) spark.read.schema(vectorSinkSchema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorSinkSchema)
   }
@@ -165,19 +166,31 @@ object Cdc {
     * (partition pruning on the isin filter) and only those id-bucket
     * directories are rewritten — the rest of the sink is untouched bytes.
     * A 300 s poll that touches 1% of buckets rewrites 1% of the sink, not
-    * 100% (the previous full read-modify-write). The rewrite is
-    * delete-then-append per touched bucket rather than dynamic partition
-    * overwrite: a re-upserted id whose embedding changed may move to a
-    * different `simb` sub-partition, and dynamic overwrite would leave the
-    * old (bucket, simb) file behind if no new row lands there. In
-    * production the same contract is a Delta/Iceberg MERGE; this is the
-    * no-new-deps parquet equivalent. */
+    * 100%. The rewrite replaces whole bucket directories rather than using
+    * dynamic partition overwrite: a re-upserted id whose embedding changed
+    * may move to a different `simb` sub-partition, and dynamic overwrite
+    * would leave the old (bucket, simb) file behind if no new row lands
+    * there.
+    *
+    * Crash safety (the at-least-once contract requires that COMMITTED rows
+    * can never vanish): the merged buckets are first written to a stage
+    * directory while the live sink is untouched, then an intent manifest is
+    * recorded and each touched bucket directory is swapped in by two
+    * renames (live → trash, staged → live). A crash before the manifest
+    * leaves the sink exactly as it was; a crash during the swaps is rolled
+    * FORWARD by [[recoverVectorSink]] (staged data is complete by
+    * construction once the manifest exists), which runs automatically at
+    * the start of every upsert and read. In production the same contract
+    * is a Delta/Iceberg MERGE; this is the no-new-deps parquet equivalent. */
   def upsertVectors(
       spark: SparkSession,
       sinkDir: String,
       batch: DataFrame,
-      namespace: String = DefaultNamespace): Unit = {
+      namespace: String = DefaultNamespace,
+      onBeforeBucketSwap: Int => Unit = _ => ()): Unit = {
     val path = s"$sinkDir/vectors"
+    recoverVectorSink(sinkDir) // roll forward any interrupted swap first
+    requireSimbLayout(sinkDir)
     // cache: the batch plan (chunk→embed) feeds the bucket list, the
     // anti-join key set AND the union — uncached it would execute 3×.
     // null ids are dropped: a null would land in a default partition the
@@ -191,22 +204,111 @@ object Cdc {
       .cache()
     try {
       // the touched-bucket list is ≤ SinkBuckets values — driver-size
-      val buckets = newRows.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+      val buckets = newRows.select("bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (buckets.nonEmpty) {
         val existing = readVectorSink(spark, sinkDir)
           .where(col("namespace") === namespace && col("bucket").isin(buckets: _*))
         val kept = existing.join(newRows.select("id"), Seq("id"), "left_anti")
-        // materialize BEFORE deleting the directories the plan reads from
-        val out = kept.unionByName(newRows).localCheckpoint()
-        buckets.foreach { b =>
-          deleteRecursively(new java.io.File(s"$path/namespace=$namespace/bucket=$b"))
-        }
-        out.write
-          .mode(SaveMode.Append)
+        // stage the merged buckets OUTSIDE the live tree: the write job can
+        // fail (or the process die) at any point without touching the sink
+        val stage = stageDir(sinkDir)
+        deleteRecursively(new java.io.File(stage)) // stale stage from a crash
+        deleteRecursively(new java.io.File(trashDir(sinkDir)))
+        kept.unionByName(newRows).write
+          .mode(SaveMode.Overwrite)
           .partitionBy("namespace", "bucket", "simb")
-          .parquet(path)
+          .parquet(stage)
+        // intent manifest: written only after the staged data is complete,
+        // so recovery can always roll forward (tmp-write + atomic rename)
+        writeManifest(sinkDir, namespace, buckets)
+        buckets.zipWithIndex.foreach { case (b, i) =>
+          onBeforeBucketSwap(i) // test hook: crash injection mid-swap
+          swapBucket(sinkDir, namespace, b)
+        }
+        clearSwapState(sinkDir)
       }
     } finally { newRows.unpersist(); () }
+  }
+
+  private def stageDir(sinkDir: String) = s"$sinkDir/vectors_stage"
+  private def trashDir(sinkDir: String) = s"$sinkDir/vectors_trash"
+  private def manifestFile(sinkDir: String) = new java.io.File(s"$sinkDir/vectors_swap.manifest")
+
+  private def writeManifest(sinkDir: String, namespace: String, buckets: Seq[Int]): Unit = {
+    val tmp = new java.io.File(s"$sinkDir/vectors_swap.manifest_tmp")
+    val w = new java.io.FileWriter(tmp)
+    try buckets.foreach(b => w.write(s"$namespace\t$b\n")) finally w.close()
+    if (!tmp.renameTo(manifestFile(sinkDir)))
+      throw new java.io.IOException(s"cannot publish swap manifest in $sinkDir")
+  }
+
+  /** Swap one staged bucket directory into the live sink: live → trash,
+    * staged → live. Idempotent — safe to re-run on a half-swapped bucket
+    * (recovery path): once the staged dir is gone the bucket is final. */
+  private def swapBucket(sinkDir: String, namespace: String, bucket: Int): Unit = {
+    val rel = s"namespace=$namespace/bucket=$bucket"
+    val live = new java.io.File(s"$sinkDir/vectors/$rel")
+    val staged = new java.io.File(s"${stageDir(sinkDir)}/$rel")
+    val trash = new java.io.File(s"${trashDir(sinkDir)}/$rel")
+    if (staged.exists()) {
+      if (live.exists()) {
+        trash.getParentFile.mkdirs()
+        deleteRecursively(trash)
+        if (!live.renameTo(trash))
+          throw new java.io.IOException(s"cannot move $live aside for swap")
+      }
+      live.getParentFile.mkdirs()
+      if (!staged.renameTo(live))
+        throw new java.io.IOException(s"cannot publish staged bucket $staged")
+    }
+  }
+
+  /** Roll an interrupted bucket swap forward. No-op unless a swap manifest
+    * exists (written only after the staged rewrite completed, so the staged
+    * side is always the complete post-upsert state — re-applying every
+    * listed bucket finishes the upsert; already-swapped buckets are
+    * idempotent no-ops). Called from every upsert/read, so a crashed
+    * process's sink heals on next touch. */
+  def recoverVectorSink(sinkDir: String): Unit = {
+    val mf = manifestFile(sinkDir)
+    if (mf.exists()) {
+      val src = scala.io.Source.fromFile(mf)
+      val entries =
+        try src.getLines().filter(_.nonEmpty).toVector.map { line =>
+          val Array(ns, b) = line.split("\t", 2)
+          (ns, b.toInt)
+        } finally src.close()
+      System.err.println(
+        s"[cdc] recovering interrupted vector-sink swap (${entries.size} buckets) in $sinkDir")
+      entries.foreach { case (ns, b) => swapBucket(sinkDir, ns, b) }
+      clearSwapState(sinkDir)
+    }
+  }
+
+  private def clearSwapState(sinkDir: String): Unit = {
+    deleteRecursively(new java.io.File(trashDir(sinkDir)))
+    deleteRecursively(new java.io.File(stageDir(sinkDir)))
+    manifestFile(sinkDir).delete()
+    ()
+  }
+
+  /** Fail fast on a pre-`simb` sink layout (two-level namespace/bucket
+    * directories): upserting three-level partitions next to two-level ones
+    * leaves a parquet root Spark partition discovery rejects. Detection is
+    * one short-circuit directory walk. */
+  private def requireSimbLayout(sinkDir: String): Unit = {
+    val root = new java.io.File(s"$sinkDir/vectors")
+    val stale = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("namespace="))
+      .flatMap(ns => Option(ns.listFiles()).toSeq.flatten)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .exists(bk => Option(bk.listFiles()).toSeq.flatten
+        .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    if (stale)
+      throw new IllegalStateException(
+        s"$sinkDir/vectors uses the pre-simb (namespace, bucket) layout; " +
+          "reinitialize the sink (or re-upsert its rows) before writing the " +
+          "(namespace, bucket, simb) layout — mixed partition depths are unreadable")
   }
 
   /** `describe_index_stats` analog (`service_layer/service.py:97`):
@@ -234,7 +336,7 @@ object Cdc {
       changeCol: String = "ts",
       orderCol: String = "event_id",
       chunkSize: Int = Chunker.DefaultChunkSize,
-      deterministicChunks: Boolean = true,
+      deterministicChunks: Boolean = false,
       namespace: String = DefaultNamespace): Map[String, Long] = {
     initVectorSink(spark, sinkDir)
     val tables = Tables.listTables(sourceDir)
@@ -251,15 +353,15 @@ object Cdc {
 
   /** Sync one table: delta → chunk → embed → upsert → commit watermark.
     *
-    * `deterministicChunks = true` reproduces exact chunk boundaries via a
-    * total order on `orderCol`; the numbering is distributed (range
-    * partition + broadcast offsets — see Chunker.chunkDeterministic), so
-    * this is safe as the default at any delta size. Set false to skip the
-    * global ordering pass entirely: `Chunker.chunkScalable` keeps
-    * partition-local boundaries — the reference's own boundaries are
-    * arbitrary arrival order anyway (`SELECT *` with no ORDER BY,
-    * service_layer/service.py:53-57), and content-hash ids keep the upsert
-    * idempotent either way. */
+    * Chunk boundaries default to `Chunker.chunkScalable` — partition-local,
+    * no global ordering pass — because the reference's own boundaries are
+    * arbitrary arrival order (`SELECT *` with no ORDER BY,
+    * service_layer/service.py:53-57) and content-hash ids keep the upsert
+    * idempotent either way. `deterministicChunks = true` opts into exact
+    * reproducible boundaries via a total order on `orderCol` (distributed
+    * numbering: range partition + broadcast offsets — see
+    * Chunker.chunkDeterministic) for oracle runs and byte-stable re-syncs,
+    * at the cost of one extra global ordering pass per cycle. */
   def syncTable(
       spark: SparkSession,
       sourceDir: String,
@@ -269,7 +371,7 @@ object Cdc {
       changeCol: String,
       orderCol: String,
       chunkSize: Int,
-      deterministicChunks: Boolean = true,
+      deterministicChunks: Boolean = false,
       namespace: String = DefaultNamespace): Long = {
     val src = Tables.table(spark, sourceDir, tableName)
     if (!src.columns.contains(changeCol)) return 0L // not a CDC table

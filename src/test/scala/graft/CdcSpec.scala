@@ -37,13 +37,13 @@ class CdcSpec extends AnyFunSuite {
     assert(delta.select("event_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
-  test("scalable chunking in the sync path covers the same rows (flag off)") {
+  test("scalable chunking in the sync path covers the same rows (the default mode)") {
     val scratch = java.nio.file.Files.createTempDirectory("graft_cdc_sc").toString
     val src = s"$scratch/src"
     new java.io.File(src).mkdirs()
     (1 to 250).map(i => (i.toLong, ts(f"2024-01-01 00:${i % 60}%02d:${i % 60}%02d"), s"u$i"))
       .toDF("event_id", "ts", "payload").write.parquet(s"$src/events.parquet")
-    val n = Cdc.syncCycle(spark, src, s"$scratch/state", s"$scratch/sink", deterministicChunks = false)
+    val n = Cdc.syncCycle(spark, src, s"$scratch/state", s"$scratch/sink")
     assert(n("events") == 250)
     val sink = Cdc.readVectorSink(spark, s"$scratch/sink")
     assert(sink.count() >= 3) // >= ceil(250/100); partition-local boundaries may add chunks
@@ -140,6 +140,66 @@ class CdcSpec extends AnyFunSuite {
     assert(rows(0).getAs[Int]("simb") == 0)
   }
 
+  test("crash mid-swap loses no committed rows: manifest rolls the upsert forward") {
+    val sink = Files.createTempDirectory("graft_sink_crash").toString
+    Cdc.initVectorSink(spark, sink)
+    // commit a first batch spread over several buckets
+    val ids = (1 to 40).map(i => s"t#$i")
+    val b1 = ids.map(id => (id, Array(1f), "t", s"v1-$id")).toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b1)
+    val committed = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(committed.size == 40)
+
+    // second batch touches several buckets; die after the FIRST bucket swap
+    val b2 = ids.take(10).map(id => (id, Array(2f), "t", s"v2-$id")).toDF("id", "embedding", "source", "text")
+    val boom = intercept[RuntimeException] {
+      Cdc.upsertVectors(spark, sink, b2,
+        onBeforeBucketSwap = i => if (i == 1) throw new RuntimeException("injected crash"))
+    }
+    assert(boom.getMessage == "injected crash")
+
+    // the next read heals the sink by rolling the swap FORWARD: every
+    // previously committed id is still present and batch-2 ids all show v2
+    // (the staged rewrite was complete before any swap began)
+    val after = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(after.keySet == committed.keySet, "committed ids lost by mid-swap crash")
+    ids.take(10).foreach(id => assert(after(id) == s"v2-$id", s"$id not rolled forward"))
+    ids.drop(10).foreach(id => assert(after(id) == s"v1-$id"))
+    // swap scratch state is fully cleared
+    assert(!new java.io.File(s"$sink/vectors_stage").exists())
+    assert(!new java.io.File(s"$sink/vectors_trash").exists())
+    assert(!new java.io.File(s"$sink/vectors_swap.manifest").exists())
+  }
+
+  test("crash during the staged write leaves the live sink untouched") {
+    val sink = Files.createTempDirectory("graft_sink_stagefail").toString
+    Cdc.initVectorSink(spark, sink)
+    val b1 = Seq(("a#1", Array(1f), "t", "v1")).toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b1)
+    // a failing batch plan aborts the stage write before any manifest/swap
+    val bad = Seq(("a#1", Array(2f), "t", "v2")).toDF("id", "embedding", "source", "text")
+      .withColumn("text", expr("raise_error('boom')"))
+    intercept[Exception] { Cdc.upsertVectors(spark, sink, bad) }
+    val rows = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("a#1" -> "v1"))
+    assert(!new java.io.File(s"$sink/vectors_swap.manifest").exists())
+  }
+
+  test("pre-simb sink layout fails fast with a reinitialize error") {
+    val sink = Files.createTempDirectory("graft_sink_oldlayout").toString
+    // fabricate the round-2 layout: (namespace, bucket) with files directly
+    // under bucket= (no simb= level)
+    Seq(("a#1", Array(1f), "t", "old", "task1", 3))
+      .toDF("id", "embedding", "source", "text", "namespace", "bucket")
+      .write.partitionBy("namespace", "bucket").parquet(s"$sink/vectors")
+    val b = Seq(("a#2", Array(2f), "t", "new")).toDF("id", "embedding", "source", "text")
+    val e = intercept[IllegalStateException] { Cdc.upsertVectors(spark, sink, b) }
+    assert(e.getMessage.contains("pre-simb"))
+  }
+
   test("upsertVectors drops null ids (non-nullable partition contract)") {
     val sink = Files.createTempDirectory("graft_sink_nullid").toString
     Cdc.initVectorSink(spark, sink)
@@ -170,7 +230,8 @@ class CdcSpec extends AnyFunSuite {
     val batch1 = (1 to 150).map(i => (i.toLong, ts(f"2024-01-01 00:${i % 60}%02d:${i % 60}%02d"), s"u$i"))
       .toDF("event_id", "ts", "payload")
     batch1.write.parquet(s"$src/events.parquet")
-    val r1 = Cdc.syncCycle(spark, src, state, sink)
+    // deterministic mode: exact chunk counts are what this test asserts
+    val r1 = Cdc.syncCycle(spark, src, state, sink, deterministicChunks = true)
     assert(r1("events") == 150)
     val wm1 = Cdc.getWatermark(spark, state, "events").get
     val n1 = Cdc.readVectorSink(spark, sink).count()
@@ -180,7 +241,7 @@ class CdcSpec extends AnyFunSuite {
     val batch2 = (151 to 180).map(i => (i.toLong, ts("2024-01-02 00:00:00"), s"u$i"))
       .toDF("event_id", "ts", "payload")
     batch1.union(batch2).write.mode("overwrite").parquet(s"$src/events.parquet")
-    val r2 = Cdc.syncCycle(spark, src, state, sink)
+    val r2 = Cdc.syncCycle(spark, src, state, sink, deterministicChunks = true)
     assert(r2("events") == 30) // only the delta
     assert(Cdc.getWatermark(spark, state, "events").get.after(wm1))
 
