@@ -167,6 +167,24 @@ object OracleSql {
              true AS chunk_ok
       FROM events ORDER BY doc""",
 
+    "q55_decimal_roundtrip" -> """
+      SELECT l_orderkey, l_linenumber,
+        cast(cast(l_extendedprice AS decimal(12,2)) AS double) AS price_rt,
+        cast(cast(l_discount AS decimal(12,2)) AS double) AS disc_rt,
+        true AS lossy_eq
+      FROM lineitem WHERE l_orderkey <= 1000
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q56_salted_join" -> """
+      WITH fact AS (
+        SELECT CASE WHEN user_id % 4 != 0 THEN user_id % 1000 ELSE 0 END AS k, value
+        FROM events),
+      dim AS (SELECT c_custkey AS k, c_mktsegment FROM customer WHERE c_custkey < 1000)
+      SELECT c_mktsegment, count(1) AS n,
+        cast(sum(cast(value AS decimal(18,6))) AS double) AS total_value
+      FROM fact JOIN dim USING (k)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256, count(1) AS dup_count

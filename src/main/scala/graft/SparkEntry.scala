@@ -225,14 +225,62 @@ object SparkEntry {
     * boundaries are arbitrary arrival order), so the oracle verifies what
     * is invariant — every input doc appears in exactly one chunk (row
     * multiset parity), every chunk holds ≤ chunkSize rows, and each
-    * chunk's n_rows equals its actual assembled doc count. */
+    * chunk's n_rows equals its actual assembled doc count. Chunks are
+    * joined on the unit separator (Chunker.UnitSep), which cannot occur
+    * inside a JSON doc — splitting the text back into docs is exact even
+    * if a doc field ever contains spaces. */
   private def q54(s: SparkSession, dir: String): DataFrame = {
     val events = t(s, dir, "events").withColumn("_json", eventsJson)
-    Chunker.chunkScalable(events, col("_json"), "events", 100)
+    val sepRe = java.util.regex.Pattern.quote(Chunker.UnitSep)
+    Chunker.chunkScalable(events, col("_json"), "events", 100, sep = Chunker.UnitSep)
       .select(
-        explode(split(col("text"), " ")).as("doc"),
-        (col("n_rows") <= 100 && col("n_rows") === size(split(col("text"), " "))).as("chunk_ok"))
+        explode(split(col("text"), sepRe)).as("doc"),
+        (col("n_rows") <= 100 && col("n_rows") === size(split(col("text"), sepRe))).as("chunk_ok"))
       .orderBy(col("doc"))
+  }
+
+  /** F3 lossy decimal→double serialization, oracle-checked end-to-end:
+    * cast prices to decimal(12,2) in-query, serialize the row through the
+    * F1 JSON path (JsonRows casts DecimalType to double first, reproducing
+    * the reference's Decimal→float, service_layer/service.py:180-181),
+    * parse the doubles back out and compare against the direct cast. The
+    * oracle computes the direct decimal→double; hash equality proves the
+    * JSON round trip is exactly the lossy-cast semantics. */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "lineitem")
+      .where(col("l_orderkey") <= 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_discount").cast("decimal(12,2)").as("disc"))
+    d.withColumn("_j", JsonRows.toJsonCol(d))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        get_json_object(col("_j"), "$.price").cast("double").as("price_rt"),
+        get_json_object(col("_j"), "$.disc").cast("double").as("disc_rt"),
+        (get_json_object(col("_j"), "$.price").cast("double") === col("price").cast("double") &&
+          get_json_object(col("_j"), "$.disc").cast("double") === col("disc").cast("double")).as("lossy_eq"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Skew-mitigated join on a deliberately hot key: a quarter of all events
+    * collapse onto key 0, the dim side is too granular to pre-aggregate —
+    * the salted join spreads the hot key over `salts` reducers instead of
+    * flooding one (graft.operators.Skew). Output aggregates are
+    * salt-invariant, so a plain join+group oracle checks it. */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Skew
+    val fact = t(s, dir, "events")
+      .select(
+        when(col("user_id") % 4 =!= 0, pmod(col("user_id"), lit(1000))).otherwise(lit(0L)).as("k"),
+        col("value"))
+    val dim = t(s, dir, "customer")
+      .where(col("c_custkey") < 1000)
+      .select(col("c_custkey").cast("long").as("k"), col("c_mktsegment"))
+    Skew.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total_value"))
+      .orderBy(col("c_mktsegment"))
   }
 
   /** Exact dedup by content hash over a duplicated corpus. */
@@ -670,7 +718,10 @@ object SparkEntry {
     * implementations, so it must not decide ordering). */
   private def q52(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val nDocs = docs.count() // small catalog-style count, used as a literal
+    // corpus size as an in-plan 1-row aggregate broadcast-crossJoined onto
+    // the (already top-1-filtered) result — not a separate driver-side
+    // count() job over the corpus (the q33 scalar-subquery pattern)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("_ndocs"))
     val terms = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -679,8 +730,9 @@ object SparkEntry {
     terms.join(dfreq, "term")
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") === 1)
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        TextOps.quantize6(col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df").cast("double"))).as("tfidf"))
+        TextOps.quantize6(col("tf").cast("double") * log(col("_ndocs") / col("df").cast("double"))).as("tfidf"))
       .orderBy(col("doc_id"))
   }
 
@@ -777,6 +829,8 @@ object SparkEntry {
     "q52_tfidf" -> (q52 _),
     "q53_dedup_clusters_star" -> (q53 _),
     "q54_chunk_scalable" -> (q54 _),
+    "q55_decimal_roundtrip" -> (q55 _),
+    "q56_salted_join" -> (q56 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),

@@ -31,6 +31,17 @@ object Chunker {
 
   val DefaultChunkSize = 100 // service_layer/service.py:109
 
+  /** The reference space-joins docs into a chunk (service_layer/service.py:
+    * 124-127) — kept as the default. Callers that later SPLIT the chunk
+    * text back into docs should pass a separator that cannot occur in a
+    * doc (e.g. [[UnitSep]]); a doc containing the separator makes the
+    * reassembled text ambiguous. */
+  val DefaultSep = " "
+
+  /** ASCII unit separator: safe doc delimiter for JSON docs (control chars
+    * are always escaped inside JSON strings, so it can never collide). */
+  val UnitSep = "\u001F"
+
   /** Deterministic chunking: order by `orderCol` (callers should pass a
     * unique key — ties make chunk membership partition-order-dependent),
     * group rows into chunks of `chunkSize`, space-join `docCol` values in
@@ -57,7 +68,8 @@ object Chunker {
       orderCol: Column,
       docCol: Column,
       source: String,
-      chunkSize: Int = DefaultChunkSize): DataFrame = {
+      chunkSize: Int = DefaultChunkSize,
+      sep: String = DefaultSep): DataFrame = {
     val nPart = math.max(
       scala.util.Try(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .getOrElse(32), // non-numeric conf (e.g. "auto" in forks) → safe default
@@ -94,7 +106,7 @@ object Chunker {
       .withColumn("_rn", col("_off") + col("_local") + lit(1L))
       .withColumn("_chunk_no", floor((col("_rn") - 1) / chunkSize))
       .select(col("_chunk_no"), col("_rn"), col("_doc"))
-    assemble(numbered, source)
+    assemble(numbered, source, sep)
   }
 
   /** Scalable chunking: chunk ids are (partition, local row index / size) —
@@ -104,7 +116,8 @@ object Chunker {
       df: DataFrame,
       docCol: Column,
       source: String,
-      chunkSize: Int = DefaultChunkSize): DataFrame = {
+      chunkSize: Int = DefaultChunkSize,
+      sep: String = DefaultSep): DataFrame = {
     // Materialize partition id/row id BEFORE any exchange: evaluated lazily
     // inside the window's chunk-key expression they would see post-shuffle
     // partition ids and collide across groups.
@@ -116,7 +129,7 @@ object Chunker {
       .withColumn("_rn", row_number().over(w))
       .withColumn("_chunk_no", col("_pid") * lit(1L << 33) + floor((col("_rn") - 1) / chunkSize))
       .select(col("_chunk_no"), col("_rn"), docCol.as("_doc"))
-    assemble(numbered, source)
+    assemble(numbered, source, sep)
   }
 
   /** Whole-row JSON chunking — the reference's exact pipeline stage:
@@ -131,12 +144,12 @@ object Chunker {
   /** Shared assembly: group by chunk id, join docs in row order (sort the
     * collected (rn, doc) structs — `collect_list` order is NOT stable under
     * parallel merge, the sort makes it deterministic), content-hash id. */
-  private def assemble(numbered: DataFrame, source: String): DataFrame = {
+  private def assemble(numbered: DataFrame, source: String, sep: String = DefaultSep): DataFrame = {
     val joined = numbered
       .groupBy(col("_chunk_no").as("chunk_no"))
       .agg(
         concat_ws(
-          " ",
+          sep,
           transform(
             array_sort(collect_list(struct(col("_rn").as("rn"), col("_doc").as("doc")))),
             s => s.getField("doc"))).as("text"),

@@ -54,6 +54,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"probe side should broadcast:\n$plan")
   }
 
+  test("saltedJoin joins on (key, salt): the hot key's rows spread over salt partitions") {
+    val fact = (1 to 5000).map(i => (if (i % 2 == 0) 0L else (i % 100).toLong, i * 1.0)).toDF("k", "v")
+    val dim = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val out = graft.operators.Skew.saltedJoin(fact, dim, "k", salts = 8)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    // the join keys must include the salt — that IS the spread: key 0's
+    // rows hash to 8 distinct (k, _salt) combinations instead of one
+    assert(plan.contains("_salt"), s"salted join lost its salt key:\n$plan")
+    // every fact row matches exactly one replicated dim row — multiplicity
+    // is preserved through the salt
+    assert(out.count() == 5000, "salted join must preserve fact-row multiplicity")
+  }
+
   test("knnJoin(broadcastProbes = false) does NOT broadcast a corpus-sized probe side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // model an above-threshold probe side
