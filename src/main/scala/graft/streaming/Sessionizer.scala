@@ -23,9 +23,40 @@ object Sessionizer {
 
   val DefaultGapMs: Long = 30 * 60 * 1000
 
+  /** Fold one key's (sorted-by-time) events through an optional open
+    * session; returns (sessions closed by a gap, still-open session).
+    * Shared by every sessionize variant so their gap semantics can't
+    * drift. */
+  private def foldEvents(
+      userId: Long,
+      sorted: Seq[Event],
+      initial: Option[OpenSession],
+      gapMs: Long): (Seq[Session], Option[OpenSession]) = {
+    var open = initial
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      open match {
+        case Some(s) if t - s.end <= gapMs =>
+          open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+        case Some(s) =>
+          closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+          open = Some(OpenSession(t, t, 1, e.value))
+        case None =>
+          open = Some(OpenSession(t, t, 1, e.value))
+      }
+    }
+    (closed.result(), open)
+  }
+
   /** Batch-or-stream sessionize over a typed event Dataset. Works on a
     * streaming Dataset with `OutputMode.Append` + checkpointing, and on a
-    * static Dataset for tests (Spark runs the same state function). */
+    * static Dataset for tests (Spark runs the same state function).
+    *
+    * `NoTimeout` means an open session is only ever closed by a LATER
+    * event from the same key — a key that goes quiet holds its last
+    * session open forever. Use [[sessionizeEventTime]] when sessions must
+    * close once the stream's event-time watermark passes the gap. */
   def sessionize(events: Dataset[Event], gapMs: Long = DefaultGapMs): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
@@ -33,48 +64,56 @@ object Sessionizer {
       .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
-          // sort this batch's events; fold them through the open session
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
-          var open = state.getOption
-          val closed = Seq.newBuilder[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            open match {
-              case Some(s) if t - s.end <= gapMs =>
-                open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
-              case Some(s) =>
-                closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
-                open = Some(OpenSession(t, t, 1, e.value))
-              case None =>
-                open = Some(OpenSession(t, t, 1, e.value))
-            }
-          }
+          val (closed, open) = foldEvents(userId, rows.toSeq.sortBy(e => (e.ts.getTime, e.value)), state.getOption, gapMs)
           open.foreach(state.update)
-          closed.result().iterator
+          closed.iterator
       }
   }
 
-  /** Flush helper for tests/batch: emit still-open sessions as final. */
+  /** Streaming sessionize that ALSO closes sessions by event-time timeout:
+    * the input must carry a watermark on `ts`; when the watermark passes an
+    * open session's end + gap, the session is emitted without needing a
+    * successor event from that key (the semantics `NoTimeout` cannot
+    * express — an abandoned key's final session still closes). State per
+    * key stays O(1); timeouts fire on the micro-batch after the watermark
+    * crosses the deadline. */
+  def sessionizeEventTime(
+      events: Dataset[Event],
+      gapMs: Long = DefaultGapMs,
+      lateness: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap with no successor event: final
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+          } else {
+            val (closed, open) = foldEvents(userId, rows.toSeq.sortBy(e => (e.ts.getTime, e.value)), state.getOption, gapMs)
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Batch flush: sessionize a STATIC Dataset and emit still-open sessions
+    * as final. Distributed — one `flatMapGroups` partition-local fold per
+    * key (the previous implementation collected every event to the
+    * driver). */
   def sessionizeBatchComplete(spark: SparkSession, events: Dataset[Event], gapMs: Long = DefaultGapMs): Dataset[Session] = {
     import spark.implicits._
-    val evs = events.collect().groupBy(_.user_id)
-    evs.toSeq.flatMap { case (uid, es) =>
-      val sorted = es.sortBy(e => (e.ts.getTime, e.value))
-      var open: Option[OpenSession] = None
-      val out = Seq.newBuilder[Session]
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        open match {
-          case Some(s) if t - s.end <= gapMs =>
-            open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
-          case Some(s) =>
-            out += Session(uid, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
-            open = Some(OpenSession(t, t, 1, e.value))
-          case None => open = Some(OpenSession(t, t, 1, e.value))
-        }
-      }
-      open.foreach(s => out += Session(uid, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
-      out.result()
-    }.toDS()
+    events.groupByKey(_.user_id).flatMapGroups { (uid: Long, es: Iterator[Event]) =>
+      val (closed, open) = foldEvents(uid, es.toSeq.sortBy(e => (e.ts.getTime, e.value)), None, gapMs)
+      val tail = open.map(s => Session(uid, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+      (closed ++ tail).iterator
+    }
   }
 }

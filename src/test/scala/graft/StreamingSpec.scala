@@ -151,6 +151,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.exists(s0 => s0.user_id == 1L && s0.n == 1 && s0.total_value == 3.0)) // 02:00 session closed
   }
 
+  test("event-time timeout closes an abandoned session once the watermark passes the gap") {
+    import graft.streaming.Sessionizer
+    import graft.streaming.Sessionizer.{Event, Session}
+    val scratch = Files.createTempDirectory("graft_sess_to").toString
+    val in = s"$scratch/in"
+    new java.io.File(in).mkdirs()
+    val schema = Seq(Event(0L, ts("2024-01-01 00:00:00"), 0.0)).toDF("user_id", "ts", "value").schema
+    // drop1: user 1's session ends 00:10 → timeout due at 00:40 (30 min gap)
+    writeDrop(Seq(
+      Event(1L, ts("2024-01-01 00:00:00"), 1.0),
+      Event(1L, ts("2024-01-01 00:10:00"), 2.0)).toDF("user_id", "ts", "value"), in, "drop1")
+    // drops 2-3: only ANOTHER key's events — they advance the watermark past
+    // 00:40; user 1 never sends a successor event (NoTimeout would hold its
+    // session open forever, the exact gap this variant closes)
+    writeDrop(Seq(Event(2L, ts("2024-01-01 02:00:00"), 9.0)).toDF("user_id", "ts", "value"), in, "drop2")
+    writeDrop(Seq(Event(2L, ts("2024-01-01 02:10:00"), 9.5)).toDF("user_id", "ts", "value"), in, "drop3")
+
+    // one file per micro-batch so the watermark ratchets between batches
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in).as[Event]
+    val q = Sessionizer.sessionizeEventTime(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions_timeout")
+      .option("checkpointLocation", s"$scratch/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val out = spark.table("graft_sessions_timeout").as[Session].collect()
+    assert(out.exists(s0 => s0.user_id == 1L && s0.n == 2 && s0.total_value == 3.0 &&
+      s0.start_ts == ts("2024-01-01 00:00:00") && s0.end_ts == ts("2024-01-01 00:10:00")),
+      s"session not closed by event-time timeout: ${out.mkString(", ")}")
+  }
+
+  test("sessionizeBatchComplete (distributed flush) equals sessionize + open-session tails") {
+    import graft.streaming.Sessionizer
+    import graft.streaming.Sessionizer.{Event, Session}
+    val events = Seq(
+      Event(1L, ts("2024-01-01 00:00:00"), 1.0),
+      Event(1L, ts("2024-01-01 00:10:00"), 2.0),
+      Event(1L, ts("2024-01-01 02:00:00"), 3.0), // gap closes session 1
+      Event(2L, ts("2024-01-01 00:00:00"), 9.0)).toDS()
+    val out = Sessionizer.sessionizeBatchComplete(spark, events).collect().toSet
+    assert(out == Set(
+      Session(1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2, 3.0),
+      Session(1L, ts("2024-01-01 02:00:00"), ts("2024-01-01 02:00:00"), 1, 3.0),
+      Session(2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), 1, 9.0)))
+  }
+
   test("windowed streaming aggregation with watermark produces per-window counts") {
     val scratch = Files.createTempDirectory("graft_wstream").toString
     val in = s"$scratch/in"
