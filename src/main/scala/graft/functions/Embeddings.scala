@@ -30,20 +30,51 @@ import scala.util.hashing.MurmurHash3
 object Embeddings {
 
   val Dim = 384
+  private val TokenSeed = MurmurHash3.stringSeed // parity with stringHash(t)'s default
   private val SignSeed = 0x9747b28c
 
-  /** Driver- or executor-side embedding of one string (F8 query path). */
+  /** Driver- or executor-side embedding of one string (F8 query path).
+    *
+    * Single pass over the chars, no intermediate allocations: tokens are
+    * delimited by non-alphanumerics and hashed INCREMENTALLY with the same
+    * murmur3 block structure `MurmurHash3.stringHash` uses (2 chars per
+    * mix), so no lowercase copy, no split array, no token substrings —
+    * this is the engine's hottest scalar function (every chunk and every
+    * document passes through it) and the one non-codegen stage. */
   def embed(text: String, dim: Int = Dim): Array[Float] = {
     val out = new Array[Float](dim)
     if (text != null) {
-      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val n = text.length
       var i = 0
-      while (i < toks.length) {
-        val t = toks(i)
-        val idx = math.floorMod(MurmurHash3.stringHash(t), dim)
-        val sign = if ((MurmurHash3.stringHash(t, SignSeed) & 1) == 0) 1f else -1f
-        out(idx) += sign
-        i += 1
+      // per-token incremental murmur3 state for both seeds
+      var h1 = TokenSeed; var h2 = SignSeed
+      var pending = -1 // buffered char awaiting its pair (chars mix in 2s)
+      var tokLen = 0
+      var k = 0
+      while (k <= n) {
+        val c0 = if (k < n) text.charAt(k) else ' '
+        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+        // token chars = ASCII lowercase alnum, the same class as the
+        // previous `[^a-z0-9]+` split over the lowercased string
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          if (pending < 0) pending = c
+          else {
+            val data = (pending << 16) + c
+            h1 = MurmurHash3.mix(h1, data)
+            h2 = MurmurHash3.mix(h2, data)
+            pending = -1
+          }
+          tokLen += 1
+        } else if (tokLen > 0) {
+          // token boundary: finish both hashes exactly as stringHash does
+          var f1 = h1; var f2 = h2
+          if (pending >= 0) { f1 = MurmurHash3.mixLast(f1, pending); f2 = MurmurHash3.mixLast(f2, pending) }
+          f1 = MurmurHash3.finalizeHash(f1, tokLen)
+          f2 = MurmurHash3.finalizeHash(f2, tokLen)
+          out(math.floorMod(f1, dim)) += (if ((f2 & 1) == 0) 1f else -1f)
+          h1 = TokenSeed; h2 = SignSeed; pending = -1; tokLen = 0
+        }
+        k += 1
       }
       var ss = 0.0
       var j = 0

@@ -24,6 +24,32 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(Embeddings.embed(null).forall(_ == 0f))
   }
 
+  test("single-pass scanner embeds bit-identically to the split-and-hash reference") {
+    // the original (allocating) formulation: lowercase, regex-split,
+    // MurmurHash3.stringHash per token — the optimized scanner must
+    // reproduce it exactly so persisted vectors stay comparable
+    import scala.util.hashing.MurmurHash3
+    def reference(text: String, dim: Int = 384): Array[Float] = {
+      val out = new Array[Float](dim)
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      toks.foreach { t =>
+        val idx = math.floorMod(MurmurHash3.stringHash(t), dim)
+        val sign = if ((MurmurHash3.stringHash(t, 0x9747b28c) & 1) == 0) 1f else -1f
+        out(idx) += sign
+      }
+      val ss = out.map(x => x.toDouble * x).sum
+      if (ss > 0) { val inv = (1.0 / math.sqrt(ss)).toFloat; out.indices.foreach(out(_) *= inv) }
+      out
+    }
+    val samples = Seq(
+      "table scan merge join", "a", "ab", "abc", "  leading and trailing  ",
+      "UPPER lower MiXeD 123 456", "punct!@#$%^&*()sep", "x" * 501,
+      "one-token", "12345", "", "tab\tsep\nnewline", "repeat repeat repeat")
+    samples.foreach { s =>
+      assert(Embeddings.embed(s).sameElements(reference(s)), s"mismatch for: $s")
+    }
+  }
+
   test("identical texts have cosine 1; disjoint-token texts near 0") {
     val df = Seq(
       (1L, "spark table scan"),
