@@ -185,6 +185,37 @@ object OracleSql {
       FROM fact JOIN dim USING (k)
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
+    "q57_decontamination" -> s"""
+      WITH w AS (SELECT doc_id, $TOKS AS w FROM documents),
+      shl AS (SELECT doc_id,
+        list_distinct(list_transform($SHINGLES3RAW, s2 -> ${h32("s2")})) AS hs FROM w),
+      ex AS (SELECT doc_id, unnest(hs) AS h FROM shl),
+      tst AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0)
+      SELECT doc_id, count(DISTINCT h) AS n_contaminated_shingles
+      FROM ex JOIN tst USING (h)
+      WHERE doc_id % 97 != 0
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "q58_seq_packing" -> s"""
+      WITH d AS (SELECT source, doc_id, length($TOKS)::bigint AS tok FROM documents),
+      c AS (SELECT source, doc_id, tok,
+        coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM d)
+      SELECT source, floor(cum / 2048)::bigint AS seq_id,
+        count(1) AS n_docs, sum(tok)::bigint AS seq_tokens
+      FROM c GROUP BY source, seq_id ORDER BY source, seq_id""",
+
+    "q59_repetition" -> s"""
+      WITH e AS (SELECT doc_id, unnest($TOKS) AS tk FROM documents),
+      tf AS (SELECT doc_id, tk, count(1) AS n FROM e GROUP BY doc_id, tk),
+      a AS (SELECT doc_id, sum(n)::bigint AS n_tok, count(1) AS n_types, max(n)::bigint AS top_tok_n
+        FROM tf GROUP BY doc_id)
+      SELECT doc_id, n_tok, n_types,
+        ${qz6("1.0 - n_types::double / n_tok::double")} AS repetition,
+        ${qz6("top_tok_n::double / n_tok::double")} AS top_token_share
+      FROM a ORDER BY doc_id""",
+
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256, count(1) AS dup_count

@@ -283,6 +283,60 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Train/test decontamination — the step a training-data pipeline runs
+    * before any split ships: find training documents that share an n-gram
+    * with the held-out set (Brown et al.'s 13-gram overlap check, scaled
+    * down to 3-grams for the fixture's short docs). Shape: explode both
+    * sides to (doc, shingle-hash), distinct the test side, one hash
+    * semi-join — work is O(shingles), never O(train × test). */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.wordShingles(col("text"), 3))).as("sh"))
+      .select(col("doc_id"), PortableHash.hash32(col("sh")).as("h"))
+    val isTest = col("doc_id") % 97 === 0 // stand-in held-out set
+    val testShingles = sh.where(isTest).select(col("h")).distinct()
+    sh.where(!isTest)
+      .join(testShingles, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_contaminated_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence-packing accounting: pack docs (in doc_id order, per source)
+    * into fixed 2048-token training sequences by cumulative token count —
+    * how many sequences each source yields and how full they are. The
+    * window partitions by source, so the prefix sum is many parallel
+    * windows, not one global sort. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("tok"))
+      .withColumn("seq_id", floor(coalesce(sum(col("tok")).over(w), lit(0L)) / 2048).cast("long"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("seq_tokens"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** Repetition scoring — the standard degenerate-text signal (a doc whose
+    * tokens are mostly repeats of a few types is boilerplate/spam): type-
+    * token ratio and the share of the single most frequent token. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    // explode → two-level aggregation (linear, partial-agg map-side) — not
+    // a per-row nested fold, which would be O(types × tokens) per doc
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tok"), count(lit(1)).as("n_types"), max(col("n")).as("top_tok_n"))
+      .select(
+        col("doc_id"), col("n_tok"), col("n_types"),
+        TextOps.quantize6(lit(1.0) - col("n_types").cast("double") / col("n_tok").cast("double")).as("repetition"),
+        TextOps.quantize6(col("top_tok_n").cast("double") / col("n_tok").cast("double")).as("top_token_share"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup by content hash over a duplicated corpus. */
   private def q17(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -831,6 +885,9 @@ object SparkEntry {
     "q54_chunk_scalable" -> (q54 _),
     "q55_decimal_roundtrip" -> (q55 _),
     "q56_salted_join" -> (q56 _),
+    "q57_decontamination" -> (q57 _),
+    "q58_seq_packing" -> (q58 _),
+    "q59_repetition" -> (q59 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),
