@@ -28,14 +28,15 @@ class Engine(
     stateDir: String,
     sinkDir: String,
     changeCol: String = "ts",
-    chunkSize: Int = 100) { // service_layer/service.py:109
+    chunkSize: Int = 100, // service_layer/service.py:109
+    layout: Cdc.SinkLayout = Cdc.DefaultLayout) { // applies only when the sink is created
 
   /** S8: create the vector sink if absent. */
-  def initializeIndex(): Unit = Cdc.initVectorSink(spark, sinkDir)
+  def initializeIndex(): Unit = Cdc.initVectorSink(spark, sinkDir, layout)
 
   /** One CDC sync tick over every source table. Returns rows synced. */
   def runSyncCycle(): Map[String, Long] =
-    Cdc.syncCycle(spark, sourceDir, stateDir, sinkDir, changeCol, chunkSize = chunkSize)
+    Cdc.syncCycle(spark, sourceDir, stateDir, sinkDir, changeCol, chunkSize = chunkSize, layout = layout)
 
   /** The polling scheduler (T1): fixed-delay like the reference —
     * sleep AFTER each cycle's work, so drift accumulates identically
@@ -79,8 +80,9 @@ class Engine(
     val pruned =
       if (nprobe <= 0) ns
       else {
+        val simBits = Cdc.readLayout(sinkDir).simBits // the sink's own layout
         val buckets =
-          (SimilaritySearch.multiProbeBuckets(probe, Cdc.SimBits, nprobe).map(_.toInt) :+ -1).distinct
+          (SimilaritySearch.multiProbeBuckets(probe, simBits, nprobe).map(_.toInt) :+ -1).distinct
         ns.where(col("simb").isin(buckets: _*))
       }
     SimilaritySearch.topK(pruned, "id", "embedding",

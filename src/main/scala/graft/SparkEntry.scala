@@ -627,7 +627,12 @@ object SparkEntry {
     * two cycles to exercise the incremental path, returns the sink. */
   private def q93(s: SparkSession, dir: String): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_cdc").toString
-    Cdc.syncCycle(s, dir, s"$scratch/state", s"$scratch/sink")
+    // layout tuned to the delta volume (~1k chunks/cycle at sf0.1): 8
+    // id-buckets × 2^4 simb ≈ 128 directories — enough rewrite granularity
+    // and read pruning without fragmenting into one-row parquet files (the
+    // default 64-bucket layout is sized for a far larger sink)
+    val layout = Cdc.SinkLayout(buckets = 8, simBits = Cdc.SimBits)
+    Cdc.syncCycle(s, dir, s"$scratch/state", s"$scratch/sink", layout = layout)
     Cdc.syncCycle(s, dir, s"$scratch/state", s"$scratch/sink") // no-op delta
     Cdc.readVectorSink(s, s"$scratch/sink").select(col("id"), col("source"), col("text"))
       .orderBy(col("id"))

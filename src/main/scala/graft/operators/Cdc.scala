@@ -44,8 +44,8 @@ object Cdc {
 
   /** Physical id-buckets per namespace: the sink directory is partitioned
     * by (namespace, bucket) so an upsert rewrites only the buckets its ids
-    * hash into, not the whole sink. 64 here; thousands at 100 TB (bucket
-    * count bounds rewrite granularity AND per-bucket file size). */
+    * hash into, not the whole sink. 64 by default; thousands at 100 TB
+    * (bucket count bounds rewrite granularity AND per-bucket file size). */
   val SinkBuckets = 64
 
   /** Similarity-locality sub-partition: sign-bucket LSH bits over the
@@ -56,6 +56,42 @@ object Cdc {
     * (the Pinecone read path, service_layer/service.py:91). 4 bits → a
     * 16-way read fan-out; production tunes bits to data volume. */
   val SimBits = 4
+
+  /** Physical layout of a vector sink. (buckets × 2^simBits) is the
+    * directory fan-out per namespace: too coarse and every upsert rewrites
+    * a large bucket; too fine and a small corpus fragments into one-row
+    * parquet files whose open/footer overhead dominates every read AND
+    * write. The layout is chosen at sink creation, PERSISTED next to the
+    * data (a sink's layout is a property of the sink, not of whoever opens
+    * it), and honored by every subsequent upsert/search. */
+  final case class SinkLayout(buckets: Int, simBits: Int) {
+    require(buckets > 0 && simBits >= 0 && simBits <= 30, s"bad sink layout: $this")
+  }
+  val DefaultLayout: SinkLayout = SinkLayout(SinkBuckets, SimBits)
+
+  private def layoutFile(sinkDir: String) = new java.io.File(s"$sinkDir/vectors_layout.properties")
+
+  /** The sink's persisted layout; [[DefaultLayout]] for sinks created
+    * before layouts were persisted (their data used exactly these
+    * constants, so the default is not a guess — it is their layout). */
+  def readLayout(sinkDir: String): SinkLayout = {
+    val f = layoutFile(sinkDir)
+    if (!f.exists()) DefaultLayout
+    else {
+      val src = scala.io.Source.fromFile(f)
+      try {
+        val kv = src.getLines().flatMap { l =>
+          l.split("=", 2) match { case Array(k, v) => Some(k.trim -> v.trim); case _ => None }
+        }.toMap
+        SinkLayout(kv("buckets").toInt, kv("simbits").toInt)
+      } finally src.close()
+    }
+  }
+
+  private def writeLayout(sinkDir: String, layout: SinkLayout): Unit = {
+    val w = new java.io.FileWriter(layoutFile(sinkDir))
+    try w.write(s"buckets=${layout.buckets}\nsimbits=${layout.simBits}\n") finally w.close()
+  }
 
   /** namespace + bucket + simb are Hive-style partition columns on disk. */
   val vectorSinkSchema: StructType = StructType(Seq(
@@ -69,14 +105,15 @@ object Cdc {
 
   /** Deterministic id → bucket assignment (portable hash — reproducible by
     * any engine reading the layout). */
-  def bucketOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(graft.functions.PortableHash.hash32(id), lit(SinkBuckets)).cast("int")
+  def bucketOf(id: org.apache.spark.sql.Column, buckets: Int = SinkBuckets): org.apache.spark.sql.Column =
+    pmod(graft.functions.PortableHash.hash32(id), lit(buckets)).cast("int")
 
   /** Embedding → similarity-locality bucket; -1 catches null/short vectors
     * so the partition column honors its non-nullable contract. */
-  def simBucketOf(embedding: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(embedding.isNull || size(embedding) < SimBits, lit(-1))
-      .otherwise(graft.functions.VectorOps.signBucket(embedding, SimBits))
+  def simBucketOf(embedding: org.apache.spark.sql.Column, simBits: Int = SimBits): org.apache.spark.sql.Column =
+    if (simBits == 0) lit(0).cast("int")
+    else when(embedding.isNull || size(embedding) < simBits, lit(-1))
+      .otherwise(graft.functions.VectorOps.signBucket(embedding, simBits))
       .cast("int")
 
   // --- watermark state store (S6/S7) --------------------------------------
@@ -138,10 +175,14 @@ object Cdc {
   // --- vector sink (S8/S9) ------------------------------------------------
 
   /** S8: create-if-absent (`service_layer/service.py:82-100`): an empty
-    * (namespace, bucket)-partitioned parquet dir with the fixed schema. */
-  def initVectorSink(spark: SparkSession, sinkDir: String): Unit = {
+    * (namespace, bucket, simb)-partitioned parquet dir with the fixed
+    * schema, plus the persisted layout choice. An existing sink keeps its
+    * original layout — `layout` only applies to a fresh sink. */
+  def initVectorSink(spark: SparkSession, sinkDir: String, layout: SinkLayout = DefaultLayout): Unit = {
     val path = s"$sinkDir/vectors"
     if (!new java.io.File(path).exists()) {
+      new java.io.File(sinkDir).mkdirs()
+      writeLayout(sinkDir, layout)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorSinkSchema)
         .write.partitionBy("namespace", "bucket", "simb").mode(SaveMode.Overwrite).parquet(path)
     }
@@ -195,12 +236,13 @@ object Cdc {
     // anti-join key set AND the union — uncached it would execute 3×.
     // null ids are dropped: a null would land in a default partition the
     // bucket pruning could never overwrite consistently.
+    val layout = readLayout(sinkDir)
     val newRows = batch.select("id", "embedding", "source", "text")
       .where(col("id").isNotNull)
       .dropDuplicates("id")
       .withColumn("namespace", lit(namespace))
-      .withColumn("bucket", bucketOf(col("id")))
-      .withColumn("simb", simBucketOf(col("embedding")))
+      .withColumn("bucket", bucketOf(col("id"), layout.buckets))
+      .withColumn("simb", simBucketOf(col("embedding"), layout.simBits))
       .cache()
     try {
       // the touched-bucket list is ≤ SinkBuckets values — driver-size
@@ -214,7 +256,13 @@ object Cdc {
         val stage = stageDir(sinkDir)
         deleteRecursively(new java.io.File(stage)) // stale stage from a crash
         deleteRecursively(new java.io.File(trashDir(sinkDir)))
-        kept.unionByName(newRows).write
+        // co-locate each output directory's rows in one task: without this,
+        // every one of the N shuffle tasks opens a file in every (bucket,
+        // simb) dir it holds a row for — tiny-file explosion at small batch
+        // sizes, and the wrong file granularity at large ones
+        kept.unionByName(newRows)
+          .repartition(col("namespace"), col("bucket"), col("simb"))
+          .write
           .mode(SaveMode.Overwrite)
           .partitionBy("namespace", "bucket", "simb")
           .parquet(stage)
@@ -337,8 +385,9 @@ object Cdc {
       orderCol: String = "event_id",
       chunkSize: Int = Chunker.DefaultChunkSize,
       deterministicChunks: Boolean = false,
-      namespace: String = DefaultNamespace): Map[String, Long] = {
-    initVectorSink(spark, sinkDir)
+      namespace: String = DefaultNamespace,
+      layout: SinkLayout = DefaultLayout): Map[String, Long] = {
+    initVectorSink(spark, sinkDir, layout)
     val tables = Tables.listTables(sourceDir)
       .filter(_ != WatermarkTable) // P5 anti-filter
     tables.flatMap { t =>

@@ -200,6 +200,24 @@ class CdcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pre-simb"))
   }
 
+  test("sink layout is chosen at creation, persisted, and honored by later upserts") {
+    val sink = Files.createTempDirectory("graft_sink_layout").toString
+    Cdc.initVectorSink(spark, sink, Cdc.SinkLayout(buckets = 4, simBits = 2))
+    assert(Cdc.readLayout(sink) == Cdc.SinkLayout(4, 2))
+    val b = (1 to 30).map(i => (s"t#$i", Array(1f, -1f, 1f), "t", s"v$i"))
+      .toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, b)
+    val rows = Cdc.readVectorSink(spark, sink).select("bucket", "simb").collect()
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 4), "bucket beyond layout")
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 4), "simb beyond 2^simBits")
+    // a second init must NOT re-layout an existing sink
+    Cdc.initVectorSink(spark, sink, Cdc.SinkLayout(buckets = 64, simBits = 4))
+    assert(Cdc.readLayout(sink) == Cdc.SinkLayout(4, 2))
+    // a sink with no layout file (pre-layout era) reads as the default
+    val bare = Files.createTempDirectory("graft_sink_nolayout").toString
+    assert(Cdc.readLayout(bare) == Cdc.DefaultLayout)
+  }
+
   test("upsertVectors drops null ids (non-nullable partition contract)") {
     val sink = Files.createTempDirectory("graft_sink_nullid").toString
     Cdc.initVectorSink(spark, sink)
