@@ -187,7 +187,6 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    var sig = edgeSignature(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -210,19 +209,21 @@ object Dedup {
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
         .localCheckpoint(true)
-      // Convergence = the (distinct) edge set is unchanged. Compared via a
-      // one-action order-independent signature of the materialized `small`
-      // (count + two independent 64-bit xor-folds — xor never overflows, so
-      // it is ANSI-safe; false equality needs a simultaneous 2⁻¹²⁸ double
-      // collision) instead of the former 2×exceptAll + 2×isEmpty, which
-      // shuffled the full edge relation twice and ran four jobs per round.
-      // The previous round's signature is reused — edges == last small.
-      val newSig = edgeSignature(small)
-      converged = newSig == sig
+      // Convergence = the edge set is a forest of depth-1 stars, i.e. no
+      // node appears as BOTH a child (u) and a parent (v): stars are a
+      // fixpoint of large-star∘small-star, and any chain (u→v→w) means
+      // another round is needed. Checked on THIS round's materialized
+      // output with one semi-join over the (small) distinct node sets —
+      // the former fixpoint tests (2×exceptAll+2×isEmpty, or an edge-set
+      // signature) could only detect convergence one full round AFTER it
+      // happened, paying an entire redundant contraction round per query.
+      converged = small
+        .select(col("v"))
+        .join(small.select(col("u").as("v")), Seq("v"), "left_semi")
+        .isEmpty
       freeLocalCheckpoint(large)
       freeLocalCheckpoint(edges)
       edges = small
-      sig = newSig
       i += 1
     }
     if (!converged)
@@ -237,18 +238,6 @@ object Dedup {
         col("id").as(idCol),
         coalesce(col("_root"), col("id")).as("canonical"),
         (coalesce(col("_root"), col("id")) === col("id")).as("is_canonical"))
-  }
-
-  /** Order-independent signature of a (u, v) edge relation, one aggregation
-    * action: row count plus two xor-folds of independent 64-bit row hashes.
-    * Equal signatures ⇒ equal distinct-edge sets (w.h.p.); used as the
-    * star-contraction fixpoint test. */
-  private def edgeSignature(edges: DataFrame): (Long, Long, Long) = {
-    val r = edges.agg(
-      count(lit(1)),
-      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)),
-      coalesce(expr("bit_xor(xxhash64(42L, u, v))"), lit(0L))).collect()(0)
-    (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** True Jaccard similarity of two (distinct-element) arrays. */
