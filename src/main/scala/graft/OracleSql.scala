@@ -216,6 +216,30 @@ object OracleSql {
         ${qz6("top_tok_n::double / n_tok::double")} AS top_token_share
       FROM a ORDER BY doc_id""",
 
+    "q60_quality_topp" -> s"""
+      WITH d AS (SELECT doc_id, source, text, $TOKS AS toks FROM documents),
+      m AS (SELECT doc_id, source,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+        CASE WHEN length(toks) = 0 THEN 0.0
+             ELSE length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(toks) END AS stop_r,
+        length(text) AS len FROM d),
+      q AS (SELECT doc_id, source,
+        ${qz6("least(len::double / 500.0, 1.0) * 0.4 + least(stop_r * 5.0, 1.0) * 0.3 + greatest(1.0 - punct_r * 4.0, 0.0) * 0.3")} AS quality
+        FROM m),
+      rk AS (SELECT source, doc_id, quality,
+        row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk,
+        count(1) OVER (PARTITION BY source) AS n_src FROM q)
+      SELECT source, rnk, doc_id, quality FROM rk
+      WHERE rnk * 4 <= n_src + 3 ORDER BY source, rnk""",
+
+    "q61_stratified_sample" -> s"""
+      WITH d AS (SELECT doc_id, lang, $TOKS AS toks,
+        ${h32("'sample:' || doc_id::varchar")} % 100 AS bucket FROM documents)
+      SELECT lang, count(1) AS n_sampled, sum(length(toks))::bigint AS n_tokens
+      FROM d WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+      GROUP BY lang ORDER BY lang""",
+
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256, count(1) AS dup_count

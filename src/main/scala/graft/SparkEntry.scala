@@ -337,6 +337,40 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Proportional quality filtering: keep each source's top-25% documents
+    * by quality score. Rank-based (row_number against ceil(n/4)), NOT a
+    * quantile threshold — a float cut at the quantile boundary is
+    * membership-unstable across engines (one ulp flips a row), while the
+    * integer rank comparison is exact everywhere. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy(col("source")).orderBy(desc("q"), col("doc_id"))
+    val wSrc = Window.partitionBy(col("source"))
+    t(s, dir, "documents")
+      .withColumn("q", TextOps.qualityScore(col("text")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(wSrc))
+      .where(col("rnk") * 4 <= col("n_src") + 3) // rnk <= ceil(n/4), integer-exact
+      .select(col("source"), col("rnk"), col("doc_id"), col("q").as("quality"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** Deterministic stratified sampling: per-language keep fractions (en
+    * 50%, others 20%) decided by a portable hash bucket per doc — never
+    * `rand()`, so the sample is reproducible across runs, partitionings,
+    * and engines (the property a training-data pipeline needs for
+    * sweeps). */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val bucket = PortableHash.hash32(concat(lit("sample:"), col("doc_id").cast("string"))) % 100
+    val keepPct = when(col("lang") === "en", 50).otherwise(20)
+    t(s, dir, "documents")
+      .where(bucket < keepPct)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Exact dedup by content hash over a duplicated corpus. */
   private def q17(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -893,6 +927,8 @@ object SparkEntry {
     "q57_decontamination" -> (q57 _),
     "q58_seq_packing" -> (q58 _),
     "q59_repetition" -> (q59 _),
+    "q60_quality_topp" -> (q60 _),
+    "q61_stratified_sample" -> (q61 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),
