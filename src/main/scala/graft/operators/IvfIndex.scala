@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) vector index — the disk layout behind
+  * [[SimilaritySearch.ivfTopK]], and the second of the engine's two
+  * Pinecone-analog read paths (the first is the CDC sink's sign-bucket
+  * `simb` partitioning, `Cdc.SimBits`).
+  *
+  * Build once: train coarse centroids (deterministic Lloyd,
+  * [[SimilaritySearch.ivfTrain]]), assign every vector to its nearest
+  * centroid, and write the vectors PARTITIONED BY cluster with the
+  * centroid matrix alongside. Search: load the k×dim centroid matrix
+  * (driver-size by construction), rank clusters against the probe, and
+  * scan only the `nprobe` nearest cluster directories — partition pruning
+  * does the candidate restriction, so a 100 TB index reads nprobe/k of its
+  * bytes per query instead of all of them. Recall rises with nprobe;
+  * nprobe >= k is an exact scan.
+  *
+  * Unlike sign-bucket locality (fixed hyperplanes), IVF centroids adapt to
+  * the corpus distribution — the right trade when vectors are clustered
+  * (real embedding corpora) rather than isotropic.
+  */
+object IvfIndex {
+
+  /** Train, assign, persist. One pass for training (sampled), one for the
+    * partitioned write; the only driver-resident state is k×dim floats. */
+  def build(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexDir: String,
+      k: Int = 16,
+      iters: Int = 3,
+      sampleFraction: Double = 1.0): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centroids = SimilaritySearch.ivfTrain(vectors, idCol, vecCol, k, iters, sampleFraction)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster", "centroid")
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
+    vectors
+      .select(col(idCol).as("id"), col(vecCol).as("embedding"))
+      .withColumn("cluster", SimilaritySearch.nearestCentroid(col("embedding"), centroids))
+      .repartition(col("cluster")) // one writer task per cluster directory
+      .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$indexDir/data")
+  }
+
+  /** The persisted centroid matrix, cluster-ordered. */
+  def centroids(spark: SparkSession, indexDir: String): Array[Array[Float]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cluster"))
+      .select(col("centroid")).as[Array[Float]].collect()
+  }
+
+  /** Top-k by cosine over the `nprobe` clusters nearest the probe. The
+    * cluster restriction is an `isin` on the PARTITION column — directory
+    * pruning at the scan, verified in SimilaritySpec. */
+  def search(
+      spark: SparkSession,
+      indexDir: String,
+      probe: Array[Float],
+      k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val cents = centroids(spark, indexDir)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); sa += a(i).toDouble * a(i); sb += b(i).toDouble * b(i); i += 1 }
+      val d = math.sqrt(sa) * math.sqrt(sb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val probeClusters = cents.zipWithIndex
+      .map { case (c, i) => (cos(c, probe), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(math.max(nprobe, 1)).map(_._2)
+    spark.read.parquet(s"$indexDir/data")
+      .where(col("cluster").isin(probeClusters.toSeq: _*))
+      .select(col("id"),
+        round(VectorOps.cosineFast(col("embedding"), lit(probe).cast("array<float>")), 6).as("score"))
+      .orderBy(desc("score"), col("id"))
+      .limit(k)
+  }
+}

@@ -149,6 +149,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.sum / recalls.size >= 0.8)
   }
 
+  test("persisted IVF index: pruned search hits partition filters; nprobe=k is exact") {
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", dir, k = 4, iters = 2)
+    val probe = vecs.where(col("vec_id") === 7).collect()(0).getSeq[Float](1).toArray
+
+    val pruned = IvfIndex.search(spark, dir, probe, k = 3, nprobe = 1)
+    val ids = pruned.collect().map(_.getLong(0))
+    assert(ids(0) == 7L && ids.contains(99L), s"planted near-dup missed: ${ids.mkString(",")}")
+    // the cluster restriction must prune at the scan (directory pruning),
+    // not filter rows after reading everything
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.matches("(?s).*PartitionFilters: \\[[^\\]]*cluster.*"),
+      s"cluster must be a partition filter:\n$planStr")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    val totalFiles = walk(new java.io.File(s"$dir/data")).count(_.getName.endsWith(".parquet"))
+    val scanned = pruned.queryExecution.executedPlan.collectWithSubqueries {
+      case s0: org.apache.spark.sql.execution.FileSourceScanExec => s0.metrics("numFiles").value
+    }.sum
+    assert(scanned > 0 && scanned < totalFiles,
+      s"pruned search should read a strict file subset ($scanned of $totalFiles)")
+
+    // nprobe = k scans every cluster → identical to brute force
+    val exact = SimilaritySearch.topK(vecs, "vec_id", "embedding",
+      lit(probe).cast("array<float>"), 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = IvfIndex.search(spark, dir, probe, k = 10, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact, "nprobe=k must equal the exact scan")
+  }
+
   test("ivfTopK scans only nprobe clusters (candidate restriction is real)") {
     val centroids = SimilaritySearch.ivfTrain(vecs, "vec_id", "embedding", k = 4, iters = 2)
     val probe = vecs.where(col("vec_id") === 0).collect()(0).getSeq[Float](1).toArray
