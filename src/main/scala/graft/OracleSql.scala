@@ -240,6 +240,23 @@ object OracleSql {
       FROM d WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
       GROUP BY lang ORDER BY lang""",
 
+    "q62_pii_redaction" -> s"""
+      WITH p AS (SELECT doc_id,
+        CASE WHEN doc_id % 10 = 0
+             THEN text || ' contact user' || doc_id::varchar || '@example.com or 555-0142'
+             ELSE text END AS text
+        FROM documents),
+      r AS (SELECT doc_id,
+        length(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))::bigint AS n_emails,
+        regexp_replace(
+          regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        FROM p)
+      SELECT doc_id, n_emails,
+        length(regexp_extract_all(clean, '<PHONE>'))::bigint AS n_phones,
+        sha256(clean) AS clean_sha256
+      FROM r ORDER BY doc_id""",
+
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256, count(1) AS dup_count

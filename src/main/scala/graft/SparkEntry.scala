@@ -371,6 +371,28 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** PII scrubbing: plant deterministic fake emails/phones on a tenth of
+    * the docs in-query (the fixture has none), redact with the
+    * character-class patterns, and report redaction counts plus the
+    * scrubbed text — all codegen'd regexp work, no UDF. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 10 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-0142")))
+      .otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), planted.as("text"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(TextOps.EmailRe)).cast("long").as("n_emails"),
+        TextOps.redactPii(col("text")).as("clean"))
+      .select(
+        col("doc_id"), col("n_emails"),
+        regexp_count(col("clean"), lit("<PHONE>")).cast("long").as("n_phones"),
+        sha2(col("clean"), 256).as("clean_sha256"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup by content hash over a duplicated corpus. */
   private def q17(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -929,6 +951,7 @@ object SparkEntry {
     "q59_repetition" -> (q59 _),
     "q60_quality_topp" -> (q60 _),
     "q61_stratified_sample" -> (q61 _),
+    "q62_pii_redaction" -> (q62 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),

@@ -184,6 +184,18 @@ object TextOps {
     * is bit-deterministic everywhere (identical double in → identical out). */
   def quantize6(c: Column): Column = floor(c * lit(1000000.0)) / lit(1000000.0)
 
+  /** PII scrubbing patterns — deliberately simple character-class regexes
+    * (identical semantics under Java regex and RE2, so the oracle mirrors
+    * them verbatim). Production pipelines layer locale-specific patterns
+    * and ML detectors on top; the operator shape (codegen'd
+    * regexp_replace, no UDF) is what matters at scale. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** Redact email addresses and phone-shaped digit runs. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
   /** Composite quality score in [0,1]: rewards mid-length docs, prose-like
     * stopword ratio, low punctuation noise. Deterministic heuristic in the
     * Gopher-rules style (length/punct/stopword filters). */
