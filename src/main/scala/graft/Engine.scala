@@ -89,6 +89,24 @@ class Engine(
       org.apache.spark.sql.functions.lit(probe).cast("array<float>"), k)
   }
 
+  /** Batch form of [[searchSimilar]]: top-k for EVERY query string in one
+    * distributed plan (no driver-side loop over queries). The tiny probe
+    * side broadcasts; candidates are restricted to each probe's sign
+    * bucket via the bucketed kNN join. Returns (query, rank, id, score). */
+  def searchSimilarBatch(
+      queries: Seq[String],
+      k: Int = 10,
+      namespace: String = Cdc.DefaultNamespace): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val simBits = Cdc.readLayout(sinkDir).simBits
+    val probes = queries.map(q => (q, Embeddings.embed(q))).toDF("query", "probe_emb")
+    val ns = Cdc.readVectorSink(spark, sinkDir).where(col("namespace") === namespace)
+    SimilaritySearch.knnJoin(ns, probes, "id", "embedding", "query", "probe_emb",
+      k, bits = simBits, broadcastProbes = true)
+      .select(col("probe_id").as("query"), col("rank"), col("index_id").as("id"), col("score"))
+  }
+
   /** `describe_index_stats` analog (`service_layer/service.py:97`). */
   def indexStats(): DataFrame = Cdc.sinkStats(spark, sinkDir)
 

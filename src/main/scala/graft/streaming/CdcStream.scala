@@ -75,6 +75,23 @@ object CdcStream {
     q.awaitTermination()
   }
 
+  /** Cross-micro-batch exact dedup (T3 hardening for at-least-once
+    * sources): rows carrying the same key within the watermark horizon are
+    * emitted once, however many drops re-deliver them. State is bounded by
+    * the horizon — expired keys are evicted with the watermark, which is
+    * the only way streaming dedup state stays finite at 100 TB/day
+    * (`dropDuplicates` without a watermark grows state forever). */
+  def dedupedStream(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      horizon: String = "1 hour"): DataFrame =
+    spark.readStream.schema(schema).parquet(inputDir)
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Windowed streaming aggregation (T4 coverage): tumbling event-time
     * window with lateness watermark over an event stream. */
   def windowedCounts(

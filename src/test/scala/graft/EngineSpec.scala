@@ -33,6 +33,28 @@ class EngineSpec extends AnyFunSuite {
     assert(hits(0).getAs[String]("id").startsWith("events#"))
   }
 
+  test("searchSimilarBatch returns per-query ranked hits in one plan") {
+    import graft.operators.Cdc
+    import graft.functions.Embeddings
+    val scratch = Files.createTempDirectory("graft_engine_batch").toString
+    val sink = s"$scratch/sink"
+    Cdc.initVectorSink(spark, sink)
+    val batch = (1 to 30).map(i => (s"d#$i", Embeddings.embed(s"alpha beta doc number $i"), "t", s"text $i"))
+      .toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, batch)
+    val engine = new Engine(spark, s"$scratch/src", s"$scratch/state", sink)
+    val out = engine.searchSimilarBatch(
+      Seq("alpha beta doc number 7", "alpha beta doc number 23"), k = 3).collect()
+    val byQuery = out.groupBy(_.getAs[String]("query"))
+    assert(byQuery.size == 2)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.length <= 3 && rows.map(_.getAs[Int]("rank")).min == 1)
+    }
+    // each query's own doc ranks first in its bucket
+    assert(byQuery("alpha beta doc number 7").minBy(_.getAs[Int]("rank")).getAs[String]("id") == "d#7")
+    assert(byQuery("alpha beta doc number 23").minBy(_.getAs[Int]("rank")).getAs[String]("id") == "d#23")
+  }
+
   test("searchSimilar partition-prunes the scan to the probe's simb buckets") {
     import graft.operators.{Cdc, SimilaritySearch}
     import graft.functions.Embeddings

@@ -200,6 +200,31 @@ class StreamingSpec extends AnyFunSuite {
       Session(2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), 1, 9.0)))
   }
 
+  test("cross-batch streaming dedup: re-delivered keys within the horizon emit once") {
+    val scratch = Files.createTempDirectory("graft_sdedup").toString
+    val in = s"$scratch/in"
+    new java.io.File(in).mkdirs()
+    val d1 = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (2L, ts("2024-01-01 00:01:00"), "b")).toDF("event_id", "ts", "payload")
+    writeDrop(d1, in, "drop1")
+    // drop2 re-delivers event 2 (at-least-once source) plus a new event
+    writeDrop(Seq(
+      (2L, ts("2024-01-01 00:01:00"), "b"),
+      (3L, ts("2024-01-01 00:02:00"), "c")).toDF("event_id", "ts", "payload"), in, "drop2")
+
+    val q = CdcStream.dedupedStream(spark, in, d1.schema, Seq("event_id"),
+      horizon = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sdedup")
+      .option("checkpointLocation", s"$scratch/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.table("graft_sdedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"dup not collapsed: ${ids.mkString(",")}")
+  }
+
   test("windowed streaming aggregation with watermark produces per-window counts") {
     val scratch = Files.createTempDirectory("graft_wstream").toString
     val in = s"$scratch/in"
