@@ -15,8 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object PortableHash {
 
-  /** 32-bit unsigned hash of a string column, as LongType in [0, 2^32). */
+  /** 32-bit unsigned hash of a string column, as LongType in [0, 2^32).
+    * Fused codegen form (graft.plans.ArrayExprs.Md5Hash32) — value-
+    * identical to `conv(substring(md5(c),1,8),16,10)` without the hex
+    * string round trip; ExprParitySpec pins the equality. */
   def hash32(c: Column): Column =
+    graft.plans.ArrayExprs.md5Hash32(c)
+
+  /** The declarative composition [[hash32]] fuses (kept as the parity
+    * reference and for engines reading the layout via plain SQL). */
+  def hash32Composed(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** Seeded variant: mixes a seed string in front (used for the k minhash

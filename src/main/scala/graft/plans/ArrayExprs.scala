@@ -269,6 +269,43 @@ object ArrayExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Engine-portable 32-bit hash, fused: md5 digest → first 4 bytes as an
+    * unsigned int in a long. VALUE-identical to the composition
+    * `conv(substring(md5(s),1,8),16,10)` (the first 8 hex chars ARE the
+    * first 4 digest bytes) but skips materializing the 32-char hex string,
+    * the substring copy, and the base-16 reparse — this runs once per
+    * SHINGLE in every minhash/Jaccard/decontamination query, the highest
+    * call-count site in the engine. */
+  case class Md5Hash32(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = LongType
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+    protected override def nullSafeEval(input: Any): Any =
+      Md5Hash32.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.ArrayExprs.Md5Hash32$$.MODULE$$.hash($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object Md5Hash32 {
+    private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+    /** First 4 md5-digest bytes as an unsigned 32-bit value (digest()
+      * leaves the thread-local instance reset for the next call). */
+    def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+      val d = md.get().digest(s.getBytes)
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+  }
+
+  def md5Hash32(c: Column): Column =
+    ColumnBridge.column(Md5Hash32(ColumnBridge.expression(c)))
+
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(token_hashes) - 32-bit simhash of a bigint token-hash array"),
       (args: Seq[Expression]) => ArrayExprs.SimHash32(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_hash32"),
+      info("graft_hash32", "graft_hash32(s) - portable 32-bit hash: first 4 md5 bytes as bigint (= ('0x'||substr(md5(s),1,8))::bigint in ANSI engines)"),
+      (args: Seq[Expression]) => ArrayExprs.Md5Hash32(args(0))))
   }
 }

@@ -35,6 +35,18 @@ class ExprParitySpec extends AnyFunSuite {
     }
   }
 
+  test("Md5Hash32: interpreted == codegen == hex-string composition") {
+    val strs = Seq("a", "ab", "the quick brown fox", "", "0:shingle words here",
+      "ünïcødé ❄ text", "x" * 300).zipWithIndex.map(_.swap).toDF("i", "s")
+    def vals() = strs.select(col("i"),
+      PortableHash.hash32(col("s")).as("fused"),
+      PortableHash.hash32Composed(col("s")).as("composed"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val gen = vals()
+    gen.foreach { case (fused, composed) => assert(fused == composed) }
+    assert(withInterpreted(vals()).toSeq == gen.toSeq)
+  }
+
   test("MinHashSignature: interpreted == codegen == declarative composition") {
     def sigs() = docs.select(col("doc_id"),
       ArrayExprs.minhashSignatureFast(

@@ -58,4 +58,11 @@ class ExtensionsSpec extends AnyFunSuite {
       graft.functions.TextOps.simhash32(col("text")).as("slow")).collect()(0)
     assert(both.getLong(0) == both.getLong(1))
   }
+
+  test("graft_hash32 from SQL equals the ANSI hex composition") {
+    val r = spark.sql(
+      "SELECT graft_hash32('shingle text') AS fused, " +
+        "cast(conv(substring(md5('shingle text'),1,8),16,10) AS bigint) AS composed").collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+  }
 }
