@@ -107,6 +107,27 @@ class Engine(
       .select(col("probe_id").as("query"), col("rank"), col("index_id").as("id"), col("score"))
   }
 
+  /** Build a persisted IVF index over one namespace of the vector sink
+    * (see [[graft.operators.IvfIndex]]): centroids adapt to the corpus,
+    * unlike the sink's fixed sign-bucket locality — the better read path
+    * once the namespace is large and clustered. */
+  def buildIvfIndex(
+      indexDir: String,
+      k: Int = 16,
+      iters: Int = 3,
+      namespace: String = Cdc.DefaultNamespace,
+      sampleFraction: Double = 1.0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ns = Cdc.readVectorSink(spark, sinkDir)
+      .where(col("namespace") === namespace && col("embedding").isNotNull)
+      .select(col("id"), col("embedding"))
+    graft.operators.IvfIndex.build(ns, "id", "embedding", indexDir, k, iters, sampleFraction)
+  }
+
+  /** Text query against a persisted IVF index built by [[buildIvfIndex]]. */
+  def searchIvf(indexDir: String, query: String, k: Int = 10, nprobe: Int = 2): DataFrame =
+    graft.operators.IvfIndex.search(spark, indexDir, Embeddings.embed(query), k, nprobe)
+
   /** `describe_index_stats` analog (`service_layer/service.py:97`). */
   def indexStats(): DataFrame = Cdc.sinkStats(spark, sinkDir)
 

@@ -55,6 +55,22 @@ class EngineSpec extends AnyFunSuite {
     assert(byQuery("alpha beta doc number 23").minBy(_.getAs[Int]("rank")).getAs[String]("id") == "d#23")
   }
 
+  test("engine builds a persisted IVF index from its sink and answers text queries") {
+    import graft.operators.Cdc
+    import graft.functions.Embeddings
+    val scratch = Files.createTempDirectory("graft_engine_ivf").toString
+    val sink = s"$scratch/sink"
+    Cdc.initVectorSink(spark, sink)
+    val batch = (1 to 40).map(i => (s"d#$i", Embeddings.embed(s"alpha beta doc number $i"), "t", s"text $i"))
+      .toDF("id", "embedding", "source", "text")
+    Cdc.upsertVectors(spark, sink, batch)
+    val engine = new Engine(spark, s"$scratch/src", s"$scratch/state", sink)
+    engine.buildIvfIndex(s"$scratch/ivf", k = 4, iters = 2)
+    val hits = engine.searchIvf(s"$scratch/ivf", "alpha beta doc number 17", k = 5, nprobe = 4)
+      .collect().map(_.getAs[String]("id"))
+    assert(hits.nonEmpty && hits.head == "d#17", s"got: ${hits.mkString(",")}")
+  }
+
   test("searchSimilar partition-prunes the scan to the probe's simb buckets") {
     import graft.operators.{Cdc, SimilaritySearch}
     import graft.functions.Embeddings
