@@ -257,6 +257,20 @@ object OracleSql {
         sha256(clean) AS clean_sha256
       FROM r ORDER BY doc_id""",
 
+    "q63_ngram_lm_score" -> s"""
+      WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      b AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(toks)-1, 0)+1),
+            i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM d),
+      bg AS (SELECT split_part(bigram, ' ', 1) AS w1, bigram, count(1) AS n12 FROM b GROUP BY 1, 2),
+      ug AS (SELECT w1, sum(n12)::bigint AS n1 FROM bg GROUP BY w1),
+      pr AS (SELECT bigram, n12, ${qz6("n12::double / n1::double")} AS p
+             FROM bg JOIN ug USING (w1))
+      SELECT doc_id, count(1) AS n_bigrams,
+        sum(CASE WHEN n12 < 5 THEN 1 ELSE 0 END)::bigint AS n_rare,
+        ${qz6("cast(sum(cast(p AS decimal(18,6))) AS double) / count(1)::double")} AS mean_p
+      FROM b JOIN pr USING (bigram)
+      GROUP BY doc_id ORDER BY doc_id""",
+
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256, count(1) AS dup_count

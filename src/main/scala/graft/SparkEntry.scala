@@ -393,6 +393,32 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** N-gram LM scoring of documents against the corpus's own bigram model
+    * (the CCNet-style model-based quality filter, in engine-exact
+    * arithmetic): per doc, the rare-bigram rate (count-based — a doc full
+    * of bigrams the corpus has rarely seen is likely noise) and the mean
+    * conditional probability, each term an exact integer ratio quantized
+    * BEFORE the decimal-exact sum so no float reassociation or libm log
+    * can diverge across engines. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val bigr = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
+    val model = bigr.groupBy(col("bigram")).agg(count(lit(1)).as("n12"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val totals = model.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val probs = model.join(totals, "w1")
+      .select(col("bigram"), col("n12"),
+        TextOps.quantize6(col("n12").cast("double") / col("n1").cast("double")).as("p"))
+    bigr.join(probs, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("n12") < 5, 1L).otherwise(0L)).as("n_rare"),
+        TextOps.quantize6(
+          sum(col("p").cast("decimal(18,6)")).cast("double") / count(lit(1)).cast("double")).as("mean_p"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup by content hash over a duplicated corpus. */
   private def q17(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -952,6 +978,7 @@ object SparkEntry {
     "q60_quality_topp" -> (q60 _),
     "q61_stratified_sample" -> (q61 _),
     "q62_pii_redaction" -> (q62 _),
+    "q63_ngram_lm_score" -> (q63 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal_stub" -> (q92 _),
