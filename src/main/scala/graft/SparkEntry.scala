@@ -696,8 +696,9 @@ object SparkEntry {
     SimilaritySearch.topKText(docs, "doc_id", "emb", "table scan merge join spark", 10)
   }
 
-  /** Multimodal plumbing: binary columns + stub decode/featurize + resize
-    * plan (real schema/partitioning, stubbed codec). */
+  /** Multimodal decode/featurize/resize: image rows decode REAL PNGs and
+    * audio rows REAL WAVs through the JDK codecs (ImageIO, javax.sound);
+    * video rows exercise the labeled stub fallback. */
   private def q92(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(s, t(s, dir, "documents"))
     Multimodal.resizePlan(Multimodal.decodeAndFeaturize(media), maxSide = 512)
@@ -981,7 +982,7 @@ object SparkEntry {
     "q63_ngram_lm_score" -> (q63 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
-    "q92_multimodal_stub" -> (q92 _),
+    "q92_multimodal" -> (q92 _),
     "q93_cdc_cycle" -> (q93 _),
     "q94_ivf_ann" -> (q94 _),
     "q95_sketches" -> (q95 _))

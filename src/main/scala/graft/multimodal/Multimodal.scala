@@ -3,47 +3,172 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata (north-star extension — the reference is text-only).
   *
-  * The Spark-side contract is fully real — schema, partition-preserving
-  * batch iteration via `mapPartitions` over a typed Dataset, deterministic
-  * output shape — while the codec step is a clearly-marked STUB (no
-  * image/audio libraries exist in this container). Swapping
-  * [[stubDecode]] / [[stubFeatures]] for a JNI/av codec is a local change:
-  * the operator shape (per-partition batched decode to amortize codec
-  * init, feature vectors as `array<float>`) is what matters at 100 TB.
+  * Codec status, honestly per modality:
+  *  - **image: REAL.** The JDK ships PNG/JPEG/BMP/GIF codecs
+  *    (`javax.imageio`), so decode, luminance features, and aspect-
+  *    preserving resize run on actual pixels with zero extra deps.
+  *  - **audio: REAL** for WAV/PCM (`javax.sound.sampled`): header parse,
+  *    16-bit PCM decode, RMS/zero-crossing/amplitude-histogram features.
+  *  - **video: STUB** (no container/video codec exists in the JDK) —
+  *    deterministic pseudo-dims + byte-histogram features with a
+  *    frame-stride stand-in, clearly marked.
+  * Undecodable bytes of any modality fall back to the stub path instead
+  * of failing the partition — corrupt media is data, not an exception.
+  *
+  * The operator shape is the production-real part: per-partition batched
+  * `mapPartitions` over a typed Dataset (codec init amortizes once per
+  * partition), deterministic output schema, features as `array<float>`.
   */
 object Multimodal {
 
   case class MediaRow(media_id: Long, modality: String, data: Array[Byte], meta: Map[String, String])
+
+  /** width/height are pixels for images, (sampleRate, frames) for audio,
+    * stub pseudo-dims for video/undecodable; `decoded` marks whether the
+    * REAL codec path produced the row. */
   case class DecodedRow(
       media_id: Long, modality: String, n_bytes: Int,
-      width: Int, height: Int, features: Array[Float])
+      width: Int, height: Int, decoded: Boolean, features: Array[Float])
 
-  /** Wrap a text fixture into a binary "media" table (test stand-in: bytes
-    * are the UTF-8 text; modality round-robins image/audio/video). */
-  def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
-    import spark.implicits._
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")), (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
-      col("text").cast("binary").as("data"),
-      map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"))
-      .as[MediaRow]
+  // --- real image codec (JDK ImageIO) ------------------------------------
+
+  /** Deterministic synthetic RGB PNG (test/media generator). */
+  def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** STUB codec: a real implementation would decode image bytes (JPEG/PNG)
-    * to pixels here. The stub derives deterministic pseudo-dimensions from
-    * the byte content so downstream plumbing is testable. */
+  def decodeImage(data: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(data)))
+    catch { case _: Exception => None }
+
+  /** 16-bin luminance histogram over the real pixels, L1-normalized. */
+  def imageFeatures(img: BufferedImage): Array[Float] = {
+    val hist = new Array[Float](16)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        hist(lum * 16 / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val total = hist.sum
+    if (total > 0) { var j = 0; while (j < 16) { hist(j) /= total; j += 1 } }
+    hist
+  }
+
+  /** REAL aspect-preserving resize: decode, scale through Graphics2D,
+    * re-encode PNG. None when the bytes don't decode; unchanged bytes when
+    * already within `maxSide`. */
+  def resizeImage(data: Array[Byte], maxSide: Int): Option[Array[Byte]] =
+    decodeImage(data).map { img =>
+      val scale = math.min(maxSide.toDouble / math.max(img.getWidth, img.getHeight), 1.0)
+      if (scale >= 1.0) data
+      else {
+        val tw = math.max(1, math.ceil(img.getWidth * scale).toInt)
+        val th = math.max(1, math.ceil(img.getHeight * scale).toInt)
+        val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img.getScaledInstance(tw, th, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+        finally g.dispose()
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
+
+  // --- real audio codec (JDK javax.sound, WAV/PCM) ------------------------
+
+  /** Deterministic 16-bit mono PCM WAV of a sine tone (test/media gen). */
+  def encodeWav(nFrames: Int, sampleRate: Float, freqHz: Double): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (math.sin(2 * math.Pi * freqHz * i / sampleRate) * 12000).toShort
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** WAV decode: (sampleRate, frames, 16-dim features = [rms,
+    * zero-crossing-rate, 14-bin amplitude histogram]). None if the bytes
+    * aren't a parseable WAV. */
+  def audioFeatures(data: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(data))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sumSq = 0.0
+          var crossings = 0
+          var prevPositive = true
+          val hist = new Array[Float](14)
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            val s = (if (fmt.isBigEndian) (lo << 8) | (bytes(2 * i + 1) & 0xff) else (hi << 8) | lo).toShort
+            sumSq += s.toDouble * s
+            val positive = s >= 0
+            if (i > 0 && positive != prevPositive) crossings += 1
+            prevPositive = positive
+            hist(math.min(math.abs(s.toInt) * 14 / 32768, 13)) += 1f
+            i += 1
+          }
+          val total = hist.sum
+          if (total > 0) { var j = 0; while (j < 14) { hist(j) /= total; j += 1 } }
+          val feats = new Array[Float](16)
+          feats(0) = if (n > 0) (math.sqrt(sumSq / n) / 32768.0).toFloat else 0f
+          feats(1) = if (n > 1) crossings.toFloat / (n - 1) else 0f
+          System.arraycopy(hist, 0, feats, 2, 14)
+          Some((fmt.getSampleRate.toInt, n, feats))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  // --- stub fallback (video; undecodable bytes) ---------------------------
+
+  /** STUB codec (video / fallback): deterministic pseudo-dimensions from
+    * the byte content so downstream plumbing stays testable. */
   def stubDecode(data: Array[Byte]): (Int, Int) = {
     val h = java.util.Arrays.hashCode(data)
     (math.floorMod(h, 1920) + 1, math.floorMod(h >>> 16, 1080) + 1)
   }
 
-  /** STUB feature extractor: 16-dim byte-histogram features (deterministic
-    * fake for an image/audio encoder). Per-frame sampling for "video" =
-    * byte-stride subsampling, mirroring real frame-sample semantics. */
+  /** STUB feature extractor: 16-dim byte-histogram. Per-frame sampling for
+    * "video" = byte-stride subsampling, mirroring frame-sample semantics. */
   def stubFeatures(data: Array[Byte], modality: String): Array[Float] = {
     val stride = if (modality == "video") 4 else 1 // frame-sample stand-in
     val hist = new Array[Float](16)
@@ -54,25 +179,64 @@ object Multimodal {
     hist
   }
 
-  /** The decode/feature-extract operator: per-partition batched so a real
-    * codec would init once per partition (not per row). Partitioning,
-    * schema, and batch shape are production-real; only the codec is fake. */
+  // --- media generation + the operator ------------------------------------
+
+  /** Binary "media" table from a text fixture: image rows carry REAL PNG
+    * bytes, audio rows REAL WAV bytes (both deterministic from the id),
+    * video rows the raw UTF-8 text (exercising the stub fallback). */
+  def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")), (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("data"),
+      map(lit("source"), col("source"), lit("lang"), col("lang")).as("meta"))
+      .as[MediaRow]
+      .map { r =>
+        r.modality match {
+          case "image" => r.copy(data = encodePng(32 + (r.media_id % 32).toInt, 24 + (r.media_id % 24).toInt, r.media_id))
+          case "audio" => r.copy(data = encodeWav(800 + (r.media_id % 400).toInt, 8000f, 440.0 + (r.media_id % 200)))
+          case _ => r
+        }
+      }
+  }
+
+  /** The decode/feature-extract operator: per-partition batched so codec
+    * init happens once per partition (not per row). Image and audio run
+    * the REAL JDK codecs; video (and any undecodable bytes) take the
+    * labeled stub fallback. */
   def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // codec/session init would happen here, once per partition
       rows.map { r =>
-        val (w, h) = stubDecode(r.data)
-        DecodedRow(r.media_id, r.modality, r.data.length, w, h, stubFeatures(r.data, r.modality))
+        def fallback = {
+          val (w, h) = stubDecode(r.data)
+          DecodedRow(r.media_id, r.modality, r.data.length, w, h, decoded = false, stubFeatures(r.data, r.modality))
+        }
+        r.modality match {
+          case "image" => decodeImage(r.data) match {
+            case Some(img) =>
+              DecodedRow(r.media_id, r.modality, r.data.length,
+                img.getWidth, img.getHeight, decoded = true, imageFeatures(img))
+            case None => fallback
+          }
+          case "audio" => audioFeatures(r.data) match {
+            case Some((rate, frames, feats)) =>
+              DecodedRow(r.media_id, r.modality, r.data.length, rate, frames, decoded = true, feats)
+            case None => fallback
+          }
+          case _ => fallback
+        }
       }
     }
   }
 
-  /** Resize metadata transform (STUB): computes target dims preserving
-    * aspect ratio — the pixel work is the codec's, the plumbing is ours. */
+  /** Resize planning over decoded dims: target size preserving aspect
+    * ratio (the per-image pixel work is [[resizeImage]]). */
   def resizePlan(decoded: Dataset[DecodedRow], maxSide: Int): DataFrame =
     decoded.toDF().select(
-      col("media_id"), col("modality"), col("width"), col("height"),
+      col("media_id"), col("modality"), col("width"), col("height"), col("decoded"),
       least(lit(maxSide) / greatest(col("width"), col("height")).cast("double"), lit(1.0)).as("scale"))
       .withColumn("target_w", ceil(col("width") * col("scale")).cast("int"))
       .withColumn("target_h", ceil(col("height") * col("scale")).cast("int"))

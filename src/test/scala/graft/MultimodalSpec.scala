@@ -3,9 +3,10 @@ package graft
 import graft.multimodal.Multimodal
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal plumbing: the Spark-side contract (schema, typed Dataset,
-  * per-partition batch shape, deterministic outputs) is real; codecs are
-  * marked stubs. */
+/** Multimodal plumbing: image and audio run REAL JDK codecs (ImageIO,
+  * javax.sound WAV/PCM); video and undecodable bytes take the labeled
+  * stub fallback; the Spark-side contract (schema, typed Dataset,
+  * per-partition batch shape, deterministic outputs) is real throughout. */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   import spark.implicits._
@@ -16,26 +17,60 @@ class MultimodalSpec extends AnyFunSuite {
     (2L, "third payload somewhat longer than the rest", "fr", "srcC", 43L))
     .toDF("doc_id", "text", "lang", "source", "n_chars")
 
-  test("syntheticMedia: binary data round-trips, modality cycles, metadata typed") {
+  test("syntheticMedia: modality cycles; image/audio carry real codec bytes; video keeps text") {
     val media = Multimodal.syntheticMedia(spark, docs).collect().sortBy(_.media_id)
     assert(media.map(_.modality).toSeq == Seq("image", "audio", "video"))
-    assert(new String(media(0).data, "UTF-8") == "first document text here")
+    // image bytes are a real PNG (magic header), audio a real WAV (RIFF)
+    assert(media(0).data.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert(new String(media(1).data.take(4), "US-ASCII") == "RIFF")
+    assert(new String(media(2).data, "UTF-8") == "third payload somewhat longer than the rest")
     assert(media(1).meta == Map("source" -> "srcB", "lang" -> "de"))
   }
 
-  test("decodeAndFeaturize: deterministic, 16-dim normalized features, video strides") {
+  test("real image path: PNG decodes to its true dimensions with pixel-histogram features") {
+    val png = Multimodal.encodePng(64, 48, seed = 7L)
+    val img = Multimodal.decodeImage(png)
+    assert(img.isDefined && img.get.getWidth == 64 && img.get.getHeight == 48)
+    val feats = Multimodal.imageFeatures(img.get)
+    assert(feats.length == 16 && math.abs(feats.sum - 1.0f) < 1e-3)
+    // corrupt bytes decode to None, not an exception
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("real resize: re-encoded image honors maxSide and aspect ratio; small images pass through") {
+    val png = Multimodal.encodePng(64, 48, seed = 7L)
+    val resized = Multimodal.resizeImage(png, maxSide = 32).get
+    val back = Multimodal.decodeImage(resized).get
+    assert(back.getWidth == 32 && back.getHeight == 24) // aspect 4:3 preserved
+    assert(Multimodal.resizeImage(png, maxSide = 128).get eq png) // within bounds: untouched bytes
+    assert(Multimodal.resizeImage("junk".getBytes, 32).isEmpty)
+  }
+
+  test("real audio path: WAV round-trips sample rate and frames; sine has energy + crossings") {
+    val wav = Multimodal.encodeWav(nFrames = 1600, sampleRate = 8000f, freqHz = 440.0)
+    val Some((rate, frames, feats)) = Multimodal.audioFeatures(wav)
+    assert(rate == 8000 && frames == 1600)
+    assert(feats.length == 16)
+    assert(feats(0) > 0.1f, s"sine RMS should be substantial, got ${feats(0)}") // rms of 12000/32768 amplitude
+    assert(feats(1) > 0.05f, "440 Hz at 8 kHz must cross zero often")
+    assert(Multimodal.audioFeatures("definitely not audio".getBytes).isEmpty)
+  }
+
+  test("decodeAndFeaturize: real paths flagged decoded=true, video falls back to stub") {
     val media = Multimodal.syntheticMedia(spark, docs)
     val out1 = Multimodal.decodeAndFeaturize(media).collect().sortBy(_.media_id)
     val out2 = Multimodal.decodeAndFeaturize(media).collect().sortBy(_.media_id)
     assert(out1.map(_.features.toSeq).toSeq == out2.map(_.features.toSeq).toSeq) // deterministic
+    val img = out1.find(_.modality == "image").get
+    assert(img.decoded && img.width == 32 && img.height == 24) // 32+0%32, 24+0%24
+    val audio = out1.find(_.modality == "audio").get
+    assert(audio.decoded && audio.width == 8000 && audio.height == 800 + 1 % 400)
+    val video = out1.find(_.modality == "video").get
+    assert(!video.decoded && video.n_bytes == 43)
     out1.foreach { r =>
       assert(r.features.length == 16)
-      assert(math.abs(r.features.sum - 1.0f) < 1e-3 || r.features.sum == 0f) // normalized histogram
-      assert(r.width >= 1 && r.width <= 1920 && r.height >= 1 && r.height <= 1080)
+      assert(math.abs(r.features.sum - 1.0f) < 1e-3 || r.modality == "audio" || r.features.sum == 0f)
     }
-    // frame-sample stride: the video row consumed every 4th byte
-    val video = out1.find(_.modality == "video").get
-    assert(video.n_bytes == 43)
   }
 
   test("resizePlan: aspect ratio preserved, never upscales") {
