@@ -700,7 +700,10 @@ object SparkEntry {
     * audio rows REAL WAVs through the JDK codecs (ImageIO, javax.sound);
     * video rows exercise the labeled stub fallback. */
   private def q92(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(s, t(s, dir, "documents"))
+    // bounded: the cost being exercised is decode/featurize/resize, not
+    // the synthetic PNG/WAV ENCODING that fabricates the fixture (500 docs
+    // = the whole table at sf0.01; a fixed slice of it at larger SFs)
+    val media = Multimodal.syntheticMedia(s, t(s, dir, "documents").where(col("doc_id") < 500))
     Multimodal.resizePlan(Multimodal.decodeAndFeaturize(media), maxSide = 512)
       .orderBy(col("media_id"))
   }
