@@ -83,7 +83,10 @@ class Engine(
         val simBits = Cdc.readLayout(sinkDir).simBits // the sink's own layout
         val buckets =
           (SimilaritySearch.multiProbeBuckets(probe, simBits, nprobe).map(_.toInt) :+ -1).distinct
-        ns.where(col("simb").isin(buckets: _*))
+        // isNull: rows from a pre-simb sink read back with simb = NULL,
+        // which `isin` never matches (three-valued logic) — without this
+        // an ANN search over a legacy sink silently returns nothing
+        ns.where(col("simb").isin(buckets: _*) || col("simb").isNull)
       }
     SimilaritySearch.topK(pruned, "id", "embedding",
       org.apache.spark.sql.functions.lit(probe).cast("array<float>"), k)

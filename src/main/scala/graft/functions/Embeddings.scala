@@ -40,7 +40,15 @@ object Embeddings {
     * murmur3 block structure `MurmurHash3.stringHash` uses (2 chars per
     * mix), so no lowercase copy, no split array, no token substrings —
     * this is the engine's hottest scalar function (every chunk and every
-    * document passes through it) and the one non-codegen stage. */
+    * document passes through it) and the one non-codegen stage.
+    *
+    * Case folding is ASCII-only and locale-INdependent — a deliberate
+    * divergence from the previous `String.toLowerCase` formulation, which
+    * was default-locale-sensitive (e.g. 'I' under a Turkish locale) and
+    * could fold exotic code points (KELVIN SIGN) into ASCII token chars.
+    * For pure-ASCII text (all fixtures and the parity test) the two are
+    * bit-identical; for Unicode the scanner is the more reproducible
+    * definition, which is what a persisted vector sink needs. */
   def embed(text: String, dim: Int = Dim): Array[Float] = {
     val out = new Array[Float](dim)
     if (text != null) {

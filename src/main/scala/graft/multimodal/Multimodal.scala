@@ -102,17 +102,22 @@ object Multimodal {
 
   // --- real audio codec (JDK javax.sound, WAV/PCM) ------------------------
 
-  /** Deterministic 16-bit mono PCM WAV of a sine tone (test/media gen). */
-  def encodeWav(nFrames: Int, sampleRate: Float, freqHz: Double): Array[Byte] = {
-    val pcm = new Array[Byte](nFrames * 2)
+  /** Deterministic 16-bit PCM WAV of a sine tone (test/media gen). */
+  def encodeWav(nFrames: Int, sampleRate: Float, freqHz: Double, channels: Int = 1): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2 * channels)
     var i = 0
     while (i < nFrames) {
       val s = (math.sin(2 * math.Pi * freqHz * i / sampleRate) * 12000).toShort
-      pcm(i * 2) = (s & 0xff).toByte
-      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      var c = 0
+      while (c < channels) {
+        val base = 2 * (i * channels + c)
+        pcm(base) = (s & 0xff).toByte
+        pcm(base + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
       i += 1
     }
-    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
     val bos = new ByteArrayOutputStream()
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
@@ -120,40 +125,54 @@ object Multimodal {
   }
 
   /** WAV decode: (sampleRate, frames, 16-dim features = [rms,
-    * zero-crossing-rate, 14-bin amplitude histogram]). None if the bytes
-    * aren't a parseable WAV. */
+    * zero-crossing-rate, 14-bin amplitude histogram]). Multi-channel PCM
+    * is handled by averaging channels per FRAME (frame count and
+    * zero-crossings are computed on the mixed-down waveform, never on
+    * interleaved samples). None if the bytes aren't parseable 16-bit
+    * PCM. */
   def audioFeatures(data: Array[Byte]): Option[(Int, Int, Array[Float])] =
     try {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(data))
       try {
         val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16) None
+        val channels = fmt.getChannels
+        if (fmt.getSampleSizeInBits != 16 || channels < 1) None
         else {
           val bytes = ais.readAllBytes()
-          val n = bytes.length / 2
+          val nFrames = bytes.length / (2 * channels)
           var sumSq = 0.0
           var crossings = 0
           var prevPositive = true
           val hist = new Array[Float](14)
-          var i = 0
-          while (i < n) {
-            val lo = bytes(2 * i) & 0xff
-            val hi = bytes(2 * i + 1).toInt
-            val s = (if (fmt.isBigEndian) (lo << 8) | (bytes(2 * i + 1) & 0xff) else (hi << 8) | lo).toShort
+          var f = 0
+          while (f < nFrames) {
+            // mix channels down to one sample per frame
+            var acc = 0
+            var c = 0
+            while (c < channels) {
+              val base = 2 * (f * channels + c)
+              val lo = bytes(base) & 0xff
+              val s =
+                if (fmt.isBigEndian) ((lo << 8) | (bytes(base + 1) & 0xff)).toShort
+                else ((bytes(base + 1).toInt << 8) | lo).toShort
+              acc += s
+              c += 1
+            }
+            val s = acc / channels
             sumSq += s.toDouble * s
             val positive = s >= 0
-            if (i > 0 && positive != prevPositive) crossings += 1
+            if (f > 0 && positive != prevPositive) crossings += 1
             prevPositive = positive
-            hist(math.min(math.abs(s.toInt) * 14 / 32768, 13)) += 1f
-            i += 1
+            hist(math.min(math.abs(s) * 14 / 32768, 13)) += 1f
+            f += 1
           }
           val total = hist.sum
           if (total > 0) { var j = 0; while (j < 14) { hist(j) /= total; j += 1 } }
           val feats = new Array[Float](16)
-          feats(0) = if (n > 0) (math.sqrt(sumSq / n) / 32768.0).toFloat else 0f
-          feats(1) = if (n > 1) crossings.toFloat / (n - 1) else 0f
+          feats(0) = if (nFrames > 0) (math.sqrt(sumSq / nFrames) / 32768.0).toFloat else 0f
+          feats(1) = if (nFrames > 1) crossings.toFloat / (nFrames - 1) else 0f
           System.arraycopy(hist, 0, feats, 2, 14)
-          Some((fmt.getSampleRate.toInt, n, feats))
+          Some((fmt.getSampleRate.toInt, nFrames, feats))
         }
       } finally ais.close()
     } catch { case _: Exception => None }

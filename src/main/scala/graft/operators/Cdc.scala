@@ -180,6 +180,7 @@ object Cdc {
     * original layout — `layout` only applies to a fresh sink. */
   def initVectorSink(spark: SparkSession, sinkDir: String, layout: SinkLayout = DefaultLayout): Unit = {
     val path = s"$sinkDir/vectors"
+    recoverVectorSink(sinkDir) // write-entry point: finish any crashed swap
     if (!new java.io.File(path).exists()) {
       new java.io.File(sinkDir).mkdirs()
       writeLayout(sinkDir, layout)
@@ -191,9 +192,15 @@ object Cdc {
   /** Explicit schema: partition columns come from directory names, data
     * columns from the files; an empty (just-initialized) sink reads as an
     * empty relation instead of failing schema inference. */
+  /** Readers deliberately do NOT run swap recovery: a reader healing a
+    * sink while a live writer is mid-swap would race the writer's renames
+    * and could destroy a bucket's only copy. A crashed swap leaves the
+    * live tree readable and loss-free (each bucket is atomically either
+    * its old or its new whole-directory state); the swap completes at the
+    * next WRITE ([[upsertVectors]]/[[initVectorSink]]) or an explicit
+    * [[recoverVectorSink]]. */
   def readVectorSink(spark: SparkSession, sinkDir: String): DataFrame = {
     val path = s"$sinkDir/vectors"
-    recoverVectorSink(sinkDir) // heal an interrupted swap before listing files
     if (new java.io.File(path).exists()) spark.read.schema(vectorSinkSchema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorSinkSchema)
   }
@@ -218,11 +225,12 @@ object Cdc {
     * directory while the live sink is untouched, then an intent manifest is
     * recorded and each touched bucket directory is swapped in by two
     * renames (live → trash, staged → live). A crash before the manifest
-    * leaves the sink exactly as it was; a crash during the swaps is rolled
-    * FORWARD by [[recoverVectorSink]] (staged data is complete by
+    * leaves the sink exactly as it was; a crash during the swaps leaves
+    * every bucket atomically old-or-new (readable, loss-free) and is
+    * rolled FORWARD by [[recoverVectorSink]] (staged data is complete by
     * construction once the manifest exists), which runs automatically at
-    * the start of every upsert and read. In production the same contract
-    * is a Delta/Iceberg MERGE; this is the no-new-deps parquet equivalent. */
+    * the start of every WRITE. In production the same contract is a
+    * Delta/Iceberg MERGE; this is the no-new-deps parquet equivalent. */
   def upsertVectors(
       spark: SparkSession,
       sinkDir: String,
@@ -315,8 +323,11 @@ object Cdc {
     * exists (written only after the staged rewrite completed, so the staged
     * side is always the complete post-upsert state — re-applying every
     * listed bucket finishes the upsert; already-swapped buckets are
-    * idempotent no-ops). Called from every upsert/read, so a crashed
-    * process's sink heals on next touch. */
+    * idempotent no-ops). Runs at every WRITE entry (upsert/init), so a
+    * crashed writer's sink heals before the next write; like every
+    * parquet-directory sink without a transaction log, the sink assumes a
+    * SINGLE writer at a time (concurrent writers need Delta/Iceberg-style
+    * commit coordination regardless of this mechanism). */
   def recoverVectorSink(sinkDir: String): Unit = {
     val mf = manifestFile(sinkDir)
     if (mf.exists()) {
@@ -406,11 +417,18 @@ object Cdc {
     * no global ordering pass — because the reference's own boundaries are
     * arbitrary arrival order (`SELECT *` with no ORDER BY,
     * service_layer/service.py:53-57) and content-hash ids keep the upsert
-    * idempotent either way. `deterministicChunks = true` opts into exact
+    * idempotent either way. Idempotency caveat, stated precisely: a
+    * crash-RETRY of the same delta re-chunks it, and scalable boundaries
+    * reproduce only while the input partitioning does (same files, same
+    * split config) — a retry under a changed partitioning can emit
+    * differently-bounded chunks alongside the earlier attempt's, i.e.
+    * duplicate CONTENT with distinct ids (still never duplicate ids, and
+    * never lost rows). `deterministicChunks = true` opts into exact
     * reproducible boundaries via a total order on `orderCol` (distributed
     * numbering: range partition + broadcast offsets — see
-    * Chunker.chunkDeterministic) for oracle runs and byte-stable re-syncs,
-    * at the cost of one extra global ordering pass per cycle. */
+    * Chunker.chunkDeterministic), restoring strict retry idempotency for
+    * pipelines that need it, at the cost of one extra global ordering pass
+    * per cycle. */
   def syncTable(
       spark: SparkSession,
       sourceDir: String,

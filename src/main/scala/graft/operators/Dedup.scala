@@ -209,18 +209,24 @@ object Dedup {
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
         .localCheckpoint(true)
-      // Convergence = the edge set is a forest of depth-1 stars, i.e. no
-      // node appears as BOTH a child (u) and a parent (v): stars are a
-      // fixpoint of large-star∘small-star, and any chain (u→v→w) means
-      // another round is needed. Checked on THIS round's materialized
-      // output with one semi-join over the (small) distinct node sets —
-      // the former fixpoint tests (2×exceptAll+2×isEmpty, or an edge-set
-      // signature) could only detect convergence one full round AFTER it
-      // happened, paying an entire redundant contraction round per query.
-      converged = small
-        .select(col("v"))
-        .join(small.select(col("u").as("v")), Seq("v"), "left_semi")
-        .isEmpty
+      // Convergence = the edge set is a forest of depth-1 stars, which
+      // requires BOTH (checked on THIS round's materialized output, so no
+      // redundant confirming round is paid):
+      //  (a) FUNCTION: every child has exactly one parent — one tiny agg
+      //      (count == countDistinct(u)). A child with TWO parents bridges
+      //      two stars of one component and needs another round to merge
+      //      them (DedupSpec "two-parent bridge" pins the case: checking
+      //      only (b) would split that component);
+      //  (b) NO CHAIN: no node is both child and parent — one semi-join
+      //      over the distinct node sets, only run when (a) holds.
+      // Star states are exact fixpoints of large-star∘small-star, and both
+      // steps preserve connectivity, so a function+no-chain state means
+      // every component is fully contracted.
+      val shape = small.agg(count(lit(1)), countDistinct(col("u"))).collect()(0)
+      converged = shape.getLong(0) == shape.getLong(1) &&
+        small.select(col("v"))
+          .join(small.select(col("u").as("v")), Seq("v"), "left_semi")
+          .isEmpty
       freeLocalCheckpoint(large)
       freeLocalCheckpoint(edges)
       edges = small

@@ -67,18 +67,9 @@ object IvfIndex {
       k: Int,
       nprobe: Int = 2): DataFrame = {
     val cents = centroids(spark, indexDir)
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i).toDouble * b(i); sa += a(i).toDouble * a(i); sb += b(i).toDouble * b(i); i += 1 }
-      val d = math.sqrt(sa) * math.sqrt(sb)
-      if (d == 0.0) 0.0 else dot / d
-    }
-    val probeClusters = cents.zipWithIndex
-      .map { case (c, i) => (cos(c, probe), i) }
-      .sortBy { case (s, i) => (-s, i) }
-      .take(math.max(nprobe, 1)).map(_._2)
+    val probeClusters = SimilaritySearch.rankClusters(cents, probe, math.max(nprobe, 1))
     spark.read.parquet(s"$indexDir/data")
-      .where(col("cluster").isin(probeClusters.toSeq: _*))
+      .where(col("cluster").isin(probeClusters: _*))
       .select(col("id"),
         round(VectorOps.cosineFast(col("embedding"), lit(probe).cast("array<float>")), 6).as("score"))
       .orderBy(desc("score"), col("id"))

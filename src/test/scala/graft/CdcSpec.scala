@@ -159,12 +159,23 @@ class CdcSpec extends AnyFunSuite {
     }
     assert(boom.getMessage == "injected crash")
 
-    // the next read heals the sink by rolling the swap FORWARD: every
-    // previously committed id is still present and batch-2 ids all show v2
-    // (the staged rewrite was complete before any swap began)
+    // a plain READ after the crash must lose nothing — each bucket is
+    // atomically its old or new whole-directory state (readers do NOT run
+    // recovery: that would race a live writer's renames)
+    val midway = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(midway.keySet == committed.keySet, "committed ids lost by mid-swap crash")
+    midway.foreach { case (id, text) =>
+      assert(text == s"v1-$id" || text == s"v2-$id", s"$id has corrupt text $text")
+    }
+
+    // the next WRITE rolls the crashed swap forward first, then applies
+    // itself — re-running the same upsert (what a crashed CDC cycle does)
+    // converges the sink to the full batch-2 state
+    Cdc.upsertVectors(spark, sink, b2)
     val after = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(after.keySet == committed.keySet, "committed ids lost by mid-swap crash")
+    assert(after.keySet == committed.keySet)
     ids.take(10).foreach(id => assert(after(id) == s"v2-$id", s"$id not rolled forward"))
     ids.drop(10).foreach(id => assert(after(id) == s"v1-$id"))
     // swap scratch state is fully cleared

@@ -69,6 +69,24 @@ class DedupSpec extends AnyFunSuite {
     assert(star(0L) == ((0L, true)))
   }
 
+  test("star-contraction two-parent bridge: a child with two parents must not end the loop") {
+    // After one contraction round this graph reaches an edge set where no
+    // node is both child and parent, yet node 3 holds parents 1 AND 2 —
+    // the bridge between two half-contracted stars of ONE component. A
+    // convergence test checking only chains declares victory here and
+    // splits the component in two; the function condition (one parent per
+    // child) forces the extra merging round.
+    import spark.implicits._
+    val ids = spark.range(21).toDF("doc_id")
+    val pairs = Seq((3L, 10L), (3L, 20L), (1L, 5L), (5L, 10L), (2L, 7L), (7L, 20L))
+      .toDF("id_a", "id_b")
+    val star = Dedup.dedupClustersStar(ids, "doc_id", pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical")).toMap
+    Seq(1L, 2L, 3L, 5L, 7L, 10L, 20L).foreach { id =>
+      assert(star(id) == 1L, s"node $id labeled ${star(id)}: one component split apart")
+    }
+  }
+
   test("embedding near-dup via sign buckets finds identical vectors") {
     val vecs = Seq(
       (1L, Array(0.5f, -0.5f, 0.3f, 0.2f, -0.1f, 0.9f, 0.4f, -0.2f)),

@@ -56,6 +56,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioFeatures("definitely not audio".getBytes).isEmpty)
   }
 
+  test("stereo WAV: frames count true frames (not interleaved samples), features sane") {
+    val stereo = Multimodal.encodeWav(nFrames = 1600, sampleRate = 8000f, freqHz = 440.0, channels = 2)
+    val Some((rate, frames, feats)) = Multimodal.audioFeatures(stereo)
+    assert(rate == 8000 && frames == 1600, s"stereo frame count wrong: $frames")
+    assert(feats(0) > 0.1f && feats(1) > 0.05f) // mixed-down waveform, not L/R interleave
+  }
+
   test("decodeAndFeaturize: real paths flagged decoded=true, video falls back to stub") {
     val media = Multimodal.syntheticMedia(spark, docs)
     val out1 = Multimodal.decodeAndFeaturize(media).collect().sortBy(_.media_id)
