@@ -31,6 +31,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("unit-separator chunking round-trips docs CONTAINING spaces exactly") {
+    // the q54 invariant made a property: split(text, UnitSep) must recover
+    // the exact doc multiset even when docs embed the old default
+    // separator (spaces) — the failure mode the separator fix closed
+    val docGen = Gen.listOfN(3, Gen.oneOf("a b", "c", "d  e", "f g h")).map(_.mkString(" "))
+    for ((n, size) <- samples(Gen.zip(Gen.chooseNum(1, 120), Gen.chooseNum(1, 40)), 8)) {
+      val docs = samples(docGen, n).zipWithIndex.map { case (d, i) => (i.toLong, s"$i:$d") }
+      val df = docs.toDF("id", "doc")
+      val out = Chunker.chunkScalable(df, col("doc"), "t", size, sep = Chunker.UnitSep).collect()
+      assert(out.forall(_.getAs[Long]("n_rows") <= size))
+      val recovered = out.flatMap(_.getAs[String]("text").split(java.util.regex.Pattern.quote(Chunker.UnitSep)))
+      assert(recovered.sorted.toSeq == docs.map(_._2).sorted, "doc multiset not preserved through chunk+split")
+    }
+  }
+
+  test("multiProbeBuckets: distinct buckets, base first, nondecreasing flip cost for random probes") {
+    import graft.operators.SimilaritySearch
+    val probeGen = Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f).suchThat(_ != 0f)).map(_.toArray)
+    for (probe <- samples(probeGen, 10); nprobe <- Seq(1, 3, 8, 256)) {
+      val buckets = SimilaritySearch.multiProbeBuckets(probe, 8, nprobe)
+      assert(buckets.size == math.min(math.max(nprobe, 1), 256))
+      assert(buckets.distinct.size == buckets.size, s"duplicate buckets: $buckets")
+      var base = 0L
+      (0 until 8).foreach(i => if (probe(i) > 0f) base |= (1L << i))
+      assert(buckets.head == base)
+      def cost(b: Long) = (0 until 8).filter(i => ((b ^ base) & (1L << i)) != 0)
+        .map(i => math.abs(probe(i).toDouble)).sum
+      val costs = buckets.map(cost)
+      assert(costs == costs.sorted, s"flip costs not nondecreasing: $costs")
+    }
+  }
+
   test("embedding: deterministic, fixed dim, unit norm (or zero) for arbitrary text") {
     for (s <- samples(Gen.asciiPrintableStr, 30)) {
       val a = Embeddings.embed(s)
