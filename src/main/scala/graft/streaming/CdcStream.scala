@@ -92,6 +92,35 @@ object CdcStream {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream inner join within an event-time bound (T4/T5
+    * extension): left rows match right rows with the same key whose
+    * timestamp falls in [left.ts - bound, left.ts + bound]. BOTH sides
+    * carry watermarks and the join condition bounds event time in both
+    * directions, so Spark can evict matched-out state — the only shape
+    * under which stream-stream join state stays finite (an unbounded
+    * condition accumulates both streams forever). */
+  def streamStreamJoin(
+      spark: SparkSession,
+      leftDir: String,
+      leftSchema: StructType,
+      rightDir: String,
+      rightSchema: StructType,
+      key: String,
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      bound: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame = {
+    val left = spark.readStream.schema(leftSchema).parquet(leftDir)
+      .withWatermark(leftTs, lateness).alias("l")
+    val right = spark.readStream.schema(rightSchema).parquet(rightDir)
+      .withWatermark(rightTs, lateness).alias("r")
+    left.join(
+      right,
+      expr(s"l.$key = r.$key AND " +
+        s"r.$rightTs >= l.$leftTs - interval '$bound' AND " +
+        s"r.$rightTs <= l.$leftTs + interval '$bound'"))
+  }
+
   /** Windowed streaming aggregation (T4 coverage): tumbling event-time
     * window with lateness watermark over an event stream. */
   def windowedCounts(

@@ -225,6 +225,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"dup not collapsed: ${ids.mkString(",")}")
   }
 
+  test("stream-stream join matches keys within the time bound and drops the rest") {
+    val scratch = Files.createTempDirectory("graft_ssjoin").toString
+    val inL = s"$scratch/clicks"; val inR = s"$scratch/buys"
+    new java.io.File(inL).mkdirs(); new java.io.File(inR).mkdirs()
+    val clicks = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (2L, ts("2024-01-01 12:00:00"), "click")).toDF("user_id", "ts", "kind")
+    val buys = Seq(
+      (1L, ts("2024-01-01 10:30:00"), "buy"),  // within 1h of user 1's click → match
+      (2L, ts("2024-01-01 15:00:00"), "buy"),  // 3h after user 2's click → dropped
+      (3L, ts("2024-01-01 10:15:00"), "buy"))  // no click for user 3 → dropped (inner)
+      .toDF("user_id", "ts", "kind")
+    writeDrop(clicks, inL, "drop1")
+    writeDrop(buys, inR, "drop1")
+
+    val joined = CdcStream.streamStreamJoin(
+      spark, inL, clicks.schema, inR, buys.schema, key = "user_id", bound = "1 hour")
+      .select(col("l.user_id").as("user_id"), col("l.ts").as("click_ts"), col("r.ts").as("buy_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ssjoin")
+      .option("checkpointLocation", s"$scratch/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("graft_ssjoin").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("buy_ts")))
+    assert(out.toSeq == Seq((1L, ts("2024-01-01 10:30:00"))),
+      s"expected exactly user 1's in-bound purchase: ${out.mkString(", ")}")
+  }
+
   test("windowed streaming aggregation with watermark produces per-window counts") {
     val scratch = Files.createTempDirectory("graft_wstream").toString
     val in = s"$scratch/in"
