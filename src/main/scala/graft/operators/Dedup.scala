@@ -58,11 +58,20 @@ object Dedup {
     // One md5 per raw shingle; the distinct HASH set is both the minhash
     // input (universal-hash permutations) and the Jaccard-verify set —
     // long arrays shuffle ~2× lighter than string arrays.
-    val withSig = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // The prep relation feeds BOTH sides of the self-join; materialized
+    // once (pre-explode, so hs arrays are stored n× not n×bands×) or the
+    // whole shingle+minhash pipeline executes twice. At cluster scale the
+    // same role is a persisted staging table; locally the block-manager
+    // checkpoint is the no-dependency equivalent (same pattern as
+    // Chunker.chunkDeterministic).
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
         transform(TextOps.wordShingles(col("text"), shingleN), s => PortableHash.hash32(s))))))
       .withColumn("sz", size(col("hs")))
       .withColumn("sig", ArrayExprs.sticky(ArrayExprs.minhashSignatureFast(col("hs"), k)))
+      .drop("text")
+      .localCheckpoint(true)
+    val withSig = base
       .withColumn("band_key", explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand)))
     val a = withSig.select(col("band_key"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val b = withSig.select(col("band_key"), col("doc_id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
@@ -264,10 +273,12 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "byte-blocking is exact only for maxHamming <= 3 over 4 bytes")
+    // materialized once — feeds both join sides (see minhashLshPairs)
     val withSim = df.select(
       col(idCol).as("doc_id"),
       ArrayExprs.sticky(ArrayExprs.simhash32Fast(
         transform(TextOps.tokens(col(textCol)), t => PortableHash.hash32(t)))).as("simhash"))
+      .localCheckpoint(true)
     // block key = byteIdx*256 + byte value — exact, injective, and a LONG
     // (the former "i:b" concat string shuffled ~3× heavier per row)
     val blocked = withSim.withColumn(
@@ -302,11 +313,14 @@ object Dedup {
       threshold: Double = 0.3,
       lengthBucket: Int = 16): DataFrame = {
     val thrNum = math.round(threshold * 1e6)
+    // materialized once — feeds both join sides (see minhashLshPairs)
     val prepped = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
         transform(TextOps.wordShingles(col("text"), shingleN), s => PortableHash.hash32(s))))))
       .withColumn("sz", size(col("hs")))
       .withColumn("block", ArrayExprs.sticky(floor(TextOps.tokenCount(col("text")) / lengthBucket)))
+      .drop("text")
+      .localCheckpoint(true)
     val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
     joinVerify(a, b, "block", thrNum)
