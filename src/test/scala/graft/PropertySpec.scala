@@ -63,6 +63,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget packing: doc multiset preserved; packs bounded by budget + own largest doc") {
+    import org.apache.spark.sql.functions.explode
+    for ((n, budget) <- samples(Gen.zip(Gen.chooseNum(0, 200), Gen.chooseNum(5L, 60L)), 8)) {
+      val docs = (1 to n).map(i => (i.toLong, s"doc$i", 1L + (i * 7) % 20))
+      val df = docs.toDF("id", "doc", "tok")
+      val out = Chunker.packByTokenBudget(df, col("doc"), col("tok"), "t", budget, sep = Chunker.UnitSep)
+        .select(col("id"), explode(split(col("text"), java.util.regex.Pattern.quote(Chunker.UnitSep))).as("doc"))
+        .collect()
+      // parity: every doc in exactly one pack
+      assert(out.map(_.getAs[String]("doc")).sorted.toSeq == docs.map(_._2).sorted,
+        s"doc multiset broken at n=$n budget=$budget")
+      // budget law: pack tokens < budget + that pack's largest doc
+      val tokOf = docs.map(d => d._2 -> d._3).toMap
+      out.groupBy(_.getAs[String]("id")).foreach { case (_, rows) =>
+        val toks = rows.map(r => tokOf(r.getAs[String]("doc")))
+        assert(toks.sum < budget + toks.max, s"pack overshoot: sum=${toks.sum} budget=$budget max=${toks.max}")
+      }
+    }
+  }
+
   test("embedding: deterministic, fixed dim, unit norm (or zero) for arbitrary text") {
     for (s <- samples(Gen.asciiPrintableStr, 30)) {
       val a = Embeddings.embed(s)
