@@ -430,15 +430,19 @@ object SparkEntry {
     val sepRe = java.util.regex.Pattern.quote(Chunker.UnitSep)
     val packed = Chunker.packByTokenBudget(
       docs, col("doc_id").cast("string"), col("tok"), "documents", budget = 512, sep = Chunker.UnitSep)
-    val tokOf = t(s, dir, "documents")
-      .select(col("doc_id").cast("string").as("doc"), TextOps.tokenCount(col("text")).cast("long").as("tok"))
+    val tokOf = docs.select(col("doc_id").cast("string").as("doc"), col("tok"))
+    val wPack = Window.partitionBy(col("pack_id"))
     packed
       .select(col("id").as("pack_id"), explode(split(col("text"), sepRe)).as("doc"), col("n_rows"))
       .join(tokOf, "doc")
-      .withColumn("pack_tokens", sum(col("tok")).over(Window.partitionBy(col("pack_id"))))
-      .withColumn("max_doc_tok", max(col("tok")).over(Window.partitionBy(col("pack_id"))))
+      .withColumn("n_exploded", count(lit(1)).over(wPack))
+      .withColumn("pack_tokens", sum(col("tok")).over(wPack))
+      .withColumn("max_doc_tok", max(col("tok")).over(wPack))
       .select(col("doc"),
-        (col("n_rows") >= 1 && col("pack_tokens") - col("max_doc_tok") < 512).as("pack_ok"))
+        // n_rows == exploded doc count: the separator split reconstructs
+        // exactly the docs the pack recorded (parity against collisions)
+        (col("n_rows") === col("n_exploded") &&
+          col("pack_tokens") - col("max_doc_tok") < 512).as("pack_ok"))
       .orderBy(col("doc"))
   }
 

@@ -146,6 +146,7 @@ object Chunker {
       source: String,
       budget: Long,
       sep: String = DefaultSep): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
     val tagged = df
       .withColumn("_pid", spark_partition_id().cast("long"))
       .withColumn("_mid", monotonically_increasing_id())

@@ -63,7 +63,10 @@ object Dedup {
     // whole shingle+minhash pipeline executes twice. At cluster scale the
     // same role is a persisted staging table; locally the block-manager
     // checkpoint is the no-dependency equivalent (same pattern as
-    // Chunker.chunkDeterministic).
+    // Chunker.chunkDeterministic). Block lifecycle: once the returned
+    // plan (and thus the checkpointed RDD) becomes unreachable,
+    // ContextCleaner unpersists it on GC — long sessions reclaim these
+    // blocks without an explicit handle.
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
         transform(TextOps.wordShingles(col("text"), shingleN), s => PortableHash.hash32(s))))))
