@@ -401,8 +401,13 @@ object Cdc {
     initVectorSink(spark, sinkDir, layout)
     val tables = Tables.listTables(sourceDir)
       .filter(_ != WatermarkTable) // P5 anti-filter
+    // one read of the watermark store for the whole cycle — per-table
+    // getWatermark would run a separate job (read + filter + collect) per
+    // table per cycle, pure fixed overhead at any scale
+    val wms = readWatermarks(spark, stateDir).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Timestamp]("last_updated")).toMap
     tables.flatMap { t =>
-      try Some(t -> syncTable(spark, sourceDir, stateDir, sinkDir, t, changeCol, orderCol, chunkSize, deterministicChunks, namespace))
+      try Some(t -> syncTable(spark, sourceDir, stateDir, sinkDir, t, changeCol, orderCol, chunkSize, deterministicChunks, namespace, Some(wms.get(t))))
       catch {
         case e: Exception => // T6: log-and-continue, per-table isolation
           System.err.println(s"[cdc] table $t failed: ${e.getMessage}")
@@ -439,14 +444,17 @@ object Cdc {
       orderCol: String,
       chunkSize: Int,
       deterministicChunks: Boolean = false,
-      namespace: String = DefaultNamespace): Long = {
+      namespace: String = DefaultNamespace,
+      knownWatermark: Option[Option[Timestamp]] = None): Long = {
     val src = Tables.table(spark, sourceDir, tableName)
     if (!src.columns.contains(changeCol)) return 0L // not a CDC table
     // chunk order: the table's primary key when known (SURVEY §7: defined
     // order makes chunks deterministic), else the caller's orderCol
     val effOrderCol =
       Tables.primaryKey(tableName).filter(src.columns.contains).getOrElse(orderCol)
-    val wm = getWatermark(spark, stateDir, tableName)
+    // outer None = "look it up" (standalone call); Some(wm) = the cycle
+    // already read the store once for all tables
+    val wm = knownWatermark.getOrElse(getWatermark(spark, stateDir, tableName))
     val delta = Cdc.deltaScan(src, changeCol, wm).cache()
     try {
       // P6 empty-delta skip: no sink write, no watermark advance
