@@ -275,6 +275,42 @@ object OracleSql {
       SELECT doc_id::varchar AS doc, true AS pack_ok
       FROM documents ORDER BY doc""",
 
+    "q65_curation_pipeline" -> s"""
+      WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+      deduped AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+      w AS (SELECT doc_id, source, text, $TOKS AS w FROM deduped),
+      shl AS (SELECT doc_id,
+        list_distinct(list_transform($SHINGLES3RAW, s2 -> ${h32("s2")})) AS hs FROM w),
+      ex AS (SELECT doc_id, unnest(hs) AS h FROM shl),
+      tst AS (SELECT DISTINCT h FROM ex WHERE doc_id % 97 = 0),
+      contaminated AS (
+        SELECT DISTINCT doc_id FROM ex JOIN tst USING (h) WHERE doc_id % 97 != 0),
+      clean AS (
+        SELECT * FROM w WHERE doc_id % 97 != 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      m AS (SELECT doc_id, source, w AS toks,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+        CASE WHEN length(w) = 0 THEN 0.0
+             ELSE length(list_filter(w, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(w) END AS stop_r,
+        length(text) AS len FROM clean),
+      q AS (SELECT doc_id, source, toks,
+        ${qz6("least(len::double / 500.0, 1.0) * 0.4 + least(stop_r * 5.0, 1.0) * 0.3 + greatest(1.0 - punct_r * 4.0, 0.0) * 0.3")} AS quality
+        FROM m),
+      rk AS (SELECT doc_id, toks, quality,
+        row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk,
+        count(1) OVER (PARTITION BY source) AS n_src FROM q),
+      filtered AS (SELECT doc_id, length(toks)::bigint AS tok,
+        CASE WHEN ${h32("'split:' || doc_id::varchar")} % 100 < 90 THEN 'train' ELSE 'val' END AS split
+        FROM rk WHERE rnk * 4 <= n_src * 3 + 3),
+      packed AS (SELECT split, doc_id, tok,
+        floor(coalesce(sum(tok) OVER (PARTITION BY split ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)::bigint AS pack
+        FROM filtered)
+      SELECT split, count(1) AS n_docs, sum(tok)::bigint AS n_tokens,
+        count(DISTINCT pack) AS n_packs
+      FROM packed GROUP BY split ORDER BY split""",
+
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256, count(1) AS dup_count

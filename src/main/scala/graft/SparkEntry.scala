@@ -446,6 +446,52 @@ object SparkEntry {
       .orderBy(col("doc"))
   }
 
+  /** The capstone curation pipeline, composed end-to-end in ONE plan and
+    * oracle-checked: exact dedup → held-out decontamination → per-source
+    * quality filter (keep top 3/4, integer-rank) → deterministic
+    * train/val split → per-split token and 512-token-pack accounting.
+    * Every stage is an operator proven individually (q17, q57, q60, q46,
+    * q58); this proves they COMPOSE — the form a real corpus build takes. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // 1. exact dedup: keep the min doc_id per distinct text
+    val kept = Dedup.exactByText(docs, "doc_id", "text").select(col("doc_id"))
+    val deduped = docs.join(kept, Seq("doc_id"), "left_semi")
+    // 2. decontamination: the held-out set (doc_id % 97 == 0) leaves the
+    //    corpus, and so does any doc sharing a 3-shingle with it
+    val sh = deduped
+      .select(col("doc_id"), explode(array_distinct(TextOps.wordShingles(col("text"), 3))).as("sh"))
+      .select(col("doc_id"), PortableHash.hash32(col("sh")).as("h"))
+    val testShingles = sh.where(col("doc_id") % 97 === 0).select(col("h")).distinct()
+    val contaminated = sh.where(col("doc_id") % 97 =!= 0)
+      .join(testShingles, Seq("h"), "left_semi").select(col("doc_id")).distinct()
+    val clean = deduped
+      .where(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 3. quality: keep each source's top 3/4 by integer rank
+    val wRank = Window.partitionBy(col("source")).orderBy(desc("q"), col("doc_id"))
+    val wSrc = Window.partitionBy(col("source"))
+    val filtered = clean
+      .withColumn("q", TextOps.qualityScore(col("text")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(wSrc))
+      .where(col("rnk") * 4 <= col("n_src") * 3 + 3) // rnk <= ceil(3n/4)
+    // 4. deterministic split; 5. per-split corpus + packing accounting
+    val bucket = PortableHash.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 100
+    val wCum = Window.partitionBy(col("split")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    filtered
+      .withColumn("split", when(bucket < 90, "train").otherwise("val"))
+      .withColumn("tok", TextOps.tokenCount(col("text")).cast("long"))
+      .withColumn("pack", floor(coalesce(sum(col("tok")).over(wCum), lit(0L)) / 512))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        countDistinct(col("pack")).as("n_packs"))
+      .orderBy(col("split"))
+  }
+
   /** Exact dedup by content hash over a duplicated corpus. */
   private def q17(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -1011,6 +1057,7 @@ object SparkEntry {
     "q62_pii_redaction" -> (q62 _),
     "q63_ngram_lm_score" -> (q63 _),
     "q64_token_packing" -> (q64 _),
+    "q65_curation_pipeline" -> (q65 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),
