@@ -20,6 +20,45 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default per-bucket membership cap for every blocked pair generator —
+    * see [[dropOversizedBuckets]]. 8192 bounds the worst per-bucket
+    * candidate count at ~3.4·10⁷ pairs (one join task's worth of cheap
+    * integer refines) while sitting far above any bucket a non-degenerate
+    * corpus produces at the default band/byte/length/sign blocking. */
+  val DefaultMaxBucket = 8192
+
+  /** Degenerate-bucket guard shared by every blocked pair generator. A
+    * blocking bucket of m rows yields m(m-1)/2 candidate pairs inside ONE
+    * join task, so a single boilerplate template (m = 10⁶ near-identical
+    * docs sharing a band/byte/length/sign key) is ~5·10¹¹ pairs — the only
+    * quadratic path in the engine. Buckets larger than `maxBucket` are
+    * DROPPED from pair generation (member rows still participate through
+    * every other bucket key they carry) and the drop is logged with
+    * bucket/row counts, bounding worst-case per-bucket cost at
+    * maxBucket²/2. Near-identical floods should be exact-deduped first
+    * ([[exactByText]]): byte-identical copies collapse to one
+    * representative and never reach the LSH stage, so a triggered drop is
+    * a signal the corpus skipped that step. The oversized list is tiny by
+    * construction (≤ rows/maxBucket entries), materialized once
+    * (localCheckpoint) and anti-joined as a broadcast — the guard costs
+    * one map-side-combined count per bucket key and adds no shuffle on
+    * the data path. */
+  private def dropOversizedBuckets(
+      blocked: DataFrame, key: String, maxBucket: Int, tag: String): DataFrame = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    val oversized = blocked.groupBy(col(key)).agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") > maxBucket)
+      .localCheckpoint(true)
+    val stats = oversized.agg(count(lit(1)).as("nb"), sum(col("_bsz")).as("nrows")).collect()(0)
+    if (stats.getLong(0) > 0)
+      System.err.println(
+        s"[dedup] WARN $tag: dropped ${stats.getLong(0)} degenerate bucket(s) " +
+          s"(> $maxBucket members, ${stats.getLong(1)} member rows) from pair " +
+          "generation — pairs inside them are NOT examined; exact-dedup the " +
+          "corpus first if these are byte-identical floods")
+    blocked.join(broadcast(oversized.select(col(key))), Seq(key), "left_anti")
+  }
+
   /** Exact dedup by content hash: keeps the row with the minimal `idCol`
     * per distinct `textCol` (deterministic winner). Single shuffle on the
     * 64-hex digest — at 100 TB this is the cheapest possible full dedup
@@ -44,7 +83,9 @@ object Dedup {
     * Scale shape: the exploded relation is n×b rows; the self-join shuffles
     * on band_key so only same-bucket docs meet. Skewed buckets (e.g. empty
     * docs) are the classic hazard — AQE skew-join handles moderate skew;
-    * degenerate all-identical corpora should be exact-deduped first. */
+    * buckets beyond `maxBucket` members are dropped with a logged count
+    * ([[dropOversizedBuckets]]), so no input can trigger a quadratic
+    * blowup. */
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -52,7 +93,8 @@ object Dedup {
       shingleN: Int = 3,
       k: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rowsPerBand = k / bands
     val thrNum = math.round(threshold * 1e6)
     // One md5 per raw shingle; the distinct HASH set is both the minhash
@@ -74,8 +116,9 @@ object Dedup {
       .withColumn("sig", ArrayExprs.sticky(ArrayExprs.minhashSignatureFast(col("hs"), k)))
       .drop("text")
       .localCheckpoint(true)
-    val withSig = base
-      .withColumn("band_key", explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand)))
+    val withSig = dropOversizedBuckets(
+      base.withColumn("band_key", explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand))),
+      "band_key", maxBucket, "minhashLshPairs")
     val a = withSig.select(col("band_key"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val b = withSig.select(col("band_key"), col("doc_id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
     joinVerify(a, b, "band_key", thrNum)
@@ -269,12 +312,16 @@ object Dedup {
     * within `maxHamming` bits. Blocking: 4 bucket keys per doc (one per
     * 8-bit simhash byte) — by pigeonhole, any pair within hamming ≤ 3
     * shares at least one identical byte, so the byte-equality join finds
-    * all such pairs without an n² comparison. */
+    * all such pairs without an n² comparison. Byte buckets beyond
+    * `maxBucket` members are dropped with a logged count
+    * ([[dropOversizedBuckets]]) — exactness holds for every bucket the
+    * guard leaves intact. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming <= 3, "byte-blocking is exact only for maxHamming <= 3 over 4 bytes")
     // materialized once — feeds both join sides (see minhashLshPairs)
     val withSim = df.select(
@@ -284,11 +331,13 @@ object Dedup {
       .localCheckpoint(true)
     // block key = byteIdx*256 + byte value — exact, injective, and a LONG
     // (the former "i:b" concat string shuffled ~3× heavier per row)
-    val blocked = withSim.withColumn(
-      "block",
-      explode(array((0 until 4).map { byteIdx =>
-        lit(byteIdx * 256L) + shiftright(col("simhash"), byteIdx * 8).bitwiseAND(lit(255L))
-      }: _*)))
+    val blocked = dropOversizedBuckets(
+      withSim.withColumn(
+        "block",
+        explode(array((0 until 4).map { byteIdx =>
+          lit(byteIdx * 256L) + shiftright(col("simhash"), byteIdx * 8).bitwiseAND(lit(255L))
+        }: _*))),
+      "block", maxBucket, "simhashPairs")
     val a = blocked.select(col("block"), col("doc_id").as("id_a"), col("simhash").as("sim_a"))
     val b = blocked.select(col("block"), col("doc_id").as("id_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("block"))
@@ -314,16 +363,19 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.3,
-      lengthBucket: Int = 16): DataFrame = {
+      lengthBucket: Int = 16,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val thrNum = math.round(threshold * 1e6)
     // materialized once — feeds both join sides (see minhashLshPairs)
-    val prepped = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
-        transform(TextOps.wordShingles(col("text"), shingleN), s => PortableHash.hash32(s))))))
-      .withColumn("sz", size(col("hs")))
-      .withColumn("block", ArrayExprs.sticky(floor(TextOps.tokenCount(col("text")) / lengthBucket)))
-      .drop("text")
-      .localCheckpoint(true)
+    val prepped = dropOversizedBuckets(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
+          transform(TextOps.wordShingles(col("text"), shingleN), s => PortableHash.hash32(s))))))
+        .withColumn("sz", size(col("hs")))
+        .withColumn("block", ArrayExprs.sticky(floor(TextOps.tokenCount(col("text")) / lengthBucket)))
+        .drop("text")
+        .localCheckpoint(true),
+      "block", maxBucket, "ngramJaccardPairs")
     val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
     joinVerify(a, b, "block", thrNum)
@@ -331,17 +383,24 @@ object Dedup {
 
   /** Embedding near-dup: pairs with cosine ≥ `threshold`, blocked by
     * sign-bucket LSH over the first `bits` dimensions so the vector join is
-    * bucket-local (near-identical vectors share all leading signs). */
+    * bucket-local (near-identical vectors share all leading signs). Sign
+    * buckets beyond `maxBucket` members are dropped with a logged count
+    * ([[dropOversizedBuckets]]). */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      bits: Int = 8): DataFrame = {
-    val withBucket = df.select(
-      col(idCol).as("vid"),
-      col(vecCol).as("v"),
-      VectorOps.signBucket(col(vecCol), bits).as("bucket"))
+      bits: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // materialized once — feeds the bucket-size count and both join sides
+    val withBucket = dropOversizedBuckets(
+      df.select(
+        col(idCol).as("vid"),
+        col(vecCol).as("v"),
+        VectorOps.signBucket(col(vecCol), bits).as("bucket"))
+        .localCheckpoint(true),
+      "bucket", maxBucket, "embeddingNearDupPairs")
     val a = withBucket.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
     val b = withBucket.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

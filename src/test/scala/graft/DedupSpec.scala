@@ -87,6 +87,51 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate-bucket guard: 10k-doc boilerplate flood completes with zero quadratic work") {
+    // Adversarial input: 10⁴ byte-identical docs. Every band bucket then
+    // holds all 10⁴ docs — unguarded that is ~5·10⁷ candidate pairs per
+    // bucket refined inside ONE join task (and ~5·10¹¹ at crawl-scale
+    // m=10⁶, the engine's only quadratic path). The guard drops buckets
+    // over DefaultMaxBucket (8192) with a logged count, so the query
+    // returns immediately with no pairs examined inside them.
+    val docs = spark.range(10000).selectExpr(
+      "id as doc_id",
+      "'common boilerplate page header identical across every crawled document footer marker' as text")
+    val t0 = System.nanoTime()
+    assert(Dedup.minhashLshPairs(docs, "doc_id", "text").count() == 0L)
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count() == 0L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, f"guard failed to bound the flood: $secs%.1f s")
+  }
+
+  test("degenerate-bucket guard drops only oversized buckets; normal pairs survive") {
+    // 300 identical flood docs (band buckets of 300 > cap 100) mixed with
+    // the small near-dup corpus (buckets of ≤ 5): the flood contributes no
+    // pairs, the genuine dup pair is still found.
+    val flood = spark.range(100L, 400L).selectExpr(
+      "id as doc_id",
+      "'flooded template body repeated verbatim across the entire mirror site capture' as text")
+    val mixed = corpus.unionByName(flood)
+    val pairs = Dedup.minhashLshPairs(mixed, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.5, maxBucket = 100)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)), "pair from a normal-size bucket must survive the guard")
+    assert(!pairs.exists { case (a, b) => a >= 100L || b >= 100L },
+      "no pair may come out of a dropped bucket")
+  }
+
+  test("degenerate-bucket guard bounds the simhash and embedding generators too") {
+    val floodDocs = spark.range(2000).selectExpr(
+      "id as doc_id", "'identical simhash flood text body for every single row' as text")
+    assert(Dedup.simhashPairs(floodDocs, "doc_id", "text", maxHamming = 3, maxBucket = 500).count() == 0L)
+    import spark.implicits._
+    val floodVecs = spark.range(2000)
+      .selectExpr("id as vec_id")
+      .withColumn("embedding", typedLit(Array(0.5f, -0.5f, 0.3f, 0.2f, -0.1f, 0.9f, 0.4f, -0.2f)))
+    assert(Dedup.embeddingNearDupPairs(floodVecs, "vec_id", "embedding",
+      threshold = 0.95, bits = 8, maxBucket = 500).count() == 0L)
+  }
+
   test("embedding near-dup via sign buckets finds identical vectors") {
     val vecs = Seq(
       (1L, Array(0.5f, -0.5f, 0.3f, 0.2f, -0.1f, 0.9f, 0.4f, -0.2f)),
