@@ -129,25 +129,32 @@ object Cdc {
       .map(_.getTimestamp(0))
   }
 
-  def readWatermarks(spark: SparkSession, stateDir: String): DataFrame = {
-    val path = s"$stateDir/$WatermarkTable"
-    if (new java.io.File(path).exists())
-      spark.read.parquet(path)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], watermarkSchema)
-  }
+  def readWatermarks(spark: SparkSession, stateDir: String): DataFrame =
+    liveVersionDir(s"$stateDir/$WatermarkTable") match {
+      case Some(dir) => spark.read.parquet(dir)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], watermarkSchema)
+    }
 
   /** S7: `INSERT … ON DUPLICATE KEY UPDATE` analog
     * (`service_layer/service.py:38-42`): read-modify-write keyed by
     * table_name, last-writer-wins. Parquet has no MERGE, so: union new row
-    * + keep max per key + atomic directory swap. */
-  def updateWatermark(spark: SparkSession, stateDir: String, tableName: String, ts: Timestamp): Unit = {
+    * + keep max per key + versioned-directory commit ([[atomicOverwrite]]
+    * — at every instant, including mid-crash, a complete store is
+    * readable). `onBeforeCommit` is a test hook for crash injection
+    * between the data write and the pointer publish. */
+  def updateWatermark(
+      spark: SparkSession,
+      stateDir: String,
+      tableName: String,
+      ts: Timestamp,
+      onBeforeCommit: () => Unit = () => ()): Unit = {
     import spark.implicits._
     val updated = readWatermarks(spark, stateDir)
       .union(Seq((tableName, ts)).toDF("table_name", "last_updated"))
       .groupBy("table_name")
       .agg(max("last_updated").as("last_updated"))
-    atomicOverwrite(spark, updated, s"$stateDir/$WatermarkTable")
+    atomicOverwrite(spark, updated, s"$stateDir/$WatermarkTable", onBeforeCommit)
   }
 
   // --- delta extraction (S5/P3) -------------------------------------------
@@ -482,19 +489,63 @@ object Cdc {
     } finally delta.unpersist()
   }
 
-  /** Atomic-ish local overwrite: write to a temp dir, swap. Avoids the
-    * read-then-overwrite-same-path corruption of naive parquet RMW. */
-  private def atomicOverwrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    val tmp = path + "_tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      val old = new java.io.File(path + "_old")
-      deleteRecursively(old)
-      target.renameTo(old)
-    }
-    new java.io.File(tmp).renameTo(target)
-    deleteRecursively(new java.io.File(path + "_old"))
+  /** Crash-safe overwrite of a small state directory: versioned data dirs
+    * behind an atomically-renamed pointer file — the MVCC-pointer pattern
+    * every table format (Delta/Iceberg/Hudi) uses for its commit, scaled
+    * down to a pointer file instead of a log.
+    *
+    * The previous implementation (rename live → _old, rename tmp → live)
+    * had a window between the two renames in which NO live directory
+    * existed: a crash there silently reset the store (for the watermark
+    * store, a forced full re-sync). Here the commit is ONE atomic POSIX
+    * rename of the pointer file, so at every instant — including any
+    * crash point — the pointer names a complete, readable directory:
+    *
+    *   1. write the new state to `path_v{N+1}` (live store untouched);
+    *   2. publish: write `path.current_tmp`, atomic-rename it over
+    *      `path.current`;
+    *   3. GC superseded version dirs and the legacy unversioned dir.
+    *
+    * A crash before (2) leaves the pointer on the old version (an orphaned
+    * v-dir is GC'd by the next successful write); a crash after (2) leaves
+    * the new version live with stale dirs pending GC. Readers never need
+    * recovery. Like the vector sink, the store assumes a single writer at
+    * a time. */
+  private[operators] def atomicOverwrite(
+      spark: SparkSession,
+      df: DataFrame,
+      path: String,
+      onBeforeCommit: () => Unit = () => ()): Unit = {
+    val f = new java.io.File(path).getAbsoluteFile
+    val parent = f.getParentFile
+    parent.mkdirs()
+    val base = f.getName
+    def versions(): Seq[java.io.File] = Option(parent.listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith(base + "_v"))
+    val next = versions()
+      .flatMap(d => scala.util.Try(d.getName.stripPrefix(base + "_v").toLong).toOption)
+      .foldLeft(0L)(math.max) + 1
+    val vdir = new java.io.File(parent, f"${base}_v$next%06d")
+    df.write.mode(SaveMode.Overwrite).parquet(vdir.getPath)
+    onBeforeCommit() // crash-injection hook: pointer still names the old state
+    val tmp = java.nio.file.Paths.get(path + ".current_tmp")
+    java.nio.file.Files.writeString(tmp, vdir.getName)
+    java.nio.file.Files.move(tmp, new java.io.File(path + ".current").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    versions().filter(_.getName != vdir.getName).foreach(deleteRecursively)
+    deleteRecursively(f) // legacy unversioned dir, now shadowed by the pointer
+  }
+
+  /** The live directory behind a versioned store ([[atomicOverwrite]]):
+    * the pointed version when a pointer exists, else the legacy
+    * unversioned directory (stores written before versioning), else none. */
+  private[operators] def liveVersionDir(path: String): Option[String] = {
+    val ptr = new java.io.File(path + ".current")
+    if (ptr.exists()) {
+      val name = java.nio.file.Files.readString(ptr.toPath).trim
+      Some(new java.io.File(new java.io.File(path).getAbsoluteFile.getParentFile, name).getPath)
+    } else if (new java.io.File(path).exists()) Some(path)
+    else None
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

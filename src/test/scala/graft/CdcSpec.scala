@@ -62,6 +62,43 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-01-05 00:00:00")))
   }
 
+  test("watermark store survives a crash injected before the commit (pre-write value readable)") {
+    // The old implementation had a window (live → _old rename, then
+    // tmp → live rename) where NO live store existed; a crash there
+    // silently reset every watermark (forced full re-sync). The versioned
+    // store commits by one atomic pointer rename — a crash at ANY point
+    // before it must leave the previous value intact and readable.
+    val state = Files.createTempDirectory("graft_wm_crash").toString
+    Cdc.updateWatermark(spark, state, "t1", ts("2024-01-02 00:00:00"))
+    val boom = intercept[RuntimeException] {
+      Cdc.updateWatermark(spark, state, "t1", ts("2024-03-01 00:00:00"),
+        onBeforeCommit = () => throw new RuntimeException("injected crash before pointer publish"))
+    }
+    assert(boom.getMessage.contains("injected"))
+    // pre-write value still live and readable — no reset, no missing dir
+    assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-01-02 00:00:00")))
+    // the next successful write commits the new value and GCs the orphan
+    Cdc.updateWatermark(spark, state, "t1", ts("2024-03-01 00:00:00"))
+    assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-03-01 00:00:00")))
+    val vdirs = new java.io.File(state).listFiles().map(_.getName)
+      .filter(_.startsWith(Cdc.WatermarkTable + "_v"))
+    assert(vdirs.length == 1, s"superseded/orphaned versions not GC'd: ${vdirs.mkString(",")}")
+  }
+
+  test("watermark store reads a legacy unversioned layout and upgrades it on the next write") {
+    val state = Files.createTempDirectory("graft_wm_legacy").toString
+    // seed the pre-versioning layout: a bare parquet dir at state/watermark
+    Seq(("t1", ts("2024-01-02 00:00:00"))).toDF("table_name", "last_updated")
+      .write.parquet(s"$state/${Cdc.WatermarkTable}")
+    assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-01-02 00:00:00")))
+    Cdc.updateWatermark(spark, state, "t2", ts("2024-02-01 00:00:00"))
+    // both keys live; legacy dir replaced by the pointer + version dir
+    assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-01-02 00:00:00")))
+    assert(Cdc.getWatermark(spark, state, "t2").contains(ts("2024-02-01 00:00:00")))
+    assert(!new java.io.File(s"$state/${Cdc.WatermarkTable}").exists())
+    assert(new java.io.File(s"$state/${Cdc.WatermarkTable}.current").exists())
+  }
+
   test("vector upsert: same id overwrites (Pinecone semantics, service.py:160-166)") {
     val sink = Files.createTempDirectory("graft_sink").toString
     Cdc.initVectorSink(spark, sink)
