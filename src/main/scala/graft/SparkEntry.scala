@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Embeddings, JsonRows, PortableHash, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Cdc, Chunker, Dedup, SimilaritySearch}
+import graft.operators.{Cdc, Chunker, Dedup, IvfIndex, SimilaritySearch}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -982,14 +982,20 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
-  /** IVF ANN: deterministic k-means coarse quantizer, nprobe cluster scan
-    * (rows-only: the trained centroids aren't ANSI-SQL-expressible). */
+  /** IVF ANN through the PERSISTED index (rows-only: trained centroids
+    * aren't ANSI-SQL-expressible): build the cluster-partitioned index in
+    * a scratch dir, then `IvfIndex.search` it — the scan is pruned to the
+    * nprobe nearest cluster DIRECTORIES (partition pruning is what makes
+    * IVF an index; plan-asserted in SimilaritySpec). The in-memory
+    * `ivfTopK` full-scan variant stays for tests — it is not the scale
+    * read path. */
   private def q94(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val centroids = SimilaritySearch.ivfTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_q94").toString
+    IvfIndex.build(e, "vec_id", "embedding", idx, k = 8, iters = 2)
     val probe = e.where(col("vec_id") === 0).select("embedding")
       .collect()(0).getSeq[Float](0).toArray
-    SimilaritySearch.ivfTopK(e, "vec_id", "embedding", centroids, probe, k = 10, nprobe = 2)
+    IvfIndex.search(s, idx, probe, k = 10, nprobe = 2)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
