@@ -37,7 +37,8 @@ object CdcStream {
       changeCol: String = "ts",
       orderCol: String = "event_id",
       chunkSize: Int = Chunker.DefaultChunkSize,
-      triggerInterval: String = "300 seconds"): DataStreamWriter[org.apache.spark.sql.Row] = {
+      triggerInterval: String = "300 seconds",
+      onAfterUpsert: () => Unit = () => ()): DataStreamWriter[org.apache.spark.sql.Row] = {
 
     val stream = spark.readStream.schema(schema).parquet(inputDir)
 
@@ -61,6 +62,12 @@ object CdcStream {
                 col("source"),
                 col("text"))
               Cdc.upsertVectors(spark2, sinkDir, vectors)
+              // T3 window, streaming form: a crash HERE (sink written,
+              // watermark not committed, micro-batch not committed) makes
+              // the restarted query re-run the whole batch — content-hash
+              // ids turn that re-run into an idempotent overwrite
+              // (crash-injection-tested in StreamingSpec)
+              onAfterUpsert()
               Cdc.updateWatermark(spark2, stateDir, tableName, agg.getTimestamp(1))
             }
           } finally { delta.unpersist(); () }

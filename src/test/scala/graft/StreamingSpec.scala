@@ -62,6 +62,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(!texts.contains("late-row-dropped")) // T2 data-loss window, by design
   }
 
+  test("crash between upsert and watermark commit reprocesses without duplicate ids " +
+    "(T3 delivery contract, streaming form)") {
+    // Inject a crash AFTER the sink upsert but BEFORE the watermark commit
+    // (and before the micro-batch commit): the restarted query must re-run
+    // the whole batch, and content-hash ids must absorb the re-delivery —
+    // same rows, same ids, overwrite not duplicate.
+    val scratch = Files.createTempDirectory("graft_stream_crash").toString
+    val in = s"$scratch/in"; val state = s"$scratch/state"; val sink = s"$scratch/sink"
+    new java.io.File(in).mkdirs()
+    Cdc.initVectorSink(spark, sink)
+
+    val batch1 = (1 to 120).map(i => (i.toLong, ts(f"2024-01-01 01:${i % 60}%02d:00"), s"p$i"))
+      .toDF("event_id", "ts", "payload")
+    writeDrop(batch1, in, "drop1")
+    val schema = batch1.schema
+
+    val crashing = CdcStream.pipeline(spark, in, schema, state, sink, "events",
+      onAfterUpsert = () => throw new RuntimeException("injected crash before watermark commit"))
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CdcStream.runOnce(crashing)
+    }
+    assert(err.getMessage.contains("injected crash"))
+    // the crash window state: sink written, watermark NOT advanced
+    assert(Cdc.readVectorSink(spark, sink).count() == 2) // ceil(120/100)
+    assert(Cdc.getWatermark(spark, state, "events").isEmpty)
+
+    // restart clean: the uncommitted micro-batch re-runs end-to-end
+    CdcStream.runOnce(CdcStream.pipeline(spark, in, schema, state, sink, "events"))
+    val rows = Cdc.readVectorSink(spark, sink)
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("d")).collect()(0)
+    assert(rows.getLong(0) == 2, s"re-run duplicated chunks: ${rows.getLong(0)}")
+    assert(rows.getLong(0) == rows.getLong(1), "duplicate ids in sink after reprocess")
+    assert(Cdc.getWatermark(spark, state, "events").contains(ts("2024-01-01 01:59:00")))
+  }
+
   test("multi-batch ProcessingTime stream: live drops sequence through micro-batches " +
     "with strict-> lateness exclusion and watermark-after-sink commits") {
     val scratch = Files.createTempDirectory("graft_stream_pt").toString
