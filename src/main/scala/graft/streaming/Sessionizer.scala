@@ -26,7 +26,19 @@ object Sessionizer {
   /** Fold one key's (sorted-by-time) events through an optional open
     * session; returns (sessions closed by a gap, still-open session).
     * Shared by every sessionize variant so their gap semantics can't
-    * drift. */
+    * drift.
+    *
+    * Memory bound: every call site materializes ONE KEY's events from ONE
+    * micro-batch (or, for the batch-complete variant, the whole input) as
+    * a sorted in-memory Seq, because gap semantics need time order and
+    * Spark hands groups in arbitrary order. Stored STATE stays O(1) per
+    * key; the transient buffer is O(events per key per batch) on one task
+    * — fine for human-scale session keys (thousands of events/batch), but
+    * a power-law hot key (a bot hammering one user_id) concentrates its
+    * whole batch slice on one task. If sessions must run on such keys,
+    * bound the batch first (e.g. `dedupedStream`, rate-limit the source,
+    * or shorten the trigger interval so each batch slice stays small) —
+    * an iterator-merge can't help, as sorting inherently buffers. */
   private def foldEvents(
       userId: Long,
       sorted: Seq[Event],
