@@ -132,6 +132,98 @@ class DedupSpec extends AnyFunSuite {
       threshold = 0.95, bits = 8, maxBucket = 500).count() == 0L)
   }
 
+  test("simhash byte-blocking pair recall is exact (measured vs brute-force ground truth)") {
+    // Pigeonhole claim, MEASURED: any pair within hamming ≤ 3 over 4 bytes
+    // shares a byte, so the byte-equality join must find exactly the
+    // brute-force pair set — recall 1.0 and precision 1.0, not "by
+    // construction" but against enumerated ground truth on a seeded corpus
+    // of identical, one-token-off, and unrelated docs.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+      "hotel", "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa")
+    def sentence(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    (0 until 60).foreach { _ =>
+      val base = sentence(30)
+      docs += ((id, base.mkString(" "))); id += 1
+      docs += ((id, base.mkString(" "))); id += 1 // identical copy → hamming 0
+      val perturbed = base.updated(rnd.nextInt(base.size), vocab(rnd.nextInt(vocab.size)))
+      docs += ((id, perturbed.mkString(" "))); id += 1 // near copy → small hamming
+    }
+    val df = docs.toSeq.toDF("doc_id", "text")
+    import graft.plans.ArrayExprs
+    import graft.functions.{PortableHash, TextOps}
+    val sims = df.select(col("doc_id"),
+      ArrayExprs.simhash32Fast(transform(TextOps.tokens(col("text")), t => PortableHash.hash32(t))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val idsSorted = sims.keys.toSeq.sorted
+    val truth = (for {
+      ai <- idsSorted.indices; bi <- (ai + 1) until idsSorted.size
+      a = idsSorted(ai); b = idsSorted(bi)
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+    } yield (a, b)).toSet
+    assert(truth.size >= 60, s"seeded corpus must produce ground-truth pairs, got ${truth.size}")
+    val found = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(found == truth,
+      s"byte-blocking must be pigeonhole-exact: missed ${(truth -- found).size}, spurious ${(found -- truth).size}")
+  }
+
+  test("embedding sign-bucket blocking: measured pair recall, and fewer bits buys more recall") {
+    // The sign-bucket block CAN miss a near-dup pair that straddles one of
+    // the leading hyperplanes — this measures how often, instead of
+    // claiming "near-identical vectors share all leading signs". Seeded
+    // corpus: 120 random unit vectors, each with one perturbed copy whose
+    // cosine straddles the 0.95 threshold; ground truth is the brute-force
+    // O(n²) pair set over the exact refine predicate.
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat; v.map(_ / n)
+    }
+    def randVec() = unit(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val vecs = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    var id = 0L
+    (0 until 120).foreach { _ =>
+      val base = randVec()
+      vecs += ((id, base)); id += 1
+      // noise vector norm ≈ √dim = 4, so cosine ≈ (1+16ε²)^-½: ε in
+      // [0.02, 0.10] spreads copies across cosine ≈ 0.999 … 0.93 —
+      // straddling the 0.95 threshold from both sides
+      val eps = 0.02f + rnd.nextFloat() * 0.08f
+      val near = unit(base.zip(Array.fill(dim)(rnd.nextGaussian().toFloat))
+        .map { case (x, n) => x + eps * n })
+      vecs += ((id, near)); id += 1
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); i += 1 }
+      dot // unit vectors
+    }
+    val arr = vecs.toIndexedSeq
+    val truth = (for {
+      i <- arr.indices; j <- (i + 1) until arr.size
+      if math.rint(cos(arr(i)._2, arr(j)._2) * 1e6) / 1e6 >= 0.95
+    } yield (arr(i)._1, arr(j)._1)).toSet
+    assert(truth.size >= 30, s"seeded corpus must produce ground-truth pairs, got ${truth.size}")
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    def recallAt(bits: Int): Double = {
+      val found = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", threshold = 0.95, bits = bits)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert((found -- truth).isEmpty, s"refine must be exact at bits=$bits: ${(found -- truth).size} spurious")
+      found.intersect(truth).size.toDouble / truth.size
+    }
+    val r4 = recallAt(4); val r8 = recallAt(8)
+    info(f"pair recall: bits=4 → $r4%.3f, bits=8 → $r8%.3f (truth ${truth.size} pairs)")
+    // fewer hyperplanes → coarser buckets → strictly-nested candidate sets
+    assert(r4 >= r8, f"recall must not increase with bits: r4=$r4%.3f r8=$r8%.3f")
+    // measured floors on the seeded corpus (deterministic): document the
+    // trade — bits=8 halves candidate volume vs bits=4 at this recall cost
+    assert(r8 >= 0.55, f"bits=8 recall regressed: $r8%.3f")
+    assert(r4 >= 0.70, f"bits=4 recall regressed: $r4%.3f")
+  }
+
   test("embedding near-dup via sign buckets finds identical vectors") {
     val vecs = Seq(
       (1L, Array(0.5f, -0.5f, 0.3f, 0.2f, -0.1f, 0.9f, 0.4f, -0.2f)),
