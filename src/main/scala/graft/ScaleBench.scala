@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-curve bench: times the six heaviest queries on each given fixture
+  * dir (min of `Repeats` runs each, same session confs as Bench) and
+  * prints one JSON line per dir. Feed it two ScaleGen outputs (1× and R×)
+  * and divide: a query whose seconds grow faster than R is super-linear
+  * and needs a plan audit (BASELINE.md "Scale curve").
+  *
+  * Usage: runMain graft.ScaleBench <dir1> <dir2> ...
+  */
+object ScaleBench {
+  val Heavy = Seq(
+    "q93_cdc_cycle", "q53_dedup_clusters_star", "q45_dedup_clusters",
+    "q65_curation_pipeline", "q18_minhash_lsh", "q63_ngram_lm_score")
+  val Repeats = 2
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleBench <dir> [<dir> ...]")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // one untimed warmup of every heavy query on the first (smallest) dir
+    // so codegen/classloading isn't charged to the first timed run
+    Heavy.foreach { q =>
+      try { SparkEntry.queries(q)(spark, args.head).count(); () }
+      catch { case e: Throwable => System.err.println(s"[scalebench] warmup $q: ${e.getMessage}") }
+    }
+    args.foreach { dir =>
+      val times = Heavy.map { q =>
+        val secs = (1 to Repeats).map { _ =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(q)(spark, dir).count() }
+          catch { case e: Throwable => System.err.println(s"[scalebench] $q failed: ${e.getMessage}"); -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        q -> secs.min
+      }
+      val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(s"""{"dir":"$dir","queries":$qs,"total":${times.map(_._2).sum}}""")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve fixture generator: writes an R×-replicated copy of a
+  * fixture dir's `documents` and `events` tables (the inputs of the six
+  * heaviest queries) so the same query can be timed at two scale factors
+  * and its scaling exponent measured (BASELINE.md "Scale curve").
+  *
+  * Replication is LINEAR BY CONSTRUCTION — each replica is disjoint from
+  * every other in the dimensions the heavy operators join/group on:
+  *  - `documents`: ids offset per replica; every token of replica r > 0
+  *    is suffixed with `~r`, so replicas share no tokens, shingles, or
+  *    band buckets — near-dup pair counts, CC components, and bigram-LM
+  *    models grow exactly R×, never quadratically (naive duplication
+  *    would turn every former pair into R² pairs and poison the curve).
+  *  - `events`: ids and user_ids offset per replica — per-user event
+  *    counts stay constant, the number of users grows R× (the realistic
+  *    scaling model for a CDC/session workload).
+  *
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <replicas>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, repStr) = args
+    val reps = repStr.toInt
+    require(reps >= 1, s"replicas must be >= 1, got $reps")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rcol = explode(array((0 until reps).map(i => lit(i)): _*))
+
+    val docs = Tables.table(spark, srcDir, "documents")
+      .withColumn("r", rcol)
+      .select(
+        (col("doc_id") + col("r").cast("long") * 10000000L).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "), t => concat(t, lit("~"), col("r"))), " "))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    docs.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+
+    val events = Tables.table(spark, srcDir, "events")
+      .withColumn("r", rcol)
+      .select(
+        (col("event_id") + col("r").cast("long") * 100000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r").cast("long") * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    events.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+
+    println(s"""{"out":"$outDir","replicas":$reps,"documents":${docs.count()},"events":${events.count()}}""")
+    spark.stop()
+  }
+}

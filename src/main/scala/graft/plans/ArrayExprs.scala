@@ -285,7 +285,14 @@ object ArrayExprs {
       Md5Hash32.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"graft.plans.ArrayExprs.Md5Hash32$$.MODULE$$.hash($c)")
+      // the BINARY name (ArrayExprs$Md5Hash32$), not the source-level
+      // nested reference (ArrayExprs.Md5Hash32$): Janino resolves member
+      // classes through the mirror class's InnerClasses attribute, which
+      // scalac doesn't emit there — the source form compiled under some
+      // classloaders and silently fell back to interpreted eval under
+      // others (this is the hottest expression in the engine; the
+      // fallback was a ~burned codegen stage per minhash/Jaccard query)
+      defineCodeGen(ctx, ev, c => s"graft.plans.ArrayExprs$$Md5Hash32$$.MODULE$$.hash($c)")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

@@ -35,6 +35,44 @@ class ExprParitySpec extends AnyFunSuite {
     }
   }
 
+  private def withCodegenOnly[T](f: => T): T = {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try f
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("every custom expression COMPILES under forced codegen (no silent interpreted fallback)") {
+    // Spark quietly swallows a Janino compile failure and interprets the
+    // expression instead — correct results, burned performance, invisible
+    // in every parity test above. CODEGEN_ONLY turns the fallback into a
+    // thrown error. This pinned a real bug: Md5Hash32's generated code
+    // referenced the helper via the source-level nested name
+    // (ArrayExprs.Md5Hash32$), which some classloaders resolve and sbt's
+    // layered one does not — the engine's hottest expression ran
+    // interpreted in exactly the deployments that mattered.
+    val out = withCodegenOnly {
+      docs.select(
+        PortableHash.hash32(col("text")).as("h"),
+        ArrayExprs.minhashSignatureFast(
+          transform(TextOps.wordShingles(col("text"), 3), s => PortableHash.hash32(s)), 8).as("sig"),
+        ArrayExprs.simhash32Fast(
+          transform(TextOps.tokens(col("text")), t => PortableHash.hash32(t))).as("sh"),
+        ArrayExprs.sortedIntersectCount(
+          array_sort(transform(TextOps.tokens(col("text")), t => PortableHash.hash32(t))),
+          array_sort(transform(TextOps.tokens(col("text")), t => PortableHash.hash32(t)))).as("ic"))
+        .collect()
+    }
+    assert(out.length == docs.count())
+    val vout = withCodegenOnly {
+      vecs.select(VectorOps.cosineFast(col("v"), col("v")).as("c")).collect()
+    }
+    assert(vout.length == vecs.count())
+  }
+
   test("Md5Hash32: interpreted == codegen == hex-string composition") {
     val strs = Seq("a", "ab", "the quick brown fox", "", "0:shingle words here",
       "ünïcødé ❄ text", "x" * 300).zipWithIndex.map(_.swap).toDF("i", "s")
