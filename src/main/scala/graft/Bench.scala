@@ -48,21 +48,23 @@ object Bench {
       name -> secs.min
     }
     val currentTotal = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Headline hygiene: the final recorded bench overlapped end-of-round
-    // snapshot/commit load three rounds running, so the HEADLINE takes each
-    // query's min across this run and the round's recorded same-sf history
-    // (bench_history.jsonl, rotated per round) — the least-contaminated
-    // estimate of steady-state cost on a shared machine. This run's raw
-    // numbers are appended to the history first and its raw total is
-    // reported alongside as "current_total" for transparency; the
-    // regression WARNs always compare raw numbers.
+    // The HEADLINE ("value"/"queries") is THIS run's raw measurement — the
+    // stdout contract reports what the current code actually did. Per-query
+    // minima across the round's same-sf history (bench_history.jsonl,
+    // rotated per round) are published only as clearly-labeled auxiliary
+    // fields ("round_min_total"/"round_min_queries"): a historical lower
+    // bound for judging machine-load contamination, never a measurement of
+    // HEAD. If raw total drifts >15% above the round minimum, a stderr WARN
+    // flags that either the machine was loaded or a late commit regressed.
     diffAgainstHistory(results.toMap, currentTotal, sfDir)
     val histMins = historyMins(sfDir)
-    val headline = results.map { case (k, v) => k -> math.min(v, histMins.getOrElse(k, v)) }
-    val qs = headline.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (headline.nonEmpty) headline.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","current_total":$currentTotal,"queries":$qs,"sf":"$sfDir"}"""
+    val roundMin = results.map { case (k, v) => k -> math.min(v, histMins.getOrElse(k, v)) }
+    val roundMinTotal = if (roundMin.nonEmpty) roundMin.map(_._2).sum else 0.0
+    if (roundMinTotal > 0 && currentTotal > roundMinTotal * 1.15)
+      System.err.println(f"[bench] WARN raw total $currentTotal%.2fs is ${currentTotal / roundMinTotal}%.2fx the round-min total $roundMinTotal%.2fs — loaded machine or a late-round regression; trust neither until re-run clean")
+    def toJson(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$currentTotal,"unit":"sec","queries":${toJson(results)},"round_min_total":$roundMinTotal,"round_min_queries":${toJson(roundMin)},"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Default per-bucket membership cap for every blocked pair generator —
-    * see [[dropOversizedBuckets]]. 8192 bounds the worst per-bucket
+    * see [[subSplitOversizedBuckets]]. 8192 bounds the worst per-bucket
     * candidate count at ~3.4·10⁷ pairs (one join task's worth of cheap
     * integer refines) while sitting far above any bucket a non-degenerate
     * corpus produces at the default band/byte/length/sign blocking. */
@@ -32,31 +32,57 @@ object Dedup {
     * join task, so a single boilerplate template (m = 10⁶ near-identical
     * docs sharing a band/byte/length/sign key) is ~5·10¹¹ pairs — the only
     * quadratic path in the engine. Buckets larger than `maxBucket` are
-    * DROPPED from pair generation (member rows still participate through
-    * every other bucket key they carry) and the drop is logged with
-    * bucket/row counts, bounding worst-case per-bucket cost at
-    * maxBucket²/2. Near-identical floods should be exact-deduped first
-    * ([[exactByText]]): byte-identical copies collapse to one
-    * representative and never reach the LSH stage, so a triggered drop is
-    * a signal the corpus skipped that step. The oversized list is tiny by
-    * construction (≤ rows/maxBucket entries), materialized once
-    * (localCheckpoint) and anti-joined as a broadcast — the guard costs
-    * one map-side-combined count per bucket key and adds no shuffle on
-    * the data path. */
-  private def dropOversizedBuckets(
-      blocked: DataFrame, key: String, maxBucket: Int, tag: String): DataFrame = {
+    * SUB-SPLIT: each member is re-keyed by a secondary hash of
+    * (id, bucket key) into ceil(size/maxBucket) sub-buckets, so pair
+    * generation still examines every within-sub-bucket pair. Worst-case
+    * per-bucket cost drops from m²/2 to m·maxBucket/2 (LINEAR in m), and
+    * a template flood keeps ≈1/nsplit of its pairs per bucket key instead
+    * of losing all of them — partial recall, never zero. Because the
+    * bucket key feeds the secondary hash, MULTI-key blockers (minhash
+    * bands, simhash bytes) split the same flood differently under each
+    * key, so the union across keys recovers well beyond 1/nsplit;
+    * single-key blockers (ngram length-block, embedding sign-bucket) get
+    * exactly the 1/nsplit within-sub-bucket fraction. This also degrades
+    * gracefully for FIXED small key spaces (simhash has ≤1024 byte
+    * buckets, sign-bucket 2^bits): past ~maxBucket·bucketCount rows every
+    * bucket sub-splits instead of silently vanishing. Exact recall claims
+    * hold only for buckets the guard leaves intact — a triggered split is
+    * logged with bucket/row/sub-bucket counts and is a signal to
+    * exact-dedup first ([[exactByText]]: byte-identical copies collapse
+    * to one representative and never reach the LSH stage). The oversized
+    * list is tiny by construction (≤ rows/maxBucket entries),
+    * materialized once (localCheckpoint) and joined as a broadcast — the
+    * guard costs one map-side-combined count per bucket key and adds no
+    * shuffle on the data path. All output keys are xxhash64-normalized
+    * longs (a 64-bit collision merging two buckets only adds candidates;
+    * the exact refine predicates keep the result set correct). */
+  private def subSplitOversizedBuckets(
+      blocked0: DataFrame, key: String, idCol: String, maxBucket: Int, tag: String): DataFrame = {
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    // A null bucket key can never match in the downstream equi-join, so
+    // those rows are dropped here rather than hash-normalized: xxhash64
+    // maps null to its seed, which would fuse every null-key row into one
+    // real (joinable) bucket and reintroduce the quadratic path for
+    // null-text floods.
+    val blocked = blocked0.where(col(key).isNotNull)
     val oversized = blocked.groupBy(col(key)).agg(count(lit(1)).as("_bsz"))
       .where(col("_bsz") > maxBucket)
       .localCheckpoint(true)
-    val stats = oversized.agg(count(lit(1)).as("nb"), sum(col("_bsz")).as("nrows")).collect()(0)
+    val stats = oversized.agg(count(lit(1)).as("nb"), sum(col("_bsz")).as("nrows"),
+      sum(ceil(col("_bsz") / lit(maxBucket))).as("nsub")).collect()(0)
     if (stats.getLong(0) > 0)
       System.err.println(
-        s"[dedup] WARN $tag: dropped ${stats.getLong(0)} degenerate bucket(s) " +
-          s"(> $maxBucket members, ${stats.getLong(1)} member rows) from pair " +
-          "generation — pairs inside them are NOT examined; exact-dedup the " +
-          "corpus first if these are byte-identical floods")
-    blocked.join(broadcast(oversized.select(col(key))), Seq(key), "left_anti")
+        s"[dedup] WARN $tag: sub-split ${stats.getLong(0)} degenerate bucket(s) " +
+          s"(> $maxBucket members, ${stats.getLong(1)} member rows) into " +
+          s"${stats.getLong(2)} secondary-hash sub-buckets — within-sub-bucket " +
+          "pairs are still examined (partial recall, ≈1/nsplit per bucket key); " +
+          "exact-dedup the corpus first if these are byte-identical floods")
+    val nsplit = ceil(col("_bsz") / lit(maxBucket))
+    blocked.join(broadcast(oversized), Seq(key), "left_outer")
+      .withColumn(key,
+        when(col("_bsz").isNull, xxhash64(col(key)))
+          .otherwise(xxhash64(col(key), pmod(xxhash64(col(idCol), col(key)), nsplit))))
+      .drop("_bsz")
   }
 
   /** Exact dedup by content hash: keeps the row with the minimal `idCol`
@@ -83,9 +109,10 @@ object Dedup {
     * Scale shape: the exploded relation is n×b rows; the self-join shuffles
     * on band_key so only same-bucket docs meet. Skewed buckets (e.g. empty
     * docs) are the classic hazard — AQE skew-join handles moderate skew;
-    * buckets beyond `maxBucket` members are dropped with a logged count
-    * ([[dropOversizedBuckets]]), so no input can trigger a quadratic
-    * blowup. */
+    * buckets beyond `maxBucket` members are sub-split with a logged count
+    * ([[subSplitOversizedBuckets]]), so no input can trigger a quadratic
+    * blowup and a flood still yields partial (per-band-differing) pair
+    * coverage. */
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -116,9 +143,9 @@ object Dedup {
       .withColumn("sig", ArrayExprs.sticky(ArrayExprs.minhashSignatureFast(col("hs"), k)))
       .drop("text")
       .localCheckpoint(true)
-    val withSig = dropOversizedBuckets(
+    val withSig = subSplitOversizedBuckets(
       base.withColumn("band_key", explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand))),
-      "band_key", maxBucket, "minhashLshPairs")
+      "band_key", "doc_id", maxBucket, "minhashLshPairs")
     val a = withSig.select(col("band_key"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val b = withSig.select(col("band_key"), col("doc_id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
     joinVerify(a, b, "band_key", thrNum)
@@ -313,9 +340,10 @@ object Dedup {
     * 8-bit simhash byte) — by pigeonhole, any pair within hamming ≤ 3
     * shares at least one identical byte, so the byte-equality join finds
     * all such pairs without an n² comparison. Byte buckets beyond
-    * `maxBucket` members are dropped with a logged count
-    * ([[dropOversizedBuckets]]) — exactness holds for every bucket the
-    * guard leaves intact. */
+    * `maxBucket` members are sub-split with a logged count
+    * ([[subSplitOversizedBuckets]]) — exactness holds for every bucket the
+    * guard leaves intact; split buckets keep partial recall (the four byte
+    * keys split differently, so their union recovers most pairs). */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
@@ -331,13 +359,13 @@ object Dedup {
       .localCheckpoint(true)
     // block key = byteIdx*256 + byte value — exact, injective, and a LONG
     // (the former "i:b" concat string shuffled ~3× heavier per row)
-    val blocked = dropOversizedBuckets(
+    val blocked = subSplitOversizedBuckets(
       withSim.withColumn(
         "block",
         explode(array((0 until 4).map { byteIdx =>
           lit(byteIdx * 256L) + shiftright(col("simhash"), byteIdx * 8).bitwiseAND(lit(255L))
         }: _*))),
-      "block", maxBucket, "simhashPairs")
+      "block", "doc_id", maxBucket, "simhashPairs")
     val a = blocked.select(col("block"), col("doc_id").as("id_a"), col("simhash").as("sim_a"))
     val b = blocked.select(col("block"), col("doc_id").as("id_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("block"))
@@ -367,7 +395,7 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val thrNum = math.round(threshold * 1e6)
     // materialized once — feeds both join sides (see minhashLshPairs)
-    val prepped = dropOversizedBuckets(
+    val prepped = subSplitOversizedBuckets(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
           transform(TextOps.wordShingles(col("text"), shingleN), s => PortableHash.hash32(s))))))
@@ -375,7 +403,7 @@ object Dedup {
         .withColumn("block", ArrayExprs.sticky(floor(TextOps.tokenCount(col("text")) / lengthBucket)))
         .drop("text")
         .localCheckpoint(true),
-      "block", maxBucket, "ngramJaccardPairs")
+      "block", "doc_id", maxBucket, "ngramJaccardPairs")
     val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
     joinVerify(a, b, "block", thrNum)
@@ -383,8 +411,10 @@ object Dedup {
 
   /** Embedding near-dup: pairs with cosine ≥ `threshold`, blocked by
     * sign-bucket LSH over the first `bits` dimensions so the vector join is
-    * bucket-local. Sign buckets beyond `maxBucket` members are dropped
-    * with a logged count ([[dropOversizedBuckets]]).
+    * bucket-local. Sign buckets beyond `maxBucket` members are sub-split
+    * with a logged count ([[subSplitOversizedBuckets]]); being a
+    * single-key blocker, a split bucket keeps exactly its
+    * within-sub-bucket pairs (≈1/nsplit recall inside that bucket).
     *
     * Recall is < 1 BY CONSTRUCTION: a pair whose members straddle one of
     * the `bits` leading hyperplanes lands in different buckets and is
@@ -404,13 +434,13 @@ object Dedup {
       bits: Int = 8,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // materialized once — feeds the bucket-size count and both join sides
-    val withBucket = dropOversizedBuckets(
+    val withBucket = subSplitOversizedBuckets(
       df.select(
         col(idCol).as("vid"),
         col(vecCol).as("v"),
         VectorOps.signBucket(col(vecCol), bits).as("bucket"))
         .localCheckpoint(true),
-      "bucket", maxBucket, "embeddingNearDupPairs")
+      "bucket", "vid", maxBucket, "embeddingNearDupPairs")
     val a = withBucket.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
     val b = withBucket.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))

@@ -87,28 +87,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
-  test("degenerate-bucket guard: 10k-doc boilerplate flood completes with zero quadratic work") {
+  test("degenerate-bucket guard: 10k-doc boilerplate flood is bounded AND keeps partial recall") {
     // Adversarial input: 10⁴ byte-identical docs. Every band bucket then
     // holds all 10⁴ docs — unguarded that is ~5·10⁷ candidate pairs per
     // bucket refined inside ONE join task (and ~5·10¹¹ at crawl-scale
-    // m=10⁶, the engine's only quadratic path). The guard drops buckets
-    // over DefaultMaxBucket (8192) with a logged count, so the query
-    // returns immediately with no pairs examined inside them.
-    val docs = spark.range(10000).selectExpr(
+    // m=10⁶, the engine's only quadratic path). The guard SUB-SPLITS
+    // buckets over maxBucket by a secondary hash, so candidate volume is
+    // bounded at bands × m × maxBucket / 2 (linear in m) while
+    // within-sub-bucket pairs — exactly the flood dedup exists to catch —
+    // are still found.
+    val m = 10000L
+    val maxBucket = 512
+    val docs = spark.range(m).selectExpr(
       "id as doc_id",
       "'common boilerplate page header identical across every crawled document footer marker' as text")
     val t0 = System.nanoTime()
-    assert(Dedup.minhashLshPairs(docs, "doc_id", "text").count() == 0L)
-    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count() == 0L)
+    val minhashPairs = Dedup.minhashLshPairs(docs, "doc_id", "text", maxBucket = maxBucket).count()
+    val ngramPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxBucket = maxBucket).count()
     val secs = (System.nanoTime() - t0) / 1e9
     assert(secs < 60.0, f"guard failed to bound the flood: $secs%.1f s")
+    val allPairs = m * (m - 1) / 2
+    // candidate bound: bands × nsplit × subSize²/2 = bands × m × maxBucket/2
+    val minhashBound = 4L * m * maxBucket / 2
+    assert(minhashPairs > 0L, "flood pairs must be partially recovered, not dropped wholesale")
+    assert(minhashPairs <= minhashBound && minhashPairs < allPairs,
+      s"flood candidates must stay bounded: $minhashPairs vs bound $minhashBound (all pairs $allPairs)")
+    assert(ngramPairs > 0L && ngramPairs <= m * maxBucket / 2,
+      s"single-block ngram flood must be bounded and nonzero: $ngramPairs")
   }
 
-  test("degenerate-bucket guard drops only oversized buckets; normal pairs survive") {
+  test("degenerate-bucket guard sub-splits only oversized buckets; normal pairs keep exact results") {
     // 300 identical flood docs (band buckets of 300 > cap 100) mixed with
-    // the small near-dup corpus (buckets of ≤ 5): the flood contributes no
-    // pairs, the genuine dup pair is still found.
-    val flood = spark.range(100L, 400L).selectExpr(
+    // the small near-dup corpus (buckets of ≤ 5): the genuine dup pair is
+    // still found exactly, and the flood now contributes a BOUNDED subset
+    // of its pairs (within-sub-bucket) instead of losing all of them.
+    val floodN = 300L
+    val flood = spark.range(100L, 100L + floodN).selectExpr(
       "id as doc_id",
       "'flooded template body repeated verbatim across the entire mirror site capture' as text")
     val mixed = corpus.unionByName(flood)
@@ -116,20 +130,31 @@ class DedupSpec extends AnyFunSuite {
       shingleN = 3, k = 16, bands = 4, threshold = 0.5, maxBucket = 100)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs.contains((1L, 2L)), "pair from a normal-size bucket must survive the guard")
-    assert(!pairs.exists { case (a, b) => a >= 100L || b >= 100L },
-      "no pair may come out of a dropped bucket")
+    val floodPairs = pairs.count { case (a, b) => a >= 100L && b >= 100L }
+    val allFloodPairs = floodN * (floodN - 1) / 2
+    assert(floodPairs > 0, "sub-split buckets must recover some flood pairs")
+    assert(floodPairs < allFloodPairs,
+      s"flood pair coverage must stay partial (bounded work): $floodPairs of $allFloodPairs")
+    assert(!pairs.exists { case (a, b) => (a < 100L) != (b < 100L) },
+      "no cross pair between the flood template and the unrelated corpus")
   }
 
   test("degenerate-bucket guard bounds the simhash and embedding generators too") {
     val floodDocs = spark.range(2000).selectExpr(
       "id as doc_id", "'identical simhash flood text body for every single row' as text")
-    assert(Dedup.simhashPairs(floodDocs, "doc_id", "text", maxHamming = 3, maxBucket = 500).count() == 0L)
+    val allPairs = 2000L * 1999 / 2
+    val simPairs = Dedup.simhashPairs(floodDocs, "doc_id", "text", maxHamming = 3, maxBucket = 500).count()
+    assert(simPairs > 0L && simPairs < allPairs,
+      s"simhash flood must yield partial (bounded) recall: $simPairs of $allPairs")
     import spark.implicits._
     val floodVecs = spark.range(2000)
       .selectExpr("id as vec_id")
       .withColumn("embedding", typedLit(Array(0.5f, -0.5f, 0.3f, 0.2f, -0.1f, 0.9f, 0.4f, -0.2f)))
-    assert(Dedup.embeddingNearDupPairs(floodVecs, "vec_id", "embedding",
-      threshold = 0.95, bits = 8, maxBucket = 500).count() == 0L)
+    val embPairs = Dedup.embeddingNearDupPairs(floodVecs, "vec_id", "embedding",
+      threshold = 0.95, bits = 8, maxBucket = 500).count()
+    // single-key blocker: exactly the within-sub-bucket pairs, nsplit = 4
+    assert(embPairs > 0L && embPairs <= 2000L * 500 / 2,
+      s"embedding flood must yield bounded nonzero within-sub-bucket pairs: $embPairs")
   }
 
   test("simhash byte-blocking pair recall is exact (measured vs brute-force ground truth)") {
