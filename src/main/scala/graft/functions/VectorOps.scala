@@ -58,4 +58,32 @@ object VectorOps {
     (0 until bits).map { i =>
       when(element_at(v, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Multi-probe bucket set for [[signBucket]] (column form of
+    * SimilaritySearch.multiProbeBuckets, specialized to single-bit flips):
+    * the vector's own bucket plus the `nprobe - 1` buckets reached by
+    * flipping the sign bit whose component MAGNITUDE is smallest — the
+    * hyperplane the vector most plausibly straddles (Lv et al. 2007).
+    * Pure array expressions (sort a (|v_i|, i) struct array, XOR the
+    * cheapest flips), so it stays inside codegen with no UDF.
+    *
+    * Single-bit flips suffice for the PAIR-generation use: when both join
+    * sides probe, a pair differing in sign bits {i, j} (i cheap for one
+    * side, j for the other) meets in the intermediate bucket
+    * base_a ^ 2^i == base_b ^ 2^j, so two-bit disagreements are covered
+    * without subset enumeration. */
+  def probeBuckets(v: Column, bits: Int, nprobe: Int): Column = {
+    val base = signBucket(v, bits)
+    val extra = math.min(math.max(nprobe, 1) - 1, bits)
+    if (extra == 0) array(base)
+    else {
+      val costs = array_sort(array((0 until bits).map { i =>
+        struct(abs(element_at(v, i + 1)).as("c"), lit(i).as("i"))
+      }: _*))
+      val pows = lit((0 until bits).map(i => 1L << i).toArray)
+      val flips = transform(slice(costs, 1, extra), s =>
+        base.bitwiseXOR(element_at(pows, s.getField("i") + 1)))
+      concat(array(base), flips)
+    }
+  }
 }

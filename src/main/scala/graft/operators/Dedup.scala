@@ -416,36 +416,48 @@ object Dedup {
     * single-key blocker, a split bucket keeps exactly its
     * within-sub-bucket pairs (≈1/nsplit recall inside that bucket).
     *
-    * Recall is < 1 BY CONSTRUCTION: a pair whose members straddle one of
-    * the `bits` leading hyperplanes lands in different buckets and is
-    * never compared. Measured on DedupSpec's seeded corpus (cosine
-    * straddling threshold 0.95): pair recall ≈ 0.84 at bits=4, ≈ 0.74 at
-    * bits=8 — each extra bit halves candidate volume (and thus join cost)
-    * for a few points of recall; precision is always 1.0 (the refine
-    * predicate is exact cosine). Pick bits by corpus size: more bits when
-    * the join dominates, fewer when recall dominates; multi-probe over
-    * neighboring buckets (SimilaritySearch.multiProbeBuckets) is the
-    * recall-recovery path if both matter. */
+    * Recall is < 1 BY CONSTRUCTION at nprobe=1: a pair whose members
+    * straddle one of the `bits` leading hyperplanes lands in different
+    * buckets and is never compared. Measured on DedupSpec's seeded corpus
+    * (cosine straddling threshold 0.95): pair recall ≈ 0.84 at bits=4,
+    * ≈ 0.74 at bits=8 — each extra bit halves candidate volume (and thus
+    * join cost) for a few points of recall; precision is always 1.0 (the
+    * refine predicate is exact cosine).
+    *
+    * `nprobe > 1` is the recall-recovery path: every vector additionally
+    * probes the buckets across its `nprobe - 1` lowest-|component|
+    * hyperplanes ([[VectorOps.probeBuckets]]) and BOTH join sides probe,
+    * so one- and two-bit sign disagreements meet in a shared bucket.
+    * Candidate volume grows ≤ nprobe² per bucket (each side's bucket
+    * membership grows nprobe×) — still bucket-local, never quadratic in
+    * the corpus. Measured on the same seeded corpus at bits=8: recall
+    * 0.74 (nprobe=1) → ≥0.9 at nprobe=2, → ≥0.95 at nprobe=4 (DedupSpec
+    * pins the floors). Pick bits by corpus size, then nprobe by the
+    * recall target. */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
       bits: Int = 8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      nprobe: Int = 1): DataFrame = {
     // materialized once — feeds the bucket-size count and both join sides
     val withBucket = subSplitOversizedBuckets(
       df.select(
         col(idCol).as("vid"),
         col(vecCol).as("v"),
-        VectorOps.signBucket(col(vecCol), bits).as("bucket"))
+        explode(VectorOps.probeBuckets(col(vecCol), bits, nprobe)).as("bucket"))
         .localCheckpoint(true),
       "bucket", "vid", maxBucket, "embeddingNearDupPairs")
     val a = withBucket.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
     val b = withBucket.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), round(VectorOps.cosineFast(col("v_a"), col("v_b")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
+    // multi-probe can surface one pair through several buckets; nprobe=1
+    // keeps the original single-meeting plan (no extra shuffle)
+    if (nprobe > 1) pairs.distinct() else pairs
   }
 }

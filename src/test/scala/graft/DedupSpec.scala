@@ -247,6 +247,38 @@ class DedupSpec extends AnyFunSuite {
     // trade — bits=8 halves candidate volume vs bits=4 at this recall cost
     assert(r8 >= 0.55, f"bits=8 recall regressed: $r8%.3f")
     assert(r4 >= 0.70, f"bits=4 recall regressed: $r4%.3f")
+
+    // multi-probe recall recovery at fixed bits=8: each vector also probes
+    // its nprobe-1 cheapest-flip neighbor buckets on BOTH join sides.
+    // Candidate volume (bucket-join pairs BEFORE the cosine refine) is
+    // measured alongside so the recall gain is priced, and must stay far
+    // below the quadratic all-pairs count.
+    import graft.functions.VectorOps
+    def candidatesAt(bits: Int, nprobe: Int): Long = {
+      val wb = df.select(col("vec_id").as("vid"),
+        explode(VectorOps.probeBuckets(col("embedding"), bits, nprobe)).as("bucket"))
+      wb.as("a").join(wb.as("b"), Seq("bucket"))
+        .where(col("a.vid") < col("b.vid"))
+        .select(col("a.vid"), col("b.vid")).distinct().count()
+    }
+    def recallAtProbe(nprobe: Int): Double = {
+      val found = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.95, bits = 8, nprobe = nprobe)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert((found -- truth).isEmpty, s"refine must stay exact at nprobe=$nprobe")
+      found.intersect(truth).size.toDouble / truth.size
+    }
+    val n = arr.size.toLong
+    val allPairs = n * (n - 1) / 2
+    val (c1, c2, c4) = (candidatesAt(8, 1), candidatesAt(8, 2), candidatesAt(8, 4))
+    val (p1, p2, p4) = (recallAtProbe(1), recallAtProbe(2), recallAtProbe(4))
+    info(f"multi-probe bits=8: nprobe=1 recall $p1%.3f ($c1 cand), nprobe=2 $p2%.3f ($c2 cand), nprobe=4 $p4%.3f ($c4 cand); all-pairs $allPairs")
+    assert(p1 == r8, "nprobe=1 must reproduce the single-bucket pair set")
+    assert(p2 >= p1 && p4 >= p2, f"recall must be monotone in nprobe: $p1%.3f, $p2%.3f, $p4%.3f")
+    assert(p2 >= 0.90, f"documented recall floor at nprobe=2 regressed: $p2%.3f")
+    assert(p4 >= 0.95, f"documented recall floor at nprobe=4 regressed: $p4%.3f")
+    assert(c4 < allPairs / 2,
+      s"multi-probe candidates must stay sub-quadratic: $c4 vs all-pairs $allPairs")
   }
 
   test("embedding near-dup via sign buckets finds identical vectors") {
