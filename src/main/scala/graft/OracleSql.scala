@@ -311,6 +311,20 @@ object OracleSql {
         count(DISTINCT pack) AS n_packs
       FROM packed GROUP BY split ORDER BY split""",
 
+    // the engine reads the >=-adjusted window twice and dedups by id; the
+    // absorbed result is a plain >= range scan
+    "q66_lateness_scan" -> """
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-24 23:00:00' ORDER BY event_id""",
+
+    // the engine routes nation through a live embedded-JDBC database
+    // (partitioned read + pushed predicate); relationally it is this
+    "q67_jdbc_dim_join" -> """
+      SELECT r_name, count(1) AS n_nations, min(n_name) AS first_nation
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE n_regionkey < 3
+      GROUP BY r_name ORDER BY r_name""",
+
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256, count(1) AS dup_count
@@ -619,20 +633,30 @@ object OracleSql {
       SELECT src AS doc_id, min(dst) AS canonical, (src = min(dst)) AS is_canonical
       FROM r GROUP BY src ORDER BY doc_id""",
 
-    // same reachability oracle as q45, over the FULL corpus (no doc cap):
-    // the engine side uses star contraction, whose fixpoint (min id per
-    // component) is algorithm-independent
+    // reachability oracle over the FULL corpus, with the PAIR stage
+    // mirroring q18's minhash-LSH band pipeline (threshold 0.9, no
+    // doubling): the engine side uses star contraction, whose fixpoint
+    // (min id per component) is algorithm-independent
     "q53_dedup_clusters_star" -> s"""
-      WITH RECURSIVE d AS (SELECT doc_id, $TOKS AS toks FROM documents),
-      p2 AS (SELECT doc_id, list_distinct(list_transform(toks, t -> ${h32("t")})) AS hs,
-             length(list_distinct(list_transform(toks, t -> ${h32("t")})))::bigint AS sz,
-             floor(length(toks) / 16)::bigint AS block FROM d),
+      WITH RECURSIVE w AS (SELECT doc_id, $TOKS AS w FROM documents),
+      hsh AS (SELECT doc_id,
+        list_distinct(list_transform($SHINGLES3RAW, s2 -> ${h32("s2")})) AS hs FROM w),
+      sig AS (SELECT doc_id, hs, length(hs)::bigint AS sz,
+        list_transform(range(16), j -> coalesce(
+          list_min(list_transform(hs, h -> (h * (999983*j + 1000003) + (999979*j + 12345)) % 4294967291)),
+          4294967296)) AS sig
+        FROM hsh),
+      bands AS (SELECT doc_id, hs, sz,
+        b::varchar || '_' || sig[b*4+1]::varchar || '_' || sig[b*4+2]::varchar
+          || '_' || sig[b*4+3]::varchar || '_' || sig[b*4+4]::varchar AS band_key
+        FROM sig, range(4) t(b)),
       j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           length(list_intersect(a.hs, b.hs))::bigint AS inter, a.sz + b.sz AS szsum
-        FROM p2 a JOIN p2 b USING (block)
+        FROM bands a JOIN bands b USING (band_key)
         WHERE a.doc_id < b.doc_id AND greatest(a.sz, b.sz) > 0
           AND least(a.sz, b.sz) * 1000000 >= 900000 * greatest(a.sz, b.sz)),
-      pr AS (SELECT id_a, id_b FROM j WHERE inter * 1000000 >= 900000 * (szsum - inter)),
+      pr AS (SELECT DISTINCT id_a, id_b FROM j
+        WHERE inter * 1000000 >= 900000 * (szsum - inter)),
       e AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
       r AS (
         SELECT doc_id AS src, doc_id AS dst FROM documents

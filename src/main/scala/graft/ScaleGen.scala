@@ -37,23 +37,42 @@ object ScaleGen {
 
     val rcol = explode(array((0 until reps).map(i => lit(i)): _*))
 
+    val DocIdOffset = 10000000L   // per-replica id stride (documents, users)
+    val EventIdOffset = 100000000L
+
+    // Replica disjointness is the tool's whole guarantee: a source id at or
+    // beyond the stride would silently collide across replicas and corrupt
+    // the linearity of the curve — fail fast instead.
+    def requireBelow(table: String, idCol: String, offset: Long): Unit = {
+      val src = Tables.table(spark, srcDir, table)
+      val mx = src.agg(max(col(idCol))).collect()(0).getLong(0)
+      require(mx < offset,
+        s"$table.$idCol max $mx >= replica offset $offset: replicas would collide")
+    }
+    requireBelow("documents", "doc_id", DocIdOffset)
+    requireBelow("events", "event_id", EventIdOffset)
+    requireBelow("events", "user_id", DocIdOffset)
+
     val docs = Tables.table(spark, srcDir, "documents")
       .withColumn("r", rcol)
       .select(
-        (col("doc_id") + col("r").cast("long") * 10000000L).as("doc_id"),
+        (col("doc_id") + col("r").cast("long") * DocIdOffset).as("doc_id"),
         when(col("r") === 0, col("text"))
           .otherwise(array_join(
             transform(split(col("text"), " "), t => concat(t, lit("~"), col("r"))), " "))
           .as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
+      // the ~r token suffixes lengthen the text, so n_chars is recomputed
+      // from the replica's actual text rather than copied stale
+      .withColumn("n_chars", length(col("text")).cast("long"))
     docs.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
     val events = Tables.table(spark, srcDir, "events")
       .withColumn("r", rcol)
       .select(
-        (col("event_id") + col("r").cast("long") * 100000000L).as("event_id"),
+        (col("event_id") + col("r").cast("long") * EventIdOffset).as("event_id"),
         col("ts"),
-        (col("user_id") + col("r").cast("long") * 10000000L).as("user_id"),
+        (col("user_id") + col("r").cast("long") * DocIdOffset).as("user_id"),
         col("event_type"), col("value"), col("props"))
     events.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
 

@@ -856,15 +856,19 @@ object SparkEntry {
   }
 
   /** Dedup clustering over the FULL corpus via star contraction — the
-    * giant-component-safe CC (alternating large-star/small-star): the tiny
-    * fixture vocabulary makes the 0.9-Jaccard graph one giant near-clique,
-    * exactly the shape that breaks diameter-bound label propagation and
-    * that star contraction absorbs in O(log² n) rounds. Same canonical-
-    * representative contract (and oracle) as q45. */
+    * giant-component-safe CC (alternating large-star/small-star), fed from
+    * the SCALE-PATH pair generator (minhash-LSH band blocking): band keys
+    * hash the whole signature row, so bucket sizes track true similarity
+    * rather than corpus size, and candidate volume stays linear as the
+    * corpus grows. (q45 keeps the ngram length-bucket generator on a
+    * bounded subset — that blocker's fixed ~50-bucket key space makes its
+    * candidates quadratic in corpus size, measured 19× time at 25× data
+    * when this query used it; same canonical-representative contract,
+    * mirrored oracle.) */
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingleN = 1, threshold = 0.9, lengthBucket = 16)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.9)
     Dedup.dedupClustersStar(docs, "doc_id", pairs)
       .orderBy(col("doc_id"))
   }
@@ -967,6 +971,60 @@ object SparkEntry {
     graft.plans.AsOfJoinPlan.asofExec(events, orders, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey")
       .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
       .orderBy(col("event_id"))
+  }
+
+  /** T2 lateness variant (Cdc.deltaScanWithLateness): `>=` re-read of the
+    * lateness window with dedup-by-id absorbing the re-emitted rows. The
+    * same window is read TWICE (simulating a re-delivered micro-batch) and
+    * the id-dedup collapses it — proving the documented absorption
+    * property, not just the predicate. Oracle: a plain `>=` range scan. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val wm = Some(Timestamp.valueOf("2024-01-25 00:00:00"))
+    def window = Cdc.deltaScanWithLateness(t(s, dir, "events"), "ts", wm, latenessSeconds = 3600)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    window.unionByName(window)
+      .dropDuplicates(Seq("event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** S1 as a bench-visible read path: the fixture's `nation` table is
+    * seeded once per JVM into an embedded in-memory Derby database, then
+    * read back through the PARTITIONED JDBC source (4 bounded
+    * per-partition queries, not one fetchall) with the region predicate
+    * pushed into the database, broadcast-joined to the parquet `region`
+    * dim. JdbcSpec proves parity/pushdown mechanics; this keeps the live
+    * S1 path from bit-rotting as the engine evolves, oracle-checked
+    * against the same relational result over parquet. */
+  private val jdbcSeeded = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val db = "graftq67_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val url = s"jdbc:derby:memory:$db;create=true"
+    jdbcSeeded.computeIfAbsent(db, _ => {
+      val rows = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+        .collect() // 25-row dimension seed — driver-side by design
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.createStatement().executeUpdate(
+          "CREATE TABLE nation_src (n_nationkey BIGINT NOT NULL, n_name VARCHAR(64), n_regionkey BIGINT)")
+        val ps = conn.prepareStatement("INSERT INTO nation_src VALUES (?, ?, ?)")
+        rows.foreach { r =>
+          ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1)); ps.setLong(3, r.getLong(2))
+          ps.addBatch()
+        }
+        ps.executeBatch()
+      } finally conn.close()
+      db
+    })
+    val nations = graft.sources.Tables.jdbc(s, url, "nation_src", user = "", password = "",
+      partitionColumn = Some("n_nationkey"), lowerBound = Some(0L), upperBound = Some(25L),
+      numPartitions = 4)
+      .where(col("n_regionkey") < 3) // pushed into Derby (PushedFilters)
+    nations
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+      .orderBy(col("r_name"))
   }
 
   /** Sketch family (rows-only: HLL/KLL sketches are engine-specific, no
@@ -1090,6 +1148,8 @@ object SparkEntry {
     "q63_ngram_lm_score" -> (q63 _),
     "q64_token_packing" -> (q64 _),
     "q65_curation_pipeline" -> (q65 _),
+    "q66_lateness_scan" -> (q66 _),
+    "q67_jdbc_dim_join" -> (q67 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),

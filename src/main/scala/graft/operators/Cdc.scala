@@ -503,14 +503,27 @@ object Cdc {
     *
     *   1. write the new state to `path_v{N+1}` (live store untouched);
     *   2. publish: write `path.current_tmp`, atomic-rename it over
-    *      `path.current`;
-    *   3. GC superseded version dirs and the legacy unversioned dir.
+    *      `path.current`, fsync the pointer file and its directory (the
+    *      rename is atomic against crashes either way; the fsync makes
+    *      the commit durable against power loss too);
+    *   3. GC version dirs EXCEPT the just-published one and the one the
+    *      pointer named before this write, plus the legacy unversioned
+    *      dir.
     *
     * A crash before (2) leaves the pointer on the old version (an orphaned
     * v-dir is GC'd by the next successful write); a crash after (2) leaves
-    * the new version live with stale dirs pending GC. Readers never need
-    * recovery. Like the vector sink, the store assumes a single writer at
-    * a time. */
+    * the new version live with stale dirs pending GC.
+    *
+    * Reader-vs-GC: DataFrames resolve the pointer eagerly but read file
+    * contents lazily, so a reader can hold a version dir across a
+    * concurrent write. Keeping the previously-pointed version for one
+    * extra write closes that window for readers at most ONE write behind
+    * — the realistic case for this store's read-then-advance cycle. A
+    * reader lagging two or more writes can still lose its directory
+    * mid-scan and must re-resolve ([[readWatermarks]]); the one-time
+    * legacy-layout upgrade GCs the unversioned dir immediately and has
+    * the same (one-time) caveat. Like the vector sink, the store assumes
+    * a single writer at a time. */
   private[operators] def atomicOverwrite(
       spark: SparkSession,
       df: DataFrame,
@@ -526,15 +539,32 @@ object Cdc {
       .flatMap(d => scala.util.Try(d.getName.stripPrefix(base + "_v").toLong).toOption)
       .foldLeft(0L)(math.max) + 1
     val vdir = new java.io.File(parent, f"${base}_v$next%06d")
+    // the version the pointer names NOW survives this write's GC (readers
+    // one write behind can still materialize their lazy scan — see doc)
+    val prevLive = liveVersionDir(path).map(p => new java.io.File(p).getName)
+      .filter(_.startsWith(base + "_v"))
     df.write.mode(SaveMode.Overwrite).parquet(vdir.getPath)
     onBeforeCommit() // crash-injection hook: pointer still names the old state
     val tmp = java.nio.file.Paths.get(path + ".current_tmp")
     java.nio.file.Files.writeString(tmp, vdir.getName)
     java.nio.file.Files.move(tmp, new java.io.File(path + ".current").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    versions().filter(_.getName != vdir.getName).foreach(deleteRecursively)
+    fsync(new java.io.File(path + ".current"))
+    fsync(parent)
+    val keep = Set(vdir.getName) ++ prevLive
+    versions().filterNot(d => keep(d.getName)).foreach(deleteRecursively)
     deleteRecursively(f) // legacy unversioned dir, now shadowed by the pointer
   }
+
+  /** Durability flush: force file (or directory-entry) state to stable
+    * storage. Directory fsync is what makes a rename survive power loss on
+    * POSIX; best-effort on filesystems that reject directory channels. */
+  private def fsync(f: java.io.File): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: Exception => () }
 
   /** The live directory behind a versioned store ([[atomicOverwrite]]):
     * the pointed version when a pointer exists, else the legacy

@@ -77,12 +77,21 @@ class CdcSpec extends AnyFunSuite {
     assert(boom.getMessage.contains("injected"))
     // pre-write value still live and readable — no reset, no missing dir
     assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-01-02 00:00:00")))
-    // the next successful write commits the new value and GCs the orphan
+    // the next successful write commits the new value, GCs the crashed
+    // write's orphan dir, and keeps the previously-pointed version for one
+    // extra write (reader-vs-GC grace) — so exactly 2 version dirs remain:
+    // the published one and its predecessor, with the orphan gone
     Cdc.updateWatermark(spark, state, "t1", ts("2024-03-01 00:00:00"))
     assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-03-01 00:00:00")))
     val vdirs = new java.io.File(state).listFiles().map(_.getName)
-      .filter(_.startsWith(Cdc.WatermarkTable + "_v"))
-    assert(vdirs.length == 1, s"superseded/orphaned versions not GC'd: ${vdirs.mkString(",")}")
+      .filter(_.startsWith(Cdc.WatermarkTable + "_v")).sorted
+    assert(vdirs.length == 2, s"expected published + grace-kept predecessor: ${vdirs.mkString(",")}")
+    // a further write retires the grace-kept dir: still exactly 2
+    Cdc.updateWatermark(spark, state, "t1", ts("2024-03-02 00:00:00"))
+    val vdirs2 = new java.io.File(state).listFiles().map(_.getName)
+      .filter(_.startsWith(Cdc.WatermarkTable + "_v")).sorted
+    assert(vdirs2.length == 2, s"grace must be ONE write long: ${vdirs2.mkString(",")}")
+    assert(vdirs2.toSet.intersect(vdirs.toSet).size == 1, "only the previously-published dir survives")
   }
 
   test("watermark store reads a legacy unversioned layout and upgrades it on the next write") {
