@@ -401,21 +401,33 @@ object SparkEntry {
     * BEFORE the decimal-exact sum so no float reassociation or libm log
     * can diverge across engines. */
   private def q63(s: SparkSession, dir: String): DataFrame = {
-    val bigr = t(s, dir, "documents")
+    // Per-(doc, bigram) multiplicities FIRST: a doc's bigrams sit in one
+    // input partition, so map-side partial aggregation collapses within-doc
+    // repeats before the shuffle, and every downstream stage (model build,
+    // probability join, per-doc agg) carries distinct pairs instead of raw
+    // occurrences. Output-identical to the per-occurrence formulation: the
+    // per-doc sums are decimal-exact under multiplicity weighting
+    // (cnt × p in decimal == p summed cnt times). Materialized once — it
+    // feeds both the model build and the scoring join (same staging-table
+    // pattern as minhashLshPairs).
+    val bigrCounts = t(s, dir, "documents")
       .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
-    val model = bigr.groupBy(col("bigram")).agg(count(lit(1)).as("n12"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val model = bigrCounts.groupBy(col("bigram")).agg(sum(col("cnt")).as("n12"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val totals = model.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
     val probs = model.join(totals, "w1")
       .select(col("bigram"), col("n12"),
         TextOps.quantize6(col("n12").cast("double") / col("n1").cast("double")).as("p"))
-    bigr.join(probs, "bigram")
+    bigrCounts.join(probs, "bigram")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(when(col("n12") < 5, 1L).otherwise(0L)).as("n_rare"),
+        sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("n12") < 5, col("cnt")).otherwise(0L)).as("n_rare"),
         TextOps.quantize6(
-          sum(col("p").cast("decimal(18,6)")).cast("double") / count(lit(1)).cast("double")).as("mean_p"))
+          sum(col("cnt").cast("decimal(18,0)") * col("p").cast("decimal(18,6)")).cast("double") /
+            sum(col("cnt")).cast("double")).as("mean_p"))
       .orderBy(col("doc_id"))
   }
 
