@@ -257,18 +257,23 @@ object OracleSql {
         sha256(clean) AS clean_sha256
       FROM r ORDER BY doc_id""",
 
+    // hash-keyed bigram LM (mirror of the engine's feature-hashed model;
+    // h32 collisions merge the same keys in both engines)
     "q63_ngram_lm_score" -> s"""
       WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
       b AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(toks)-1, 0)+1),
             i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM d),
-      bg AS (SELECT split_part(bigram, ' ', 1) AS w1, bigram, count(1) AS n12 FROM b GROUP BY 1, 2),
-      ug AS (SELECT w1, sum(n12)::bigint AS n1 FROM bg GROUP BY w1),
-      pr AS (SELECT bigram, n12, ${qz6("n12::double / n1::double")} AS p
-             FROM bg JOIN ug USING (w1))
-      SELECT doc_id, count(1) AS n_bigrams,
-        sum(CASE WHEN n12 < 5 THEN 1 ELSE 0 END)::bigint AS n_rare,
-        ${qz6("cast(sum(cast(p AS decimal(18,6))) AS double) / count(1)::double")} AS mean_p
-      FROM b JOIN pr USING (bigram)
+      bc AS (SELECT doc_id, ${h32("bigram")} AS bh,
+               ${h32("split_part(bigram, ' ', 1)")} AS w1h, count(1) AS cnt
+             FROM b GROUP BY 1, 2, 3),
+      bg AS (SELECT bh, w1h, sum(cnt)::bigint AS n12 FROM bc GROUP BY 1, 2),
+      ug AS (SELECT w1h, sum(n12)::bigint AS n1 FROM bg GROUP BY w1h),
+      pr AS (SELECT bh, w1h, n12, ${qz6("n12::double / n1::double")} AS p
+             FROM bg JOIN ug USING (w1h))
+      SELECT doc_id, sum(cnt)::bigint AS n_bigrams,
+        sum(CASE WHEN n12 < 5 THEN cnt ELSE 0 END)::bigint AS n_rare,
+        ${qz6("cast(sum(cnt * cast(p AS decimal(18,6))) AS double) / sum(cnt)::double")} AS mean_p
+      FROM bc JOIN pr USING (bh, w1h)
       GROUP BY doc_id ORDER BY doc_id""",
 
     "q64_token_packing" -> """
@@ -324,6 +329,63 @@ object OracleSql {
       FROM nation JOIN region ON n_regionkey = r_regionkey
       WHERE n_regionkey < 3
       GROUP BY r_name ORDER BY r_name""",
+
+    // asymmetric (corpus ⋈ batch) mirror of q18's band pipeline: only
+    // cross-side pairs, batch = corpus re-keyed +100000
+    "q68_incremental_neardup" -> s"""
+      WITH docs2 AS (
+        SELECT doc_id, text, 'c' AS side FROM documents
+        UNION ALL SELECT doc_id + 100000 AS doc_id, text, 'b' AS side FROM documents),
+      w AS (SELECT doc_id, side, $TOKS AS w FROM docs2),
+      hsh AS (SELECT doc_id, side,
+        list_distinct(list_transform($SHINGLES3RAW, s2 -> ${h32("s2")})) AS hs FROM w),
+      sig AS (SELECT doc_id, side, hs, length(hs)::bigint AS sz,
+        list_transform(range(16), j -> coalesce(
+          list_min(list_transform(hs, h -> (h * (999983*j + 1000003) + (999979*j + 12345)) % 4294967291)),
+          4294967296)) AS sig
+        FROM hsh),
+      bands AS (SELECT doc_id, side, hs, sz,
+        b::varchar || '_' || sig[b*4+1]::varchar || '_' || sig[b*4+2]::varchar
+          || '_' || sig[b*4+3]::varchar || '_' || sig[b*4+4]::varchar AS band_key
+        FROM sig, range(4) t(b)),
+      j AS (SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+          length(list_intersect(a.hs, b.hs))::bigint AS inter, a.sz + b.sz AS szsum
+        FROM bands a JOIN bands b USING (band_key)
+        WHERE a.side = 'c' AND b.side = 'b' AND a.doc_id <> b.doc_id
+          AND greatest(a.sz, b.sz) > 0
+          AND least(a.sz, b.sz) * 1000000 >= 500000 * greatest(a.sz, b.sz))
+      SELECT DISTINCT corpus_id, batch_id,
+        ${qz6("inter::double / (szsum - inter)::double")} AS jaccard
+      FROM j WHERE inter * 1000000 >= 500000 * (szsum - inter)
+      ORDER BY corpus_id, batch_id""",
+
+    // exact shared 8-token windows over the doubled corpus
+    "q69_substring_dup" -> s"""
+      WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+      w AS (SELECT doc_id, $TOKS AS w FROM docs2),
+      wh AS (SELECT doc_id, list_distinct(list_transform(
+          list_transform(range(1, greatest(length(w)-7, 0)+1),
+            i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]),
+          s2 -> ${h32("s2")})) AS whs FROM w),
+      e AS (SELECT doc_id, unnest(whs) AS wh FROM wh)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(DISTINCT a.wh) AS n_shared
+      FROM e a JOIN e b ON a.wh = b.wh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 ORDER BY id_a, id_b""",
+
+    // equal token budget per source; integer-ppm hash gate
+    "q70_token_mix" -> s"""
+      WITH d AS (SELECT doc_id, source, length($TOKS)::bigint AS tok FROM documents),
+      s AS (SELECT source, sum(tok)::bigint AS src_tokens FROM d GROUP BY source),
+      tt AS (SELECT sum(src_tokens)::bigint AS total_tokens, count(1)::bigint AS n_sources FROM s),
+      r AS (SELECT source, least(1000000, (total_tokens * 1000000) // (n_sources * src_tokens)) AS keep_ppm
+            FROM s, tt),
+      k AS (SELECT d.doc_id, d.source, d.tok, r.keep_ppm
+            FROM d JOIN r USING (source)
+            WHERE ${h32("'mix:' || doc_id::varchar")} % 1000000 < keep_ppm)
+      SELECT source, keep_ppm, count(1) AS n_docs, sum(tok)::bigint AS n_tokens
+      FROM k GROUP BY 1, 2 ORDER BY source""",
 
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)

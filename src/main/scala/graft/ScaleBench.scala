@@ -2,18 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scale-curve bench: times the six heaviest queries on each given fixture
+/** Scale-curve bench: times the heaviest queries on each given fixture
   * dir (min of `Repeats` runs each, same session confs as Bench) and
   * prints one JSON line per dir. Feed it two ScaleGen outputs (1× and R×)
   * and divide: a query whose seconds grow faster than R is super-linear
   * and needs a plan audit (BASELINE.md "Scale curve").
+  *
+  * The vector row: q94, the persisted-IVF read path (its index builds
+  * once per dir on the first repeat; min-of-repeats reports the pruned
+  * SEARCH, the quantity whose scaling matters). The bucket-blocked pair
+  * join (q27) is deliberately NOT here: fixed-bits sign blocking has a
+  * fixed 2^bits key space, so its candidate volume is inherently
+  * quadratic in corpus size — the guard bounds the work, but the honest
+  * scale path for vectors is IVF.
   *
   * Usage: runMain graft.ScaleBench <dir1> <dir2> ...
   */
 object ScaleBench {
   val Heavy = Seq(
     "q93_cdc_cycle", "q53_dedup_clusters_star", "q45_dedup_clusters",
-    "q65_curation_pipeline", "q18_minhash_lsh", "q63_ngram_lm_score")
+    "q65_curation_pipeline", "q18_minhash_lsh", "q63_ngram_lm_score",
+    "q94_ivf_ann")
   val Repeats = 2
 
   def main(args: Array[String]): Unit = {
@@ -23,6 +32,10 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // shuffle.partitions is the small-data default; AQE starts wide and
+      // coalesces DOWN per stage, so the big fixtures aren't pinned to 32
+      // post-shuffle partitions (the scale knob a real cluster would turn)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -5,9 +5,10 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-curve fixture generator: writes an R×-replicated copy of a
-  * fixture dir's `documents` and `events` tables (the inputs of the six
-  * heaviest queries) so the same query can be timed at two scale factors
-  * and its scaling exponent measured (BASELINE.md "Scale curve").
+  * fixture dir's `documents`, `events`, and `embeddings` tables (the
+  * inputs of the heavy queries) so the same query can be timed at several
+  * scale factors and its scaling exponent measured (BASELINE.md "Scale
+  * curve").
   *
   * Replication is LINEAR BY CONSTRUCTION — each replica is disjoint from
   * every other in the dimensions the heavy operators join/group on:
@@ -19,6 +20,15 @@ import org.apache.spark.sql.functions._
   *  - `events`: ids and user_ids offset per replica — per-user event
   *    counts stay constant, the number of users grows R× (the realistic
   *    scaling model for a CDC/session workload).
+  *  - `embeddings`: ids offset per replica; replica r sign-flips the
+  *    leading dims named by r's bits — an isometry, so within-replica
+  *    cosines (and thus IVF/kNN structure per replica) are preserved
+  *    exactly. NOTE the flips only REDISTRIBUTE sign buckets (bucket maps
+  *    to bucket XOR r — a permutation of the shared 2^bits key space, not
+  *    disjointness), so bucket-blocked PAIR counts are not linear in R;
+  *    fixed-bits sign blocking has a fixed key space and is not the
+  *    vector scale path (IVF is — its key space grows with k). The
+  *    embeddings replica feeds the IVF search row of the scale curve.
   *
   * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <replicas>
   */
@@ -37,8 +47,9 @@ object ScaleGen {
 
     val rcol = explode(array((0 until reps).map(i => lit(i)): _*))
 
-    val DocIdOffset = 10000000L   // per-replica id stride (documents, users)
+    val DocIdOffset = 10000000L   // per-replica id stride (documents, users, vectors)
     val EventIdOffset = 100000000L
+    val FlipBits = 7              // sign-flip dims for embedding replicas (≤ 2^7 replicas)
 
     // Replica disjointness is the tool's whole guarantee: a source id at or
     // beyond the stride would silently collide across replicas and corrupt
@@ -52,6 +63,12 @@ object ScaleGen {
     requireBelow("documents", "doc_id", DocIdOffset)
     requireBelow("events", "event_id", EventIdOffset)
     requireBelow("events", "user_id", DocIdOffset)
+    requireBelow("embeddings", "vec_id", DocIdOffset)
+    // embeddings disjointness uses sign-flips over the leading FlipBits
+    // dims (see below): distinct per-replica flip patterns exist only up
+    // to 2^FlipBits replicas
+    require(reps <= (1 << FlipBits),
+      s"embeddings replication supports at most ${1 << FlipBits} replicas, got $reps")
 
     val docs = Tables.table(spark, srcDir, "documents")
       .withColumn("r", rcol)
@@ -76,7 +93,24 @@ object ScaleGen {
         col("event_type"), col("value"), col("props"))
     events.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
 
-    println(s"""{"out":"$outDir","replicas":$reps,"documents":${docs.count()},"events":${events.count()}}""")
+    // embeddings: replica r negates dimension i (i < FlipBits) iff bit i of
+    // r is set. Sign-flipping a FIXED dim subset is an isometry — dot
+    // products and cosines WITHIN a replica are preserved exactly, so
+    // near-dup pair counts grow exactly R× — while the leading sign-bucket
+    // bits become base XOR r, placing replicas in DISJOINT buckets (no
+    // cross-replica candidate can meet in a bucket-local join).
+    val embeddings = Tables.table(spark, srcDir, "embeddings")
+      .withColumn("r", rcol)
+      .select(
+        (col("vec_id") + col("r").cast("long") * DocIdOffset).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i < FlipBits &&
+            pmod(floor(col("r").cast("double") / pow(lit(2.0), i.cast("double"))).cast("long"), lit(2)) === 1,
+            -x).otherwise(x)).as("embedding"),
+        col("label"))
+    embeddings.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+
+    println(s"""{"out":"$outDir","replicas":$reps,"documents":${docs.count()},"events":${events.count()},"embeddings":${embeddings.count()}}""")
     spark.stop()
   }
 }

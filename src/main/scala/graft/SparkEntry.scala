@@ -408,19 +408,28 @@ object SparkEntry {
     // occurrences. Output-identical to the per-occurrence formulation: the
     // per-doc sums are decimal-exact under multiplicity weighting
     // (cnt × p in decimal == p summed cnt times). Materialized once — it
-    // feeds both the model build and the scoring join (same staging-table
-    // pattern as minhashLshPairs).
+    // feeds both the model build and the scoring join, and column pruning
+    // makes the two consumers' subtrees differ, so ReusedExchange cannot
+    // share them (measured: without the checkpoint the explode pipeline
+    // runs three times). Keys are HASHED to longs at explode time
+    // (portable md5 hash, mirrored by the oracle's h32 — a collision
+    // merges the same bigrams in both engines, so parity is exact by
+    // construction): the materialized relation and the model join carry
+    // (long, long, long) rows instead of ~15-char strings, the same
+    // feature-hashing trade every at-scale LM pipeline makes.
     val bigrCounts = t(s, dir, "documents")
       .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"),
+        PortableHash.hash32(col("bigram")).as("bh"),
+        PortableHash.hash32(split(col("bigram"), " ").getItem(0)).as("w1h"))
+      .groupBy(col("doc_id"), col("bh"), col("w1h")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val model = bigrCounts.groupBy(col("bigram")).agg(sum(col("cnt")).as("n12"))
-      .withColumn("w1", split(col("bigram"), " ").getItem(0))
-    val totals = model.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-    val probs = model.join(totals, "w1")
-      .select(col("bigram"), col("n12"),
+    val model = bigrCounts.groupBy(col("bh"), col("w1h")).agg(sum(col("cnt")).as("n12"))
+    val totals = model.groupBy(col("w1h")).agg(sum(col("n12")).as("n1"))
+    val probs = model.join(totals, "w1h")
+      .select(col("bh"), col("w1h"), col("n12"),
         TextOps.quantize6(col("n12").cast("double") / col("n1").cast("double")).as("p"))
-    bigrCounts.join(probs, "bigram")
+    bigrCounts.join(probs, Seq("bh", "w1h"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("cnt")).as("n_bigrams"),
@@ -999,6 +1008,56 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Incremental near-dup (CDC × dedup): the incoming batch (a re-keyed
+    * copy of the corpus — every batch doc has a known corpus match) is
+    * checked against the existing corpus with the asymmetric band join —
+    * no corpus-side self-pairs are ever generated, so the work tracks the
+    * BATCH size, the shape a per-delta dedup step needs. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val batch = d.withColumn("doc_id", col("doc_id") + 100000)
+    Dedup.minhashLshPairsAgainst(d, batch, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+      .orderBy(col("corpus_id"), col("batch_id"))
+  }
+
+  /** Exact substring-window duplicates (Lee et al. 2022-style): document
+    * pairs sharing at least one exact 8-token window, with the count of
+    * distinct shared windows. Doubled corpus guarantees hits; the window-
+    * hash blocking key is an unbounded key space (scale-linear). */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+    Dedup.exactWindowPairs(doubled, "doc_id", "text", windowTokens = 8)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Token-budget source mixing (the data-mixing step of a training-data
+    * pipeline): every source gets an equal share of the total token
+    * budget; over-represented sources are down-sampled to their share by
+    * a deterministic hash gate, under-represented ones are kept whole.
+    * The per-source rates are DATA-DEPENDENT (computed from the corpus,
+    * broadcast back) — integer ppm math end to end, so the oracle mirrors
+    * exactly. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextOps.tokenCount(col("text")).cast("long").as("tok"))
+    val bySrc = docs.groupBy(col("source")).agg(sum(col("tok")).as("src_tokens"))
+    val total = bySrc.agg(sum(col("src_tokens")).as("total_tokens"), count(lit(1)).as("n_sources"))
+    val rates = bySrc.crossJoin(broadcast(total))
+      .select(col("source"), col("src_tokens"),
+        least(lit(1000000L),
+          expr("total_tokens * 1000000 DIV (n_sources * src_tokens)")).as("keep_ppm"))
+    val gate = pmod(
+      PortableHash.hash32(concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000000L))
+    docs.join(broadcast(rates), "source")
+      .where(gate < col("keep_ppm"))
+      .groupBy(col("source"), col("keep_ppm"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .select(col("source"), col("keep_ppm"), col("n_docs"), col("n_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** S1 as a bench-visible read path: the fixture's `nation` table is
     * seeded once per JVM into an embedded in-memory Derby database, then
     * read back through the PARTITIONED JDBC source (4 bounded
@@ -1162,6 +1221,9 @@ object SparkEntry {
     "q65_curation_pipeline" -> (q65 _),
     "q66_lateness_scan" -> (q66 _),
     "q67_jdbc_dim_join" -> (q67 _),
+    "q68_incremental_neardup" -> (q68 _),
+    "q69_substring_dup" -> (q69 _),
+    "q70_token_mix" -> (q70 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),

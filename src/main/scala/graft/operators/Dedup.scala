@@ -151,17 +151,98 @@ object Dedup {
     joinVerify(a, b, "band_key", thrNum)
   }
 
+  /** Incremental near-dup: candidate pairs BETWEEN an existing corpus and
+    * an incoming batch only (no within-side pairs) — the CDC-shaped dedup:
+    * each delta batch is checked against the already-ingested corpus
+    * without re-pairing the corpus against itself. Same shingle/minhash/
+    * band blocking as [[minhashLshPairs]], but the band join is
+    * corpus ⋈ batch, so candidate volume is Σ_k |corpus_k|·|batch_k| —
+    * proportional to the BATCH for a fixed corpus, the right incremental
+    * shape (at cluster scale the corpus prep is a persisted staging table
+    * keyed by band, and each delta joins against it). The degenerate-
+    * bucket guard counts membership over BOTH sides together and
+    * sub-splits with one shared secondary hash, so a cross pair survives
+    * iff both members land in the same sub-bucket (bounded work, partial
+    * recall under floods). Output: (corpus_id, batch_id, jaccard). */
+  def minhashLshPairsAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val rowsPerBand = k / bands
+    val thrNum = math.round(threshold * 1e6)
+    def prep(df: DataFrame, side: String) = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
+        transform(TextOps.wordShingles(col("text"), shingleN), s => PortableHash.hash32(s))))))
+      .withColumn("sz", size(col("hs")))
+      .withColumn("sig", ArrayExprs.sticky(ArrayExprs.minhashSignatureFast(col("hs"), k)))
+      .drop("text")
+      .withColumn("side", lit(side))
+    val both = prep(corpus, "c").unionByName(prep(batch, "b")).localCheckpoint(true)
+    val withSig = subSplitOversizedBuckets(
+      both.withColumn("band_key", explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand))),
+      "band_key", "doc_id", maxBucket, "minhashLshPairsAgainst")
+    val a = withSig.where(col("side") === "c")
+      .select(col("band_key"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
+    val b = withSig.where(col("side") === "b")
+      .select(col("band_key"), col("doc_id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
+    joinVerify(a, b, "band_key", thrNum, col("id_a") =!= col("id_b"))
+      .select(col("id_a").as("corpus_id"), col("id_b").as("batch_id"), col("jaccard"))
+  }
+
+  /** Exact substring-window duplicate pairs (the substring-level exact-dup
+    * detection of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", simplified to fixed-width windows): two
+    * documents pair iff they share at least one exact `windowTokens`-token
+    * window; `n_shared` counts the distinct shared windows. The blocking
+    * key is the window HASH — an UNBOUNDED key space, so bucket sizes
+    * track true window popularity rather than corpus size and candidates
+    * stay linear as the corpus grows; a boilerplate window shared by
+    * everything is exactly the degenerate bucket the guard sub-splits.
+    * The original md5 window hash rides along and re-checks equality in
+    * the join, so the output never depends on the guard's re-keying. */
+  def exactWindowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 16,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val windows = df.select(
+      col(idCol).as("doc_id"),
+      explode(array_distinct(transform(
+        TextOps.wordShingles(col("text"), windowTokens), w => PortableHash.hash32(w)))).as("wh"))
+      .withColumn("wkey", col("wh"))
+    // materialized once — feeds the guard count and both join sides
+    val blocked = subSplitOversizedBuckets(
+      windows.localCheckpoint(true), "wkey", "doc_id", maxBucket, "exactWindowPairs")
+    val a = blocked.select(col("wkey"), col("wh"), col("doc_id").as("id_a"))
+    val b = blocked.select(col("wkey").as("wkey_r"), col("wh").as("wh_b"), col("doc_id").as("id_b"))
+    a.join(b,
+      col("wkey") === col("wkey_r") && col("id_a") < col("id_b") && col("wh") === col("wh_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("wh")).as("n_shared"))
+  }
+
   /** Candidate join + exact-Jaccard refine shared by the LSH and blocked
     * variants. Exactness-preserving prefilter in the JOIN condition:
     * J = |∩|/|∪| ≤ min(szA,szB)/max(szA,szB), so pairs failing the size
     * ratio can't reach the threshold — the expensive intersect never runs
     * for them. The threshold test itself is integer math
-    * (10⁶·inter ≥ thrNum·union), identical across engines. */
-  private def joinVerify(a: DataFrame, b0: DataFrame, key: String, thrNum: Long): DataFrame = {
+    * (10⁶·inter ≥ thrNum·union), identical across engines. `pairCond`
+    * orders the pair for self-joins (default) or just excludes self-pairs
+    * for two-sided joins. */
+  private def joinVerify(a: DataFrame, b0: DataFrame, key: String, thrNum: Long,
+      pairCond: Column = col("id_a") < col("id_b")): DataFrame = {
     val b = b0.withColumnRenamed(key, key + "_r")
     val joined = a.join(b,
       col(key) === col(key + "_r") &&
-        col("id_a") < col("id_b") &&
+        pairCond &&
         greatest(col("sz_a"), col("sz_b")) > 0 &&
         least(col("sz_a"), col("sz_b")) * lit(1000000L) >= lit(thrNum) * greatest(col("sz_a"), col("sz_b")))
     val inter = ArrayExprs.sticky(ArrayExprs.sortedIntersectCount(col("hs_a"), col("hs_b")).cast("long"))

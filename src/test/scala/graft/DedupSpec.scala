@@ -46,6 +46,36 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("incremental near-dup pairs only across sides, never within a side") {
+    // corpus holds the near-dup pair (1,3) — it must NOT be emitted; the
+    // batch doc 12 (re-keyed copy of 1's text) must pair with corpus 1
+    // (and its near-dup 3), with the corpus id always on the left
+    val corpusSide = corpus.where(col("doc_id") =!= 2)
+    val batchSide = Seq(
+      (12L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (13L, "entirely fresh material about streaming watermark semantics and state stores"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLshPairsAgainst(corpusSide, batchSide, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id"))).toSet
+    assert(out.contains((1L, 12L)), s"batch copy must match its corpus original: $out")
+    assert(!out.exists { case (a, b) => Set(1L, 3L, 4L, 5L).contains(b) },
+      "batch_id column must only hold batch docs (no corpus self-pairs)")
+    assert(!out.exists { case (a, b) => a == 13L || b == 13L },
+      "unrelated batch doc must match nothing")
+  }
+
+  test("exact window pairs: docs sharing an exact token window, with shared-window count") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "zulu yankee alpha bravo charlie delta india juliet"),    // shares window (alpha..delta)
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val out = Dedup.exactWindowPairs(docs, "doc_id", "text", windowTokens = 4)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Long]("n_shared"))).toMap
+    assert(out.keySet == Set((1L, 2L)), s"only the window-sharing pair may appear: $out")
+    assert(out((1L, 2L)) == 1L, "exactly one distinct 4-token window is shared")
+  }
+
   test("star-contraction CC equals iterative min-label CC on adversarial graph shapes") {
     // chain (worst case for plain propagation), clique (the giant-component
     // shape), seeded random edges, and singletons — both algorithms must
