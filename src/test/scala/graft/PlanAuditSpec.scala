@@ -68,6 +68,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(out.count() == 5000, "salted join must preserve fact-row multiplicity")
   }
 
+  test("incremental near-dup joins corpus-side against batch-side exactly once (no self-join)") {
+    import graft.operators.Dedup
+    val corpus = (1 to 200).map(i => (i.toLong, s"alpha bravo charlie delta text body $i here"))
+      .toDF("doc_id", "text")
+    val batch = (1000 to 1010).map(i => (i.toLong, s"alpha bravo charlie delta text body ${i - 999} here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLshPairsAgainst(corpus, batch, "doc_id", "text")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    // exactly ONE INNER (candidate) join in the plan: corpus x batch. A
+    // self-join formulation (pairs over the union, filtered after) would
+    // add a second inner join path and pay within-corpus candidates. The
+    // guard's broadcast LeftOuter joins (one per side) are expected.
+    val innerJoins = plan.linesIterator
+      .filter(l => "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findFirstIn(l).isDefined)
+      .count(_.contains("Inner"))
+    assert(innerJoins == 1, s"expected exactly one inner candidate join, found $innerJoins:\n$plan")
+  }
+
+  test("token-mix rates join broadcasts (per-source rates are a tiny dimension)") {
+    val out = SparkEntry.queries("q70_token_mix")(spark, "/root/testdata/sf0.001")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates join must broadcast:\n$plan")
+  }
+
   test("knnJoin(broadcastProbes = false) does NOT broadcast a corpus-sized probe side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // model an above-threshold probe side
