@@ -387,6 +387,19 @@ object OracleSql {
       SELECT source, keep_ppm, count(1) AS n_docs, sum(tok)::bigint AS n_tokens
       FROM k GROUP BY 1, 2 ORDER BY source""",
 
+    // The Bloom prefilter is invisible to semantics (no false negatives +
+    // exact refine join), so the oracle is the plain ANSI semi-join.
+    "q71_bloom_decontamination" -> s"""
+      WITH w AS (SELECT doc_id, $TOKS AS w FROM documents),
+      shl AS (SELECT doc_id,
+        list_distinct(list_transform($SHINGLES3RAW, s2 -> ${h32("s2")})) AS hs FROM w),
+      ex AS (SELECT doc_id, unnest(hs) AS h FROM shl),
+      tst AS (SELECT DISTINCT h FROM ex WHERE doc_id % 89 = 0)
+      SELECT doc_id, count(DISTINCT h) AS n_contaminated_shingles
+      FROM ex JOIN tst USING (h)
+      WHERE doc_id % 89 != 0
+      GROUP BY doc_id ORDER BY doc_id""",
+
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256, count(1) AS dup_count

@@ -1058,6 +1058,30 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Decontamination with the 100 TB plan (q57's semantics on a different
+    * held-out cut): the held-out shingle set is compiled into a broadcast
+    * Bloom filter and the training side is pruned BEFORE the semi-join's
+    * exchange (RuntimeFilters.bloomPrunedSemiJoin) — shuffle volume drops
+    * from O(corpus shingles) to O(matches + fpp·corpus). Exact by
+    * construction: Bloom filters have no false negatives and the exact
+    * semi-join removes the false positives, so the oracle is the plain
+    * ANSI semi-join. q57 (broadcast semi-join) is the small-test-set
+    * regime; this is the plan for a held-out set too big to broadcast as
+    * a hash relation but whose membership fits in megabits. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.wordShingles(col("text"), 3))).as("shingle"))
+      .select(col("doc_id"), PortableHash.hash32(col("shingle")).as("h"))
+    val isTest = col("doc_id") % 89 === 0
+    val testShingles = sh.where(isTest).select(col("h")).distinct()
+    graft.operators.RuntimeFilters
+      .bloomPrunedSemiJoin(sh.where(!isTest), testShingles, "h", expectedItems = 1L << 20)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_contaminated_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** S1 as a bench-visible read path: the fixture's `nation` table is
     * seeded once per JVM into an embedded in-memory Derby database, then
     * read back through the PARTITIONED JDBC source (4 bounded
@@ -1224,6 +1248,7 @@ object SparkEntry {
     "q68_incremental_neardup" -> (q68 _),
     "q69_substring_dup" -> (q69 _),
     "q70_token_mix" -> (q70 _),
+    "q71_bloom_decontamination" -> (q71 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),
