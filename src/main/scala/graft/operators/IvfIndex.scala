@@ -52,6 +52,29 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$indexDir/data")
   }
 
+  /** Incremental maintenance — the Pinecone-upsert analog for the IVF
+    * layout: route new vectors to their nearest EXISTING centroid and
+    * append them as new files inside only those cluster directories. No
+    * retraining, no rewrite of untouched clusters, and [[search]] needs no
+    * change — with nprobe=k the appended index is still an exact scan of
+    * base ∪ new (SimilaritySpec asserts parity with brute force).
+    *
+    * Contract: appended ids are NEW ids (the CDC path guarantees this —
+    * content-hash ids are deduped by the sink upsert upstream); an id
+    * appended twice would surface twice. Centroids drift as the corpus
+    * distribution shifts: production re-trains on a cadence driven by
+    * recall monitoring, while append keeps the index serving between
+    * retrains — the standard IVF operational trade (Jégou et al.). */
+  def append(newVectors: DataFrame, idCol: String, vecCol: String, indexDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = centroids(spark, indexDir)
+    newVectors
+      .select(col(idCol).as("id"), col(vecCol).as("embedding"))
+      .withColumn("cluster", SimilaritySearch.nearestCentroid(col("embedding"), cents))
+      .repartition(col("cluster"))
+      .write.mode(SaveMode.Append).partitionBy("cluster").parquet(s"$indexDir/data")
+  }
+
   /** The persisted centroid matrix, cluster-ordered. */
   def centroids(spark: SparkSession, indexDir: String): Array[Array[Float]] = {
     import spark.implicits._

@@ -180,6 +180,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact, "nprobe=k must equal the exact scan")
   }
 
+  test("IvfIndex.append: incremental maintenance touches only routed clusters, search stays exact") {
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", dir, k = 4, iters = 2)
+
+    def filesByCluster: Map[String, Set[String]] = {
+      val data = new java.io.File(s"$dir/data")
+      Option(data.listFiles()).toSeq.flatten.filter(_.getName.startsWith("cluster=")).map { d =>
+        d.getName -> Option(d.listFiles()).toSeq.flatten
+          .map(_.getName).filter(_.endsWith(".parquet")).toSet
+      }.toMap
+    }
+    val before = filesByCluster
+
+    // new batch: a tight near-dup of vec 3 plus one fresh random vector
+    val rnd = new scala.util.Random(11)
+    val nearOf3 = vecs.where(col("vec_id") === 3).collect()(0).getSeq[Float](1).toArray.clone()
+    nearOf3(1) += 0.01f
+    val batch = Seq((200L, nearOf3), (201L, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.append(batch, "vec_id", "embedding", dir)
+
+    // untouched cluster dirs kept their exact file sets (no rewrite);
+    // at most 2 clusters gained files (the two routed vectors)
+    val after = filesByCluster
+    val changed = after.filter { case (c, fs) => before.getOrElse(c, Set.empty) != fs }
+    assert(changed.nonEmpty && changed.size <= 2, s"appended clusters: ${changed.keys}")
+    changed.foreach { case (c, fs) =>
+      assert(before.getOrElse(c, Set.empty).subsetOf(fs), s"$c lost pre-append files")
+    }
+
+    // nprobe=k after append == brute force over base ∪ batch (still exact)
+    val all = vecs.unionByName(batch)
+    val probe = nearOf3
+    val exact = SimilaritySearch.topK(all, "vec_id", "embedding",
+      lit(probe).cast("array<float>"), 5).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val appended = IvfIndex.search(spark, dir, probe, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(appended == exact, s"append broke exactness: $appended vs $exact")
+    assert(appended.head._1 == 200L, "the appended vector itself must rank first")
+  }
+
   test("ivfTopK scans only nprobe clusters (candidate restriction is real)") {
     val centroids = SimilaritySearch.ivfTrain(vecs, "vec_id", "embedding", k = 4, iters = 2)
     val probe = vecs.where(col("vec_id") === 0).collect()(0).getSeq[Float](1).toArray
