@@ -31,10 +31,20 @@ object Tables {
     * refuses outright (PARQUET_TYPE_ILLEGAL); under the legacy flag it
     * surfaces as nanos-since-epoch long, which we normalize to a proper
     * microsecond TimestampType here (values are µs-aligned, so `div 1000`
-    * is exact — same truncation DuckDB applies reading the file). */
+    * is exact — same truncation DuckDB applies reading the file).
+    *
+    * `mergeSchema=true`: a CDC source table can gain columns between sync
+    * cycles (MySQL ALTER TABLE), leaving mixed-schema files in the
+    * directory. Without merging, Spark takes one arbitrary footer's schema
+    * — the new column is silently dropped or kept depending on file order.
+    * Merging yields the deterministic union schema (old rows null-filled),
+    * which is exactly what the reference's `SELECT *` sees after an ALTER
+    * (`service_layer/service.py:53-57`). Footer merging is a distributed
+    * metadata job, paid per table load — the price of having no catalog;
+    * a production deployment stores the current schema in one. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.option("mergeSchema", "true").parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df

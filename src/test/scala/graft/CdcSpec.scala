@@ -37,6 +37,30 @@ class CdcSpec extends AnyFunSuite {
     assert(delta.select("event_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("schema drift: a column added between cycles flows into the chunk JSON (dynamic SELECT *)") {
+    val scratch = Files.createTempDirectory("graft_cdc_evo").toString
+    val src = s"$scratch/src"
+    new java.io.File(src).mkdirs()
+    // cycle 1: (event_id, ts, payload)
+    Seq((1L, ts("2024-01-01 00:00:00"), "a"), (2L, ts("2024-01-02 00:00:00"), "b"))
+      .toDF("event_id", "ts", "payload").write.parquet(s"$src/events.parquet")
+    Cdc.syncCycle(spark, src, s"$scratch/state", s"$scratch/sink")
+    // cycle 2: the table gained a column (ALTER TABLE analog) — new rows
+    // carry it as appended wider-schema files, old files stay untouched
+    Seq((3L, ts("2024-01-03 00:00:00"), "c", "eu"))
+      .toDF("event_id", "ts", "payload", "region")
+      .write.mode("append").parquet(s"$src/events.parquet")
+    Cdc.syncCycle(spark, src, s"$scratch/state", s"$scratch/sink")
+    val texts = Cdc.readVectorSink(spark, s"$scratch/sink")
+      .select("text").as[String].collect()
+    // the delta row serializes WITH the new column (the reference's
+    // SELECT * against the post-ALTER schema)
+    assert(texts.exists(t => t.contains("\"region\":\"eu\"") && t.contains("\"event_id\":3")),
+      s"new column missing from cycle-2 chunks: ${texts.mkString("\n")}")
+    // cycle-1 chunks were not rewritten (their JSON predates the column)
+    assert(texts.exists(t => t.contains("\"event_id\":1") && !t.contains("region")))
+  }
+
   test("scalable chunking in the sync path covers the same rows (the default mode)") {
     val scratch = java.nio.file.Files.createTempDirectory("graft_cdc_sc").toString
     val src = s"$scratch/src"
