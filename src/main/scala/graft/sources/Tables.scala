@@ -40,11 +40,20 @@ object Tables {
     * Merging yields the deterministic union schema (old rows null-filled),
     * which is exactly what the reference's `SELECT *` sees after an ALTER
     * (`service_layer/service.py:53-57`). Footer merging is a distributed
-    * metadata job, paid per table load — the price of having no catalog;
-    * a production deployment stores the current schema in one. */
+    * metadata job, paid per table load — the price of having no catalog
+    * (a production deployment stores the current schema in one) — so it
+    * is gated on the only case that can diverge: a directory with more
+    * than one data file. A single-file table has exactly one schema. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.option("mergeSchema", "true").parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    val multiFile = f.isDirectory && {
+      val names = Option(f.listFiles()).toSeq.flatten.map(_.getName)
+      names.count(n => !n.startsWith("_") && !n.startsWith(".")) > 1
+    }
+    val reader = if (multiFile) spark.read.option("mergeSchema", "true") else spark.read
+    val df = reader.parquet(path)
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
