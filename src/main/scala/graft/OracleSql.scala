@@ -360,15 +360,22 @@ object OracleSql {
       ORDER BY corpus_id, batch_id""",
 
     // exact shared 8-token windows over the doubled corpus
+    // window keys = double Rabin–Karp over per-token hashes (mirror of
+    // ArrayExprs.RollingWindowHash): key = horner(B=31,M=2147483647) *
+    // 2147483629 + horner(B=37,M=2147483629); the oracle recomputes each
+    // window's Horner fold directly (O(w) per window — fine at sf0.01)
     "q69_substring_dup" -> s"""
       WITH docs2 AS (
         SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
       w AS (SELECT doc_id, $TOKS AS w FROM docs2),
+      th AS (SELECT doc_id, list_transform(w, t2 -> ${h32("t2")}) AS th FROM w),
       wh AS (SELECT doc_id, list_distinct(list_transform(
-          list_transform(range(1, greatest(length(w)-7, 0)+1),
-            i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]),
-          s2 -> ${h32("s2")})) AS whs FROM w),
+          range(1, greatest(length(th)-7, 0)+1),
+          i -> list_reduce(list_prepend(0::bigint, th[i:i+7]),
+                 (acc,x) -> ((acc*31)%2147483647 + x%2147483647)%2147483647) * 2147483629
+             + list_reduce(list_prepend(0::bigint, th[i:i+7]),
+                 (acc,x) -> ((acc*37)%2147483629 + x%2147483629)%2147483629))) AS whs FROM th),
       e AS (SELECT doc_id, unnest(whs) AS wh FROM wh)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(DISTINCT a.wh) AS n_shared
       FROM e a JOIN e b ON a.wh = b.wh AND a.doc_id < b.doc_id

@@ -205,18 +205,27 @@ object Dedup {
     * track true window popularity rather than corpus size and candidates
     * stay linear as the corpus grows; a boilerplate window shared by
     * everything is exactly the degenerate bucket the guard sub-splits.
-    * The original md5 window hash rides along and re-checks equality in
-    * the join, so the output never depends on the guard's re-keying. */
+    * The window fingerprint rides along and re-checks equality in
+    * the join, so the output never depends on the guard's re-keying.
+    *
+    * Window keys are double Rabin–Karp rolling fingerprints
+    * ([[ArrayExprs.RollingWindowHash]]): one md5 per TOKEN plus O(1) long
+    * ops per window, instead of md5 over every w-token window STRING
+    * (which hashes each token w times) — and a ~62-bit key space where a
+    * 32-bit window hash would flood blocking buckets with birthday
+    * collisions at corpus scale. "Exact" means exact at fingerprint
+    * granularity, the standard trade of fingerprint substring dedup. */
   def exactWindowPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       windowTokens: Int = 16,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val tokHashes = transform(TextOps.tokens(col(textCol)), t => PortableHash.hash32(t))
     val windows = df.select(
       col(idCol).as("doc_id"),
-      explode(array_distinct(transform(
-        TextOps.wordShingles(col("text"), windowTokens), w => PortableHash.hash32(w)))).as("wh"))
+      explode(array_distinct(
+        ArrayExprs.rollingWindowHash(tokHashes, windowTokens))).as("wh"))
       .withColumn("wkey", col("wh"))
     // materialized once — feeds the guard count and both join sides
     val blocked = subSplitOversizedBuckets(

@@ -298,6 +298,92 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** Double Rabin–Karp rolling fingerprints of every w-token window over a
+    * token-hash array: output(i) = h1(i)·M2 + h2(i), where hb(i) is the
+    * Horner fold Σ (t mod Mb)·Bb^(w-1-j) mod Mb over tokens i..i+w-1.
+    *
+    * Why rolling: all n-w+1 window keys cost O(n) long ops total (one
+    * sub/mul/add per modulus per position) and no window STRING is ever
+    * materialized — the md5 cost stays per TOKEN, where the per-window-md5
+    * alternative hashes every token w times inside concatenated window
+    * strings. Why two moduli: a single 31-bit key space floods blocking
+    * buckets with birthday collisions at corpus scale; the combined key is
+    * effectively 62-bit (~10⁻⁴ expected false pairs per 10⁶ windows).
+    * Mirrored in DuckDB by the O(w)-per-window Horner fold (oracle scale
+    * is tiny, so the asymptotic gap doesn't matter there). n < w → empty
+    * array (matches "no window fits"). */
+  case class RollingWindowHash(child: Expression, w: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(w >= 1, s"window must be >= 1 token, got $w")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+    final val M1 = 2147483647L; final val B1 = 31L
+    final val M2 = 2147483629L; final val B2 = 37L
+
+    override def nullSafeEval(input: Any): Any = {
+      val ts = input.asInstanceOf[ArrayData]
+      val n = ts.numElements()
+      if (n < w) return new GenericArrayData(Array.emptyLongArray)
+      val out = new Array[Long](n - w + 1)
+      var bw1 = 1L; var bw2 = 1L
+      var j = 1
+      while (j < w) { bw1 = bw1 * B1 % M1; bw2 = bw2 * B2 % M2; j += 1 }
+      var h1 = 0L; var h2 = 0L
+      var i = 0
+      while (i < w) {
+        val t = ts.getLong(i)
+        h1 = (h1 * B1 + t % M1) % M1
+        h2 = (h2 * B2 + t % M2) % M2
+        i += 1
+      }
+      out(0) = h1 * M2 + h2
+      i = w
+      while (i < n) {
+        val tOut = ts.getLong(i - w); val tIn = ts.getLong(i)
+        h1 = ((h1 - tOut % M1 * bw1 % M1 + M1) % M1 * B1 + tIn % M1) % M1
+        h2 = ((h2 - tOut % M2 * bw2 % M2 + M2) % M2 * B2 + tIn % M2) % M2
+        out(i - w + 1) = h1 * M2 + h2
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, ts => {
+        val n = ctx.freshName("n"); val out = ctx.freshName("out")
+        val bw1 = ctx.freshName("bw1"); val bw2 = ctx.freshName("bw2")
+        val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val t = ctx.freshName("t"); val tOut = ctx.freshName("tOut"); val tIn = ctx.freshName("tIn")
+        val gad = classOf[GenericArrayData].getName
+        s"""
+        final int $n = $ts.numElements();
+        final long[] $out = new long[$n < $w ? 0 : $n - $w + 1];
+        if ($n >= $w) {
+          long $bw1 = 1L, $bw2 = 1L;
+          for (int $j = 1; $j < $w; $j++) { $bw1 = $bw1 * ${B1}L % ${M1}L; $bw2 = $bw2 * ${B2}L % ${M2}L; }
+          long $h1 = 0L, $h2 = 0L;
+          for (int $i = 0; $i < $w; $i++) {
+            final long $t = $ts.getLong($i);
+            $h1 = ($h1 * ${B1}L + $t % ${M1}L) % ${M1}L;
+            $h2 = ($h2 * ${B2}L + $t % ${M2}L) % ${M2}L;
+          }
+          $out[0] = $h1 * ${M2}L + $h2;
+          for (int $i = $w; $i < $n; $i++) {
+            final long $tOut = $ts.getLong($i - $w); final long $tIn = $ts.getLong($i);
+            $h1 = (($h1 - $tOut % ${M1}L * $bw1 % ${M1}L + ${M1}L) % ${M1}L * ${B1}L + $tIn % ${M1}L) % ${M1}L;
+            $h2 = (($h2 - $tOut % ${M2}L * $bw2 % ${M2}L + ${M2}L) % ${M2}L * ${B2}L + $tIn % ${M2}L) % ${M2}L;
+            $out[$i - $w + 1] = $h1 * ${M2}L + $h2;
+          }
+        }
+        ${ev.value} = new $gad($out);
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   object Md5Hash32 {
     private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
@@ -324,6 +410,9 @@ object ArrayExprs {
 
   def simhash32Fast(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(tokenHashes)))
+
+  def rollingWindowHash(tokenHashes: Column, w: Int): Column =
+    ColumnBridge.column(RollingWindowHash(ColumnBridge.expression(tokenHashes), w))
 
   /** Materialization barrier for an expensive column (see [[Sticky]]). */
   def sticky(c: Column): Column =

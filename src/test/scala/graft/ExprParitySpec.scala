@@ -63,7 +63,9 @@ class ExprParitySpec extends AnyFunSuite {
           transform(TextOps.tokens(col("text")), t => PortableHash.hash32(t))).as("sh"),
         ArrayExprs.sortedIntersectCount(
           array_sort(transform(TextOps.tokens(col("text")), t => PortableHash.hash32(t))),
-          array_sort(transform(TextOps.tokens(col("text")), t => PortableHash.hash32(t)))).as("ic"))
+          array_sort(transform(TextOps.tokens(col("text")), t => PortableHash.hash32(t)))).as("ic"),
+        ArrayExprs.rollingWindowHash(
+          transform(TextOps.tokens(col("text")), t => PortableHash.hash32(t)), 4).as("rwh"))
         .collect()
     }
     assert(out.length == docs.count())
@@ -96,6 +98,32 @@ class ExprParitySpec extends AnyFunSuite {
     val interp = withInterpreted(sigs())
     gen.foreach { case (_, fast, ref) => assert(fast == ref) }
     assert(gen.map(t => (t._1, t._2)).toSeq == interp.map(t => (t._1, t._2)).toSeq)
+  }
+
+  test("RollingWindowHash: interpreted == codegen == naive per-window Horner reference") {
+    val rnd = new scala.util.Random(42)
+    // includes n < w, n == w, and values up to 2^32 (the md5Hash32 range)
+    val arrays = Seq(
+      Array.empty[Long], Array(7L), Array(1L, 2L, 3L),
+      Array(5L, 6L, 7L, 8L),
+      Array.fill(40)(rnd.nextLong(1L << 32)),
+      Array.fill(9)(4294967295L)).zipWithIndex.map(_.swap).toDF("i", "ts")
+    val w = 4
+    def naive(ts: Seq[Long]): Seq[Long] =
+      if (ts.length < w) Seq.empty
+      else (0 to ts.length - w).map { i =>
+        val h1 = ts.slice(i, i + w).foldLeft(0L)((acc, t) => (acc * 31 + t % 2147483647L) % 2147483647L)
+        val h2 = ts.slice(i, i + w).foldLeft(0L)((acc, t) => (acc * 37 + t % 2147483629L) % 2147483629L)
+        h1 * 2147483629L + h2
+      }
+    def vals() = arrays.select(col("i"), ArrayExprs.rollingWindowHash(col("ts"), w).as("rh"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1)
+    val gen = vals()
+    val ref = arrays.collect().map(r => (r.getInt(0), naive(r.getSeq[Long](1)))).sortBy(_._1)
+    gen.zip(ref).foreach { case ((i1, fast), (i2, expect)) =>
+      assert(i1 == i2 && fast == expect, s"row $i1: $fast != $expect")
+    }
+    assert(withInterpreted(vals()).map(t => (t._1, t._2)).toSeq == gen.map(t => (t._1, t._2)).toSeq)
   }
 
   test("SortedIntersectCount: interpreted == codegen == size(array_intersect)") {
