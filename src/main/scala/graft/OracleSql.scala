@@ -29,6 +29,11 @@ object OracleSql {
   private def dotExpr(a: String, b: String) =
     foldSum(s"list_transform(range(1, length($a)+1), i -> $a[i]::double * $b[i]::double)")
 
+  /** Exact integer dot product of two bigint lists (mirror of
+    * ArrayExprs.ByteDotProduct over int8 code vectors; order-free). */
+  private def intDot(a: String, b: String) =
+    s"list_reduce(list_prepend(0::bigint, list_transform(range(1, least(length($a), length($b))+1), i -> $a[i] * $b[i])), (acc,x) -> acc + x)"
+
   /** Mirror of VectorOps.signBucket(v, bits). */
   private def bucketN(v: String, bits: Int) =
     (0 until bits).map(i => s"CASE WHEN $v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
@@ -406,6 +411,34 @@ object OracleSql {
       FROM ex JOIN tst USING (h)
       WHERE doc_id % 89 != 0
       GROUP BY doc_id ORDER BY doc_id""",
+
+    // int8 quantization + integer dot scoring + exact re-rank — mirror of
+    // VectorOps.int8Scale/int8Quantize + ArrayExprs.ByteDotProduct; every
+    // step is integer or fixed-order IEEE math, so the candidate cut and
+    // the final ranking match the engine exactly
+    "q72_quantized_knn" -> s"""
+      WITH m AS (SELECT vec_id, embedding,
+        list_max(list_transform(embedding, x -> abs(x::double))) AS ma FROM embeddings),
+      q AS (SELECT vec_id, embedding,
+        CASE WHEN ma IS NULL OR ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale FROM m),
+      qq AS (SELECT vec_id, embedding,
+        list_transform(embedding,
+          x -> greatest(-127, least(127, floor(x::double * scale + 0.5)))::bigint) AS qv FROM q),
+      n AS (SELECT vec_id, embedding, qv, ${intDot("qv", "qv")} AS nq FROM qq),
+      p AS (SELECT qv AS pq, nq AS np, embedding AS pe FROM n WHERE vec_id = 0),
+      sc AS (SELECT e.vec_id, e.embedding, ${intDot("e.qv", "p.pq")} AS dq, e.nq, p.np, p.pe
+             FROM n e, p WHERE e.vec_id != 0 AND e.nq > 0 AND p.np > 0),
+      cand AS (SELECT vec_id, embedding, pe,
+        dq::double / sqrt(nq::double * np::double) AS score_q
+        FROM sc ORDER BY score_q DESC, vec_id LIMIT 50),
+      rr AS (SELECT vec_id, score_q,
+        ${dotExpr("embedding", "pe")} AS dp,
+        sqrt(${normSq("embedding")}) AS na,
+        sqrt(${normSq("pe")}) AS nb
+        FROM cand)
+      SELECT vec_id, round(score_q, 6) AS score_q8,
+        round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS score
+      FROM rr ORDER BY score DESC, vec_id LIMIT 10""",
 
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)

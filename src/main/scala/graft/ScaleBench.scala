@@ -22,7 +22,7 @@ object ScaleBench {
   val Heavy = Seq(
     "q93_cdc_cycle", "q53_dedup_clusters_star", "q45_dedup_clusters",
     "q65_curation_pipeline", "q18_minhash_lsh", "q63_ngram_lm_score",
-    "q94_ivf_ann")
+    "q69_substring_dup", "q71_bloom_decontamination", "q94_ivf_ann")
   val Repeats = 2
 
   def main(args: Array[String]): Unit = {

@@ -1082,6 +1082,35 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Quantized ANN with exact re-rank — the vector-I/O scale path: score
+    * the corpus on int8 codes (1/4 the bytes of float32, exact integer
+    * dot products via the codegen ByteDotProduct kernel) to pick top-C
+    * candidates, then re-rank only those C on the full-precision floats.
+    * At 100 TB the quantized column is the one the candidate scan reads;
+    * full vectors are fetched per survivor. Quantization, integer
+    * scoring, and the re-rank are all deterministic integer/IEEE math
+    * with a fixed op order, so DuckDB mirrors the whole pipeline —
+    * candidate cut included — exactly. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.ArrayExprs
+    val e = t(s, dir, "embeddings")
+      .withColumn("scale", VectorOps.int8Scale(col("embedding")))
+      .withColumn("qv", VectorOps.int8Quantize(col("embedding"), col("scale")))
+      .withColumn("nq", ArrayExprs.byteDotProduct(col("qv"), col("qv")))
+    val probe = e.where(col("vec_id") === 0)
+      .select(col("qv").as("pq"), col("nq").as("np"), col("embedding").as("pe"))
+    e.crossJoin(broadcast(probe))
+      .where(col("vec_id") =!= 0 && col("nq") > 0 && col("np") > 0)
+      .withColumn("dq", ArrayExprs.byteDotProduct(col("qv"), col("pq")))
+      .withColumn("score_q", col("dq").cast("double") / sqrt(col("nq").cast("double") * col("np").cast("double")))
+      .orderBy(desc("score_q"), col("vec_id"))
+      .limit(50)
+      .select(col("vec_id"), round(col("score_q"), 6).as("score_q8"),
+        round(VectorOps.cosineFast(col("embedding"), col("pe")), 6).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(10)
+  }
+
   /** S1 as a bench-visible read path: the fixture's `nation` table is
     * seeded once per JVM into an embedded in-memory Derby database, then
     * read back through the PARTITIONED JDBC source (4 bounded
@@ -1249,6 +1278,7 @@ object SparkEntry {
     "q69_substring_dup" -> (q69 _),
     "q70_token_mix" -> (q70 _),
     "q71_bloom_decontamination" -> (q71 _),
+    "q72_quantized_knn" -> (q72 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),

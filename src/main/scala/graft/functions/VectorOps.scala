@@ -72,6 +72,25 @@ object VectorOps {
     * side, j for the other) meets in the intermediate bucket
     * base_a ^ 2^i == base_b ^ 2^j, so two-bit disagreements are covered
     * without subset enumeration. */
+  /** Symmetric int8 quantization scale: 127/max|xᵢ| (0 for the zero or
+    * null-max vector). Per-vector scaling keeps full dynamic range per
+    * row; the scale rides alongside the quantized vector. All math is
+    * IEEE-double with a fixed op order, so any engine reproduces the
+    * quantization bit-exactly. */
+  def int8Scale(v: Column): Column = {
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    when(maxAbs.isNull || maxAbs === 0d, lit(0d)).otherwise(lit(127.0) / maxAbs)
+  }
+
+  /** int8 code vector: clamp(floor(xᵢ·scale + 0.5), -127, 127) per
+    * element — 1/4 the bytes of float32 (the I/O knob that matters when
+    * the corpus is 100 TB of vectors); score with
+    * [[graft.plans.ArrayExprs.byteDotProduct]] in exact integer math and
+    * re-rank survivors on the full-precision floats. */
+  def int8Quantize(v: Column, scale: Column): Column =
+    transform(v, x =>
+      greatest(lit(-127L), least(lit(127L), floor(x.cast("double") * scale + lit(0.5)))).cast("byte"))
+
   def probeBuckets(v: Column, bits: Int, nprobe: Int): Column = {
     val base = signBucket(v, bits)
     val extra = math.min(math.max(nprobe, 1) - 1, bits)

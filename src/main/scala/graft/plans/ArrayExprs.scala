@@ -298,6 +298,45 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
+  /** Σ aᵢ·bᵢ over two int8 (byte) vectors as a long — the integer scoring
+    * kernel of quantized ANN: exact integer math (identical in any
+    * engine), over a representation that costs 1/4 the I/O of float32.
+    * Truncates to the shorter length, like [[CosineSimilarity]]. Max
+    * magnitude 127²·n — overflow-free below n ≈ 5·10¹⁴ dims. */
+  case class ByteDotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = LongType
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(ByteType), ArrayType(ByteType))
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += x.getByte(i).toLong * y.getByte(i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        s"""
+        final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          $acc += (long) $a.getByte($i) * $b.getByte($i);
+        }
+        ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Double Rabin–Karp rolling fingerprints of every w-token window over a
     * token-hash array: output(i) = h1(i)·M2 + h2(i), where hb(i) is the
     * Horner fold Σ (t mod Mb)·Bb^(w-1-j) mod Mb over tokens i..i+w-1.
@@ -413,6 +452,9 @@ object ArrayExprs {
 
   def rollingWindowHash(tokenHashes: Column, w: Int): Column =
     ColumnBridge.column(RollingWindowHash(ColumnBridge.expression(tokenHashes), w))
+
+  def byteDotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(ByteDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Materialization barrier for an expensive column (see [[Sticky]]). */
   def sticky(c: Column): Column =

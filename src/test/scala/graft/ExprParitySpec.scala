@@ -68,6 +68,11 @@ class ExprParitySpec extends AnyFunSuite {
           transform(TextOps.tokens(col("text")), t => PortableHash.hash32(t)), 4).as("rwh"))
         .collect()
     }
+    val bout = withCodegenOnly {
+      vecs.select(ArrayExprs.byteDotProduct(
+        VectorOps.int8Quantize(col("v"), VectorOps.int8Scale(col("v"))),
+        VectorOps.int8Quantize(col("v"), VectorOps.int8Scale(col("v")))).as("bd")).collect()
+    }
     assert(out.length == docs.count())
     val vout = withCodegenOnly {
       vecs.select(VectorOps.cosineFast(col("v"), col("v")).as("c")).collect()
@@ -124,6 +129,31 @@ class ExprParitySpec extends AnyFunSuite {
       assert(i1 == i2 && fast == expect, s"row $i1: $fast != $expect")
     }
     assert(withInterpreted(vals()).map(t => (t._1, t._2)).toSeq == gen.map(t => (t._1, t._2)).toSeq)
+  }
+
+  test("ByteDotProduct: interpreted == codegen == declarative zip_with fold; quantization in range") {
+    // Array[Byte] maps to BINARY in Spark, so build int arrays and cast
+    val qpairs = Seq(
+      (Array(1, -2, 3), Array(4, 5, -6)),
+      (Array(127, -127, 127, -127), Array(127, 127, -127, -127)),
+      (Array.empty[Int], Array(1)),
+      (Array(9, 9), Array(2, 2, 2))).toDF("a0", "b0") // truncating tail
+      .select(col("a0").cast("array<tinyint>").as("a"), col("b0").cast("array<tinyint>").as("b"))
+    def vals() = qpairs.select(
+      ArrayExprs.byteDotProduct(col("a"), col("b")).as("fast"),
+      coalesce(aggregate(
+        zip_with(col("a").cast("array<long>"), col("b").cast("array<long>"),
+          (x, y) => coalesce(x * y, lit(0L))),
+        lit(0L), (acc, x) => acc + x), lit(0L)).as("ref")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val gen = vals()
+    gen.foreach { case (f, r) => assert(f == r, s"$f != $r") }
+    assert(withInterpreted(vals()).toSeq == gen.toSeq)
+    // int8Quantize stays in [-127, 127] and hits the extremes
+    val q = vecs.select(VectorOps.int8Quantize(col("v"), VectorOps.int8Scale(col("v"))).as("q"))
+      .collect().flatMap(_.getSeq[Byte](0))
+    assert(q.forall(b => b >= -127 && b <= 127))
+    assert(q.contains(127.toByte) || q.contains(-127.toByte)) // max-|x| element maps to ±127
   }
 
   test("SortedIntersectCount: interpreted == codegen == size(array_intersect)") {
