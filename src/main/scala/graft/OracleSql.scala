@@ -440,6 +440,89 @@ object OracleSql {
         round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS score
       FROM rr ORDER BY score DESC, vec_id LIMIT 10""",
 
+    // mirrors Dedup.clusterNearDupPairs at nprobe=1: nearest-centroid
+    // assignment (ties -> lowest centroid index, zero-norm cosine -> 0),
+    // within-cluster pairs, exact-cosine refine
+    "q73_cluster_neardup" -> s"""
+      WITH e2 AS (SELECT vec_id, embedding FROM embeddings
+                  UNION ALL SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+      seeds AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, embedding AS ce
+                FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+      sc AS (SELECT e.vec_id, e.embedding, s.cid,
+        ${dotExpr("e.embedding", "s.ce")} AS dp,
+        sqrt(${normSq("e.embedding")}) AS na,
+        sqrt(${normSq("s.ce")}) AS nb
+        FROM e2 e CROSS JOIN seeds s),
+      sim AS (SELECT vec_id, embedding, cid,
+        CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END AS cs FROM sc),
+      asg AS (SELECT vec_id, embedding, cid FROM
+        (SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn FROM sim)
+        WHERE rn = 1),
+      pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb2
+             FROM asg a JOIN asg b USING (cid) WHERE a.vec_id < b.vec_id),
+      ref AS (SELECT id_a, id_b,
+        ${dotExpr("ea", "eb2")} AS dp,
+        sqrt(${normSq("ea")}) AS na,
+        sqrt(${normSq("eb2")}) AS nb
+        FROM pr),
+      res AS (SELECT id_a, id_b,
+        round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS cosine FROM ref)
+      SELECT id_a, id_b, cosine FROM res WHERE cosine >= 0.25 ORDER BY id_a, id_b""",
+
+    // q45's reachability CC + q22's quality mirror + argmax-per-cluster
+    "q74_keep_best" -> s"""
+      WITH RECURSIVE d AS (SELECT doc_id, $TOKS AS toks FROM documents WHERE doc_id < 500),
+      p2 AS (SELECT doc_id, list_distinct(list_transform(toks, t -> ${h32("t")})) AS hs,
+             length(list_distinct(list_transform(toks, t -> ${h32("t")})))::bigint AS sz,
+             floor(length(toks) / 16)::bigint AS block FROM d),
+      j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          length(list_intersect(a.hs, b.hs))::bigint AS inter, a.sz + b.sz AS szsum
+        FROM p2 a JOIN p2 b USING (block)
+        WHERE a.doc_id < b.doc_id AND greatest(a.sz, b.sz) > 0
+          AND least(a.sz, b.sz) * 1000000 >= 900000 * greatest(a.sz, b.sz)),
+      pr AS (SELECT id_a, id_b FROM j WHERE inter * 1000000 >= 900000 * (szsum - inter)),
+      e AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+      r AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents WHERE doc_id < 500
+        UNION
+        SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst),
+      lab AS (SELECT src AS doc_id, min(dst) AS canonical FROM r GROUP BY src),
+      dq AS (SELECT doc_id, text, $TOKS AS toks FROM documents WHERE doc_id < 500),
+      m AS (SELECT doc_id,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+        CASE WHEN length(toks) = 0 THEN 0.0
+             ELSE length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(toks) END AS stop_r,
+        length(text) AS n_chars
+        FROM dq),
+      qual AS (SELECT doc_id,
+        ${qz6("least(n_chars::double / 500.0, 1.0) * 0.4 + least(stop_r * 5.0, 1.0) * 0.3 + greatest(1.0 - punct_r * 4.0, 0.0) * 0.3")} AS quality
+        FROM m)
+      SELECT l.doc_id, l.canonical, q2.quality,
+        (row_number() OVER (PARTITION BY l.canonical ORDER BY q2.quality DESC, l.doc_id) = 1) AS keep
+      FROM lab l JOIN qual q2 USING (doc_id) ORDER BY doc_id""",
+
+    // mirrors q75: df over distinct (tok, doc), drop tokens with df > N/2,
+    // ordered reassembly of survivors
+    "q75_df_prune" -> s"""
+      WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      tk AS (SELECT doc_id,
+        unnest(list_transform(range(length(toks)), i -> struct_pack(pos := i::int, tok := toks[i+1]))) AS s
+        FROM d),
+      t2 AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM tk),
+      dfreq AS (SELECT tok, count(DISTINCT doc_id)::bigint AS df FROM t2 GROUP BY tok),
+      tot AS (SELECT count(1)::bigint AS n_docs FROM documents),
+      dl AS (SELECT tok FROM dfreq, tot WHERE df * 2 > n_docs),
+      k AS (SELECT doc_id, pos, tok FROM t2 WHERE tok NOT IN (SELECT tok FROM dl)),
+      o AS (SELECT doc_id, count(1)::bigint AS n_kept,
+            string_agg(tok, ' ' ORDER BY pos) AS filtered_text FROM k GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(o.n_kept, 0)::bigint AS n_kept,
+        (length(d.toks) - coalesce(o.n_kept, 0))::bigint AS n_dropped,
+        coalesce(o.filtered_text, '') AS filtered_text
+      FROM d LEFT JOIN o USING (doc_id) ORDER BY doc_id""",
+
     "q17_exact_dedup" -> """
       WITH doubled AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
       SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha256, count(1) AS dup_count

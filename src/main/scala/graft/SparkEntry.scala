@@ -1111,6 +1111,84 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** SemDeDup-style cluster-blocked embedding near-dup (Abbas et al.
+    * 2023): vectors are assigned to their nearest coarse centroid and
+    * pairs are generated only within a cluster — the DATA-ADAPTIVE
+    * blocking that replaces q27's fixed 2^bits sign-bucket space at
+    * scale (pick k ≈ n/targetClusterSize and candidate volume stays
+    * linear in n; the cluster id is the IVF partition key, so at 100 TB
+    * the pair join is partition-local over the persisted index layout).
+    * Centroids here are the deterministic seed set (first 16 vectors by
+    * id) so DuckDB can mirror the assignment argmax exactly; production
+    * passes `SimilaritySearch.ivfTrain` output — same operator, same
+    * plan. Doubled corpus guarantees exact-dup pairs (identical vectors
+    * always share a cluster). */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val seeds = e.orderBy(col("vec_id")).limit(16)
+      .select(col("embedding")).as[Array[Float]].collect()
+    val doubled = e.unionByName(e.withColumn("vec_id", col("vec_id") + 100000))
+    Dedup.clusterNearDupPairs(doubled, "vec_id", "embedding", seeds, threshold = 0.25)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Quality-aware canonical selection — the keep-rule of a real curation
+    * pipeline: inside each near-dup cluster keep the HIGHEST-quality
+    * member (tie → lowest id), not the arbitrary first-seen. One window
+    * over the cluster label after CC — no shuffle beyond the clustering
+    * itself (the window partitions by the key the labels already
+    * hash-partition on). */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 1, threshold = 0.9, lengthBucket = 16)
+    val clusters = Dedup.dedupClusters(docs, "doc_id", pairs)
+    val scored = docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy(col("canonical")).orderBy(desc("quality"), col("doc_id"))
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("canonical"), col("quality"), (col("rk") === 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-adaptive boilerplate pruning (the token-level analog of
+    * RefinedWeb/CCNet line dedup, which this fixture's newline-free text
+    * can't express): token document-frequencies are computed over the
+    * corpus, tokens appearing in more than half of all documents become
+    * a drop list, and each document's text is reassembled from its
+    * surviving tokens in original order. The drop list is bounded by
+    * construction (at most totalOccurrences/(N/2) tokens can each appear
+    * in > N/2 docs), so it broadcasts; the corpus-side plan is one
+    * explode + one broadcast anti-join + one reassembly groupBy —
+    * integer df math end to end, no second corpus scan. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val dfreq = toks.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val dropList = dfreq.crossJoin(broadcast(total))
+      .where(col("df") * 2 > col("n_docs"))
+      .select(col("tok"))
+    val kept = toks.join(broadcast(dropList), Seq("tok"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("filtered_text"))
+    docs.select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("filtered_text"), lit("")).as("filtered_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** S1 as a bench-visible read path: the fixture's `nation` table is
     * seeded once per JVM into an embedded in-memory Derby database, then
     * read back through the PARTITIONED JDBC source (4 bounded
@@ -1279,6 +1357,9 @@ object SparkEntry {
     "q70_token_mix" -> (q70 _),
     "q71_bloom_decontamination" -> (q71 _),
     "q72_quantized_knn" -> (q72 _),
+    "q73_cluster_neardup" -> (q73 _),
+    "q74_keep_best" -> (q74 _),
+    "q75_df_prune" -> (q75 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),

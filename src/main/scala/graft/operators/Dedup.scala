@@ -550,4 +550,58 @@ object Dedup {
     // keeps the original single-meeting plan (no extra shuffle)
     if (nprobe > 1) pairs.distinct() else pairs
   }
+
+  /** SemDeDup-style cluster-blocked embedding near-dup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest coarse centroid
+    * and generate pairs only WITHIN a cluster, refined by exact cosine ≥
+    * `threshold`.
+    *
+    * This is the scale path for vector dedup that fixed sign-bucket
+    * blocking ([[embeddingNearDupPairs]]) cannot be: sign buckets have a
+    * FIXED 2^bits key space, so candidate volume is inherently quadratic
+    * in corpus size, while the centroid count k here is DATA-ADAPTIVE —
+    * pick k ≈ n/targetClusterSize and within-cluster candidate volume is
+    * O(n·targetClusterSize), linear in n. The cluster id is the same key
+    * [[IvfIndex]] partitions the persisted sink by, so at 100 TB the pair
+    * join is partition-local over the existing IVF layout (no extra
+    * shuffle beyond the one the index already paid). Exact duplicates are
+    * always recovered: identical vectors score identically against every
+    * centroid and land in the same cluster. A pair straddling a cluster
+    * boundary is missed at nprobe=1 (SemDeDup's documented trade);
+    * `nprobe > 1` assigns each vector to its nprobe nearest clusters
+    * (candidate volume ≤ nprobe× per side) to recover boundary pairs.
+    * Degenerate clusters beyond `maxBucket` members are sub-split with a
+    * logged count ([[subSplitOversizedBuckets]]); being a single-key
+    * blocker at nprobe=1, a split cluster keeps its within-sub-bucket
+    * pairs (≈1/nsplit recall inside that cluster).
+    *
+    * `centroids` is the k×dim coarse-quantizer matrix — driver-resident
+    * by design, like any IVF index's centroids ([[SimilaritySearch
+    * .ivfTrain]] output, or any deterministic seed set). */
+  def clusterNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Float]],
+      threshold: Double = 0.95,
+      maxBucket: Int = DefaultMaxBucket,
+      nprobe: Int = 1): DataFrame = {
+    require(centroids.nonEmpty, "clusterNearDupPairs needs at least one centroid")
+    // materialized once — feeds the cluster-size count and both join sides
+    val assigned = subSplitOversizedBuckets(
+      df.select(
+        col(idCol).as("vid"),
+        col(vecCol).as("v"),
+        explode(SimilaritySearch.nearestCentroids(col(vecCol), centroids, nprobe)).as("cluster"))
+        .localCheckpoint(true),
+      "cluster", "vid", maxBucket, "clusterNearDupPairs")
+    val a = assigned.select(col("cluster"), col("vid").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cluster"), col("vid").as("id_b"), col("v").as("v_b"))
+    val pairs = a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(VectorOps.cosineFast(col("v_a"), col("v_b")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+    // multi-assignment can surface one pair through several shared clusters
+    if (nprobe > 1) pairs.distinct() else pairs
+  }
 }

@@ -311,6 +311,64 @@ class DedupSpec extends AnyFunSuite {
       s"multi-probe candidates must stay sub-quadratic: $c4 vs all-pairs $allPairs")
   }
 
+  test("cluster-blocked near-dup (SemDeDup): exact precision, measured recall, monotone in nprobe") {
+    // Same seeded straddling corpus as the sign-bucket test, but blocked by
+    // nearest-centroid assignment over ivfTrain centroids — the
+    // data-adaptive key space. Exact duplicates MUST always be found
+    // (identical vectors assign identically); boundary pairs are the
+    // measured miss class, recovered by nprobe.
+    import graft.operators.SimilaritySearch
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat; v.map(_ / n)
+    }
+    val vecs = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    var id = 0L
+    (0 until 120).foreach { i =>
+      val base = unit(Array.fill(dim)(rnd.nextGaussian().toFloat))
+      vecs += ((id, base)); id += 1
+      if (i % 3 == 0) { vecs += ((id, base.clone())); id += 1 } // exact dup
+      else {
+        val eps = 0.02f + rnd.nextFloat() * 0.08f
+        vecs += ((id, unit(base.zip(Array.fill(dim)(rnd.nextGaussian().toFloat))
+          .map { case (x, n) => x + eps * n }))); id += 1
+      }
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); i += 1 }
+      dot // unit vectors
+    }
+    val arr = vecs.toIndexedSeq
+    val truth = (for {
+      i <- arr.indices; j <- (i + 1) until arr.size
+      if math.rint(cos(arr(i)._2, arr(j)._2) * 1e6) / 1e6 >= 0.95
+    } yield (arr(i)._1, arr(j)._1)).toSet
+    val exactDupPairs = (for {
+      i <- arr.indices; j <- (i + 1) until arr.size
+      if arr(i)._2.sameElements(arr(j)._2)
+    } yield (arr(i)._1, arr(j)._1)).toSet
+    assert(truth.size >= 30 && exactDupPairs.size >= 30)
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val centroids = SimilaritySearch.ivfTrain(df, "vec_id", "embedding", k = 12, iters = 2)
+    def found(nprobe: Int): Set[(Long, Long)] = {
+      val f = Dedup.clusterNearDupPairs(df, "vec_id", "embedding", centroids,
+        threshold = 0.95, nprobe = nprobe)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert((f -- truth).isEmpty, s"refine must be exact at nprobe=$nprobe: ${(f -- truth).size} spurious")
+      f
+    }
+    val (f1, f2) = (found(1), found(2))
+    val (p1, p2) = (f1.intersect(truth).size.toDouble / truth.size,
+      f2.intersect(truth).size.toDouble / truth.size)
+    info(f"cluster-blocked recall: nprobe=1 $p1%.3f, nprobe=2 $p2%.3f (truth ${truth.size} pairs, k=12)")
+    assert((exactDupPairs -- f1).isEmpty, "exact duplicates must always share a cluster")
+    assert(p2 >= p1, f"recall must be monotone in nprobe: $p1%.3f -> $p2%.3f")
+    assert(p1 >= 0.90, f"nprobe=1 recall floor regressed: $p1%.3f")
+    assert(p2 >= 0.95, f"nprobe=2 recall floor regressed: $p2%.3f")
+  }
+
   test("embedding near-dup via sign buckets finds identical vectors") {
     val vecs = Seq(
       (1L, Array(0.5f, -0.5f, 0.3f, 0.2f, -0.1f, 0.9f, 0.4f, -0.2f)),
