@@ -1093,9 +1093,11 @@ object SparkEntry {
     * candidate cut included — exactly. */
   private def q72(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.ArrayExprs
+    // fused codegen quantizer — value-identical to
+    // int8Quantize(v, int8Scale(v)) (ExprParitySpec), but one generated
+    // loop instead of two interpreted CodegenFallback `transform`s
     val e = t(s, dir, "embeddings")
-      .withColumn("scale", VectorOps.int8Scale(col("embedding")))
-      .withColumn("qv", VectorOps.int8Quantize(col("embedding"), col("scale")))
+      .withColumn("qv", ArrayExprs.int8Codes(col("embedding")))
       .withColumn("nq", ArrayExprs.byteDotProduct(col("qv"), col("qv")))
     val probe = e.where(col("vec_id") === 0)
       .select(col("qv").as("pq"), col("nq").as("np"), col("embedding").as("pe"))

@@ -303,6 +303,74 @@ object ArrayExprs {
     * engine), over a representation that costs 1/4 the I/O of float32.
     * Truncates to the shorter length, like [[CosineSimilarity]]. Max
     * magnitude 127²·n — overflow-free below n ≈ 5·10¹⁴ dims. */
+  /** Fused int8 quantizer: one pass computes maxAbs, derives
+    * scale = 127/maxAbs (0 when the array is empty, all-null, or all-zero),
+    * a second pass emits clamp(floor(xᵢ·scale + 0.5), -127, 127) as bytes —
+    * value-identical to the declarative
+    * `int8Quantize(v, int8Scale(v))` composition (ExprParitySpec pins
+    * bit-equality), but in a tight generated loop: the composed form runs
+    * TWO `transform` higher-order functions, which are CodegenFallback and
+    * interpret ~10 expression nodes per element per row (the measured
+    * 3.3 s of q72 at sf0.1 was almost entirely this). Null elements pass
+    * through as null codes, matching the lambda's null propagation. */
+  case class Int8Codes(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = ArrayType(ByteType, containsNull = true)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var maxAbs = 0d
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) {
+          val ab = math.abs(v.getFloat(i).toDouble)
+          if (ab > maxAbs) maxAbs = ab
+        }
+        i += 1
+      }
+      val scale = if (maxAbs == 0d) 0d else 127d / maxAbs
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!v.isNullAt(i))
+          out(i) = math.max(-127d, math.min(127d, math.floor(v.getFloat(i).toDouble * scale + 0.5))).toByte
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val maxAbs = ctx.freshName("maxAbs"); val scale = ctx.freshName("scale")
+        val ab = ctx.freshName("ab"); val out = ctx.freshName("out")
+        val gad = classOf[GenericArrayData].getName
+        s"""
+        final int $n = $v.numElements();
+        double $maxAbs = 0D;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$v.isNullAt($i)) {
+            final double $ab = java.lang.Math.abs((double) $v.getFloat($i));
+            if ($ab > $maxAbs) $maxAbs = $ab;
+          }
+        }
+        final double $scale = $maxAbs == 0D ? 0D : 127D / $maxAbs;
+        final Object[] $out = new Object[$n];
+        for (int $j = 0; $j < $n; $j++) {
+          if (!$v.isNullAt($j)) {
+            $out[$j] = (Object) (byte) java.lang.Math.max(-127D,
+              java.lang.Math.min(127D, java.lang.Math.floor((double) $v.getFloat($j) * $scale + 0.5D)));
+          }
+        }
+        ${ev.value} = new $gad($out);
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class ByteDotProduct(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = LongType
@@ -455,6 +523,9 @@ object ArrayExprs {
 
   def byteDotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(ByteDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def int8Codes(v: Column): Column =
+    ColumnBridge.column(Int8Codes(ColumnBridge.expression(v)))
 
   /** Materialization barrier for an expensive column (see [[Sticky]]). */
   def sticky(c: Column): Column =

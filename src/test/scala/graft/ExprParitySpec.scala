@@ -70,8 +70,8 @@ class ExprParitySpec extends AnyFunSuite {
     }
     val bout = withCodegenOnly {
       vecs.select(ArrayExprs.byteDotProduct(
-        VectorOps.int8Quantize(col("v"), VectorOps.int8Scale(col("v"))),
-        VectorOps.int8Quantize(col("v"), VectorOps.int8Scale(col("v")))).as("bd")).collect()
+        ArrayExprs.int8Codes(col("v")),
+        ArrayExprs.int8Codes(col("v"))).as("bd")).collect()
     }
     assert(out.length == docs.count())
     val vout = withCodegenOnly {
@@ -154,6 +154,30 @@ class ExprParitySpec extends AnyFunSuite {
       .collect().flatMap(_.getSeq[Byte](0))
     assert(q.forall(b => b >= -127 && b <= 127))
     assert(q.contains(127.toByte) || q.contains(-127.toByte)) // max-|x| element maps to ±127
+  }
+
+  test("Int8Codes: interpreted == codegen == int8Quantize(v, int8Scale(v)) composition") {
+    // edge cases: empty array, all-zero (scale 0 -> all codes 0),
+    // negative max-|x|, plus the shared vecs fixture
+    val cases = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, 1.5f)),
+      (2L, Array(-1.0f, 2.0f, 0.0f, 3.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array.empty[Float]),
+      (5L, Array(-3.5f, 1.0f)),
+      (6L, Array(Float.MinPositiveValue, 1e30f))).toDF("vec_id", "v")
+    def vals() = cases.select(col("vec_id"),
+      ArrayExprs.int8Codes(col("v")).as("fused"),
+      VectorOps.int8Quantize(col("v"), VectorOps.int8Scale(col("v"))).as("ref"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1), r.getSeq[Byte](2))).sortBy(_._1)
+    val gen = vals()
+    gen.foreach { case (i, fused, ref) => assert(fused == ref, s"row $i: $fused != $ref") }
+    assert(withInterpreted(vals()).toSeq == gen.toSeq)
+    val forced = withCodegenOnly {
+      cases.select(ArrayExprs.int8Codes(col("v")).as("f")).collect()
+        .map(_.getSeq[Byte](0))
+    }
+    assert(forced.toSeq.sortBy(_.length) == gen.map(_._2).toSeq.sortBy(_.length))
   }
 
   test("SortedIntersectCount: interpreted == codegen == size(array_intersect)") {
