@@ -22,7 +22,8 @@ object ScaleBench {
   val Heavy = Seq(
     "q93_cdc_cycle", "q53_dedup_clusters_star", "q45_dedup_clusters",
     "q65_curation_pipeline", "q18_minhash_lsh", "q63_ngram_lm_score",
-    "q69_substring_dup", "q71_bloom_decontamination", "q94_ivf_ann")
+    "q69_substring_dup", "q71_bloom_decontamination", "q94_ivf_ann",
+    "q75_df_prune")
   val Repeats = 2
 
   def main(args: Array[String]): Unit = {
@@ -42,20 +43,31 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one untimed warmup of every heavy query on the first (smallest) dir
-    // so codegen/classloading isn't charged to the first timed run
+    // so codegen/classloading isn't charged to the first timed run.
+    // Timing action = Bench.materialize (noop-sink write): count() lets
+    // Catalyst prune expensive output columns and final sorts, which made
+    // q75's whole reassembly pipeline vanish from the curve.
     Heavy.foreach { q =>
-      try { SparkEntry.queries(q)(spark, args.head).count(); () }
+      try { Bench.materialize(SparkEntry.queries(q)(spark, args.head)) }
       catch { case e: Throwable => System.err.println(s"[scalebench] warmup $q: ${e.getMessage}") }
     }
     args.foreach { dir =>
       val times = Heavy.map { q =>
-        val secs = (1 to Repeats).map { _ =>
+        // a failed repeat records NO time: a query that dies mid-run at a
+        // given scale must show as -1 in the curve, never as a bogus
+        // "fast" point (a silent broadcast-OOM at 125× once looked like a
+        // sub-linear timing)
+        val secs = (1 to Repeats).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { SparkEntry.queries(q)(spark, dir).count() }
-          catch { case e: Throwable => System.err.println(s"[scalebench] $q failed: ${e.getMessage}"); -1L }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            Bench.materialize(SparkEntry.queries(q)(spark, dir))
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scalebench] $q failed: ${e.getMessage}"); None
+          }
         }
-        q -> secs.min
+        q -> (if (secs.nonEmpty) secs.min else -1.0)
       }
       val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       println(s"""{"dir":"$dir","queries":$qs,"total":${times.map(_._2).sum}}""")

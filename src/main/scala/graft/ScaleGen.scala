@@ -74,12 +74,22 @@ object ScaleGen {
       .withColumn("r", rcol)
       .select(
         (col("doc_id") + col("r").cast("long") * DocIdOffset).as("doc_id"),
+        // The replica marker must survive tokenization as PART of each
+        // token: TextOps.tokens splits on [^a-z0-9]+, so a "~r" suffix
+        // detached into its own digit token — every original token kept
+        // its identity and the digit interleave halved the effective
+        // n-gram order of every window/shingle (measured: q69's 8-token
+        // window pairs grew 644× at 25× data because replica windows
+        // covered only 4 real words). "qq<r>" keeps the suffix inside the
+        // token ("alpha" -> "alphaqq3"): same token COUNT and stream
+        // structure as the source, all tokens replica-disjoint, so
+        // windows, shingles, and bigram models replicate exactly R×.
         when(col("r") === 0, col("text"))
           .otherwise(array_join(
-            transform(split(col("text"), " "), t => concat(t, lit("~"), col("r"))), " "))
+            transform(split(col("text"), " "), t => concat(t, lit("qq"), col("r"))), " "))
           .as("text"),
         col("lang"), col("source"))
-      // the ~r token suffixes lengthen the text, so n_chars is recomputed
+      // the token suffixes lengthen the text, so n_chars is recomputed
       // from the replica's actual text rather than copied stale
       .withColumn("n_chars", length(col("text")).cast("long"))
     docs.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")

@@ -429,7 +429,14 @@ object SparkEntry {
     val probs = model.join(totals, "w1h")
       .select(col("bh"), col("w1h"), col("n12"),
         TextOps.quantize6(col("n12").cast("double") / col("n1").cast("double")).as("p"))
-    bigrCounts.join(probs, Seq("bh", "w1h"))
+    // The model side is CORPUS-DERIVED (rows grow with the vocabulary),
+    // so it must never ride a driver broadcast: Catalyst's post-agg size
+    // estimate undershoots, and at 125× fixture scale the chosen
+    // BroadcastHashJoin OOMed the driver building the hash relation. The
+    // shuffle_hash hint keeps the probability join distributed with
+    // bounded per-task memory at every scale (partition-local hash build),
+    // which is the plan a 100 TB run needs anyway.
+    bigrCounts.join(probs.hint("shuffle_hash"), Seq("bh", "w1h"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("cnt")).as("n_bigrams"),

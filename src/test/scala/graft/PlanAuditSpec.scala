@@ -94,6 +94,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"rates join must broadcast:\n$plan")
   }
 
+  test("df-prune drop list joins as a BROADCAST anti-join (corpus side never shuffles on token)") {
+    val out = SparkEntry.queries("q75_df_prune")(spark, "/root/testdata/sf0.001")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    // the >N/2-df drop list is bounded by construction — it must reach the
+    // corpus explode as a broadcast LeftAnti, never a shuffled join that
+    // re-partitions every exploded token row
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"drop list must broadcast anti-join:\n$plan")
+    val shuffledAnti = plan.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+      .exists(_.contains("LeftAnti"))
+    assert(!shuffledAnti, s"anti-join must not shuffle the exploded corpus:\n$plan")
+  }
+
+  test("cluster near-dup pair join shuffles ONLY on the cluster key (no cartesian, no broadcast corpus)") {
+    import graft.operators.{Dedup, SimilaritySearch}
+    val vecs = (0 until 300).map(i => (i.toLong, Array.fill(8)(((i * 31 + 7) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val centroids = SimilaritySearch.ivfTrain(vecs, "vec_id", "embedding", k = 4, iters = 1)
+    val out = Dedup.clusterNearDupPairs(vecs, "vec_id", "embedding", centroids, threshold = 0.9)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"pair generation must stay blocked:\n$plan")
+    // the candidate join is cluster-local: an equi-join keyed on `cluster`
+    assert(plan.contains("cluster"), s"join must key on the cluster id:\n$plan")
+  }
+
+  test("q63 probability join never broadcasts the corpus-derived bigram model") {
+    val out = SparkEntry.queries("q63_ngram_lm_score")(spark, "/root/testdata/sf0.001")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    // the model's row count grows with the corpus vocabulary; Catalyst's
+    // post-agg size estimate undershoots and a driver broadcast OOMed at
+    // 125× fixture scale — the shuffle_hash hint must hold at every scale
+    val broadcastModel = plan.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).exists(_.contains("bh"))
+    assert(!broadcastModel, s"bigram model must not broadcast:\n$plan")
+  }
+
   test("knnJoin(broadcastProbes = false) does NOT broadcast a corpus-sized probe side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // model an above-threshold probe side
