@@ -233,9 +233,13 @@ object SparkEntry {
     val events = t(s, dir, "events").withColumn("_json", eventsJson)
     val sepRe = java.util.regex.Pattern.quote(Chunker.UnitSep)
     Chunker.chunkScalable(events, col("_json"), "events", 100, sep = Chunker.UnitSep)
+      // split each ~20 KB chunk text ONCE; explode and the row-count
+      // check both read the same array (sticky blocks CollapseProject
+      // from inlining the split back into both consumers)
+      .select(graft.plans.ArrayExprs.sticky(split(col("text"), sepRe)).as("parts"), col("n_rows"))
       .select(
-        explode(split(col("text"), sepRe)).as("doc"),
-        (col("n_rows") <= 100 && col("n_rows") === size(split(col("text"), sepRe))).as("chunk_ok"))
+        explode(col("parts")).as("doc"),
+        (col("n_rows") <= 100 && col("n_rows") === size(col("parts"))).as("chunk_ok"))
       .orderBy(col("doc"))
   }
 
