@@ -48,5 +48,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hash32"),
       info("graft_hash32", "graft_hash32(s) - portable 32-bit hash: first 4 md5 bytes as bigint (= ('0x'||substr(md5(s),1,8))::bigint in ANSI engines)"),
       (args: Seq[Expression]) => ArrayExprs.Md5Hash32(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_int8_codes"),
+      info("graft_int8_codes", "graft_int8_codes(v) - fused int8 quantization of a float vector: clamp(floor(x * 127/maxAbs + 0.5), -127, 127) per element (all zeros when maxAbs = 0)"),
+      (args: Seq[Expression]) => ArrayExprs.Int8Codes(args(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_byte_dot"),
+      info("graft_byte_dot", "graft_byte_dot(a, b) - exact integer dot product of two tinyint arrays (bigint)"),
+      (args: Seq[Expression]) => ArrayExprs.ByteDotProduct(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_window_hashes"),
+      info("graft_window_hashes", "graft_window_hashes(token_hashes, w) - rolling double Rabin-Karp fingerprints of every w-token window (bigint array, empty when fewer than w tokens)"),
+      (args: Seq[Expression]) => ArrayExprs.RollingWindowHash(args(0), intLit(args(1), "w"))))
   }
 }

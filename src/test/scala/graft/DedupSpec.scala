@@ -185,6 +185,13 @@ class DedupSpec extends AnyFunSuite {
     // single-key blocker: exactly the within-sub-bucket pairs, nsplit = 4
     assert(embPairs > 0L && embPairs <= 2000L * 500 / 2,
       s"embedding flood must yield bounded nonzero within-sub-bucket pairs: $embPairs")
+    // cluster blocking degenerates identically under a one-vector flood
+    // (every copy assigns to the same centroid) — same guard, same bound
+    val centroid = Array(Array(0.5f, -0.5f, 0.3f, 0.2f, -0.1f, 0.9f, 0.4f, -0.2f))
+    val cluPairs = Dedup.clusterNearDupPairs(floodVecs, "vec_id", "embedding",
+      centroid, threshold = 0.95, maxBucket = 500).count()
+    assert(cluPairs > 0L && cluPairs <= 2000L * 500 / 2,
+      s"cluster flood must yield bounded nonzero within-sub-bucket pairs: $cluPairs")
   }
 
   test("simhash byte-blocking pair recall is exact (measured vs brute-force ground truth)") {

@@ -65,4 +65,21 @@ class ExtensionsSpec extends AnyFunSuite {
         "cast(conv(substring(md5('shingle text'),1,8),16,10) AS bigint) AS composed").collect()(0)
     assert(r.getLong(0) == r.getLong(1))
   }
+
+  test("graft_int8_codes + graft_byte_dot from SQL: quantize then exact integer dot") {
+    val r = spark.sql(
+      "SELECT graft_byte_dot(q, q) AS n, q FROM " +
+        "(SELECT graft_int8_codes(cast(array(0.5, -1.0, 2.0) AS array<float>)) AS q)").collect()(0)
+    // scale = 127/2 = 63.5: floor(0.5·63.5 + 0.5) = 32,
+    // floor(-63.5 + 0.5) = -63, floor(2·63.5 + 0.5) = 127
+    assert(r.getSeq[Byte](1) == Seq[Byte](32, -63, 127))
+    assert(r.getLong(0) == 32L * 32 + 63L * 63 + 127L * 127)
+  }
+
+  test("graft_window_hashes from SQL: n-w+1 windows, empty under w tokens") {
+    val r = spark.sql(
+      "SELECT size(graft_window_hashes(cast(array(1,2,3,4,5) AS array<bigint>), 4)) AS n, " +
+        "size(graft_window_hashes(cast(array(1,2) AS array<bigint>), 4)) AS e").collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 0)
+  }
 }
