@@ -547,7 +547,7 @@ object SparkEntry {
     import graft.plans.ArrayExprs
     t(s, dir, "documents")
       .select(col("doc_id"), ArrayExprs.simhash32Fast(
-        transform(TextOps.tokens(col("text")), tk => PortableHash.hash32(tk))).as("simhash"))
+        PortableHash.hash32Array(TextOps.tokens(col("text")))).as("simhash"))
       .orderBy(col("doc_id"))
   }
 
@@ -712,7 +712,7 @@ object SparkEntry {
     import graft.plans.ArrayExprs
     t(s, dir, "documents")
       .withColumn("hs", array_sort(array_distinct(
-        transform(TextOps.wordShingles(col("text"), 3), sh => PortableHash.hash32(sh)))))
+        graft.plans.ArrayExprs.shingleHash32(TextOps.tokens(col("text")), 3))))
       .withColumn("sig", ArrayExprs.minhashSignatureFast(col("hs"), 16))
       .select(
         col("doc_id"),

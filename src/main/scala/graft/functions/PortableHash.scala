@@ -27,6 +27,13 @@ object PortableHash {
   def hash32Composed(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Element-wise [[hash32]] over a string-array column in one generated
+    * loop — use instead of `transform(arr, s => hash32(s))`:
+    * ArrayTransform is CodegenFallback, so the lambda form interprets an
+    * expression tree per element (ExprParitySpec pins value equality). */
+  def hash32Array(c: Column): Column =
+    graft.plans.ArrayExprs.md5Hash32Array(c)
+
   /** Seeded variant: mixes a seed string in front (used for the k minhash
     * permutation family: h_i(x) = hash32(i || ':' || x)). */
   def hash32(seed: Int, c: Column): Column =

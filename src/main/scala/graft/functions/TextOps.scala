@@ -81,7 +81,7 @@ object TextOps {
 
   /** MinHash signature of a shingle-string set. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    minhashFromHashes(transform(shingles, s => PortableHash.hash32(s)), k)
+    minhashFromHashes(PortableHash.hash32Array(shingles), k)
 
   /** LSH band keys from a minhash signature: bands of `rowsPerBand` hashed
     * together; docs sharing any band key are near-dup candidates. The key
@@ -103,7 +103,7 @@ object TextOps {
     * -1). Near-dup docs differ in few bits (hamming distance).
     * Composed from array built-ins — ANSI-expressible via unnest+group. */
   def simhash32(text: Column): Column = {
-    val hs = transform(tokens(text), t => PortableHash.hash32(t))
+    val hs = PortableHash.hash32Array(tokens(text))
     val bitVotes = (0 until 32).map { i =>
       aggregate(
         hs,
@@ -127,7 +127,7 @@ object TextOps {
     * unlike a set hash. */
   def rollingFingerprint(text: Column): Column =
     aggregate(
-      transform(tokens(text), t => PortableHash.hash32(t)),
+      PortableHash.hash32Array(tokens(text)),
       lit(0L),
       (acc, h) => pmod(acc * lit(1000003L) + h, lit(2147483647L)))
 

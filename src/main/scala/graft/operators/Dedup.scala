@@ -138,7 +138,7 @@ object Dedup {
     // blocks without an explicit handle.
     val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
-        transform(TextOps.wordShingles(col("text"), shingleN), s => PortableHash.hash32(s))))))
+        ArrayExprs.shingleHash32(TextOps.tokens(col("text")), shingleN)))))
       .withColumn("sz", size(col("hs")))
       .withColumn("sig", ArrayExprs.sticky(ArrayExprs.minhashSignatureFast(col("hs"), k)))
       .drop("text")
@@ -179,7 +179,7 @@ object Dedup {
     def prep(df: DataFrame, side: String) = df
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
-        transform(TextOps.wordShingles(col("text"), shingleN), s => PortableHash.hash32(s))))))
+        ArrayExprs.shingleHash32(TextOps.tokens(col("text")), shingleN)))))
       .withColumn("sz", size(col("hs")))
       .withColumn("sig", ArrayExprs.sticky(ArrayExprs.minhashSignatureFast(col("hs"), k)))
       .drop("text")
@@ -221,7 +221,7 @@ object Dedup {
       textCol: String,
       windowTokens: Int = 16,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val tokHashes = transform(TextOps.tokens(col(textCol)), t => PortableHash.hash32(t))
+    val tokHashes = PortableHash.hash32Array(TextOps.tokens(col(textCol)))
     val windows = df.select(
       col(idCol).as("doc_id"),
       explode(array_distinct(
@@ -445,7 +445,7 @@ object Dedup {
     val withSim = df.select(
       col(idCol).as("doc_id"),
       ArrayExprs.sticky(ArrayExprs.simhash32Fast(
-        transform(TextOps.tokens(col(textCol)), t => PortableHash.hash32(t)))).as("simhash"))
+        PortableHash.hash32Array(TextOps.tokens(col(textCol))))).as("simhash"))
       .localCheckpoint(true)
     // block key = byteIdx*256 + byte value — exact, injective, and a LONG
     // (the former "i:b" concat string shuffled ~3× heavier per row)
@@ -488,7 +488,7 @@ object Dedup {
     val prepped = subSplitOversizedBuckets(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
-          transform(TextOps.wordShingles(col("text"), shingleN), s => PortableHash.hash32(s))))))
+          ArrayExprs.shingleHash32(TextOps.tokens(col("text")), shingleN)))))
         .withColumn("sz", size(col("hs")))
         .withColumn("block", ArrayExprs.sticky(floor(TextOps.tokenCount(col("text")) / lengthBucket)))
         .drop("text")

@@ -298,11 +298,135 @@ object ArrayExprs {
       copy(child = newChild)
   }
 
-  /** Σ aᵢ·bᵢ over two int8 (byte) vectors as a long — the integer scoring
-    * kernel of quantized ANN: exact integer math (identical in any
-    * engine), over a representation that costs 1/4 the I/O of float32.
-    * Truncates to the shorter length, like [[CosineSimilarity]]. Max
-    * magnitude 127²·n — overflow-free below n ≈ 5·10¹⁴ dims. */
+  /** Element-wise [[Md5Hash32]] over a string array — value-identical to
+    * `transform(arr, s => md5Hash32(s))`, but a generated loop over the
+    * thread-local digest: Spark's `ArrayTransform` is CodegenFallback, so
+    * the lambda form interprets an expression tree per ELEMENT. This
+    * sits in the prep stage of every minhash/simhash/window pipeline
+    * (~35 shingles per doc), where the per-element dispatch overhead
+    * rivaled the md5 itself. Null elements hash to null, matching the
+    * lambda's null propagation. */
+  case class Md5Hash32Array(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i)) out(i) = Md5Hash32.hash(v.getUTF8String(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val out = ctx.freshName("out")
+        val gad = classOf[GenericArrayData].getName
+        // binary name, not the source-level nested reference — see Md5Hash32
+        s"""
+        final int $n = $v.numElements();
+        final Object[] $out = new Object[$n];
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$v.isNullAt($i)) {
+            $out[$i] = (Object) graft.plans.ArrayExprs$$Md5Hash32$$.MODULE$$.hash($v.getUTF8String($i));
+          }
+        }
+        ${ev.value} = new $gad($out);
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Hashed word n-gram shingles in one pass: for a token array t and
+    * width w, emits md5Hash32(t(i) + " " + ... + t(i+w-1)) for every
+    * window — value-identical to
+    * `md5Hash32Array(TextOps.wordShingles(text, w))` over the same token
+    * stream (duplicates kept, in order; fewer than w tokens → empty), but
+    * with NO intermediate shingle strings and no interpreted
+    * higher-order-function passes (wordShingles runs w-1 zip_with folds,
+    * each CodegenFallback, and materializes every w-token concat string;
+    * this is the prep stage of every minhash/Jaccard pipeline). A window
+    * containing a null token is skipped, matching the composition (its
+    * concat is null and wordShingles filters it). */
+  case class ShingleHash32(child: Expression, w: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(w >= 1, s"shingle width must be >= 1 token, got $w")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      if (n < w) return new GenericArrayData(Array.empty[Long])
+      val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      val out = new Array[Long](n - w + 1)
+      var filled = 0
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](w)
+      var i = 0
+      while (i <= n - w) {
+        var ok = true
+        var j = 0
+        while (j < w) {
+          if (v.isNullAt(i + j)) ok = false else parts(j) = v.getUTF8String(i + j)
+          j += 1
+        }
+        if (ok) {
+          out(filled) = Md5Hash32.hash(
+            org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+          filled += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(if (filled == out.length) out else out.take(filled))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val sep = ctx.addReferenceObj("sep",
+        org.apache.spark.unsafe.types.UTF8String.fromString(" "),
+        "org.apache.spark.unsafe.types.UTF8String")
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val out = ctx.freshName("out"); val filled = ctx.freshName("filled")
+        val parts = ctx.freshName("parts"); val ok = ctx.freshName("ok")
+        val trimmed = ctx.freshName("trimmed")
+        val gad = classOf[GenericArrayData].getName
+        val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+        s"""
+        final int $n = $v.numElements();
+        long[] $out = new long[$n < $w ? 0 : $n - $w + 1];
+        int $filled = 0;
+        if ($n >= $w) {
+          final $utf8[] $parts = new $utf8[$w];
+          for (int $i = 0; $i <= $n - $w; $i++) {
+            boolean $ok = true;
+            for (int $j = 0; $j < $w; $j++) {
+              if ($v.isNullAt($i + $j)) { $ok = false; } else { $parts[$j] = $v.getUTF8String($i + $j); }
+            }
+            if ($ok) {
+              $out[$filled++] = graft.plans.ArrayExprs$$Md5Hash32$$.MODULE$$.hash($utf8.concatWs($sep, $parts));
+            }
+          }
+        }
+        if ($filled != $out.length) {
+          final long[] $trimmed = new long[$filled];
+          System.arraycopy($out, 0, $trimmed, 0, $filled);
+          $out = $trimmed;
+        }
+        ${ev.value} = new $gad($out);
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Fused int8 quantizer: one pass computes maxAbs, derives
     * scale = 127/maxAbs (0 when the array is empty, all-null, or all-zero),
     * a second pass emits clamp(floor(xᵢ·scale + 0.5), -127, 127) as bytes —
@@ -371,6 +495,11 @@ object ArrayExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Σ aᵢ·bᵢ over two int8 (byte) vectors as a long — the integer scoring
+    * kernel of quantized ANN: exact integer math (identical in any
+    * engine), over a representation that costs 1/4 the I/O of float32.
+    * Truncates to the shorter length, like [[CosineSimilarity]]. Max
+    * magnitude 127²·n — overflow-free below n ≈ 5·10¹⁴ dims. */
   case class ByteDotProduct(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
     override def dataType: DataType = LongType
@@ -505,6 +634,12 @@ object ArrayExprs {
 
   def md5Hash32(c: Column): Column =
     ColumnBridge.column(Md5Hash32(ColumnBridge.expression(c)))
+
+  def md5Hash32Array(c: Column): Column =
+    ColumnBridge.column(Md5Hash32Array(ColumnBridge.expression(c)))
+
+  def shingleHash32(tokens: Column, w: Int): Column =
+    ColumnBridge.column(ShingleHash32(ColumnBridge.expression(tokens), w))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))

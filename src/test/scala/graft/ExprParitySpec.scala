@@ -156,6 +156,45 @@ class ExprParitySpec extends AnyFunSuite {
     assert(q.contains(127.toByte) || q.contains(-127.toByte)) // max-|x| element maps to ±127
   }
 
+  test("Md5Hash32Array: interpreted == codegen == per-element transform composition") {
+    val arrays = Seq(
+      (1L, Seq("a", "ab", "the quick", "")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("ünïcødé ❄", "x" * 300)),
+      (4L, Seq("0:shingle words here"))).toDF("i", "arr")
+    def vals() = arrays.select(col("i"),
+      ArrayExprs.md5Hash32Array(col("arr")).as("fused"),
+      transform(col("arr"), s => PortableHash.hash32(s)).as("ref"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).sortBy(_._1)
+    val gen = vals()
+    gen.foreach { case (i, fused, ref) => assert(fused == ref, s"row $i") }
+    assert(withInterpreted(vals()).toSeq == gen.toSeq)
+    val forced = withCodegenOnly {
+      arrays.select(ArrayExprs.md5Hash32Array(col("arr")).as("f")).collect().map(_.getSeq[Long](0))
+    }
+    assert(forced.map(_.sum).sorted.toSeq == gen.map(_._2.sum).sorted.toSeq)
+  }
+
+  test("ShingleHash32: interpreted == codegen == hash-of-wordShingles composition") {
+    // docs cover: normal text, fewer tokens than the width (empty result),
+    // exactly the width, empty text, unicode separators, width 1
+    val cases = docs.unionByName(Seq((5L, "a b c"), (6L, "ünïcødé ❄ one two three")).toDF("doc_id", "text"))
+    def vals(w: Int) = cases.select(col("doc_id"),
+      ArrayExprs.shingleHash32(TextOps.tokens(col("text")), w).as("fused"),
+      ArrayExprs.md5Hash32Array(TextOps.wordShingles(col("text"), w)).as("ref"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2))).sortBy(_._1)
+    Seq(1, 3, 4).foreach { w =>
+      val gen = vals(w)
+      gen.foreach { case (i, fused, ref) => assert(fused == ref, s"doc $i width $w: $fused != $ref") }
+      assert(withInterpreted(vals(w)).toSeq == gen.toSeq, s"width $w interpreted mismatch")
+    }
+    val forced = withCodegenOnly {
+      cases.select(ArrayExprs.shingleHash32(TextOps.tokens(col("text")), 3).as("f"))
+        .collect().map(_.getSeq[Long](0))
+    }
+    assert(forced.map(_.sum).sorted.toSeq == vals(3).map(_._2.sum).sorted.toSeq)
+  }
+
   test("Int8Codes: interpreted == codegen == int8Quantize(v, int8Scale(v)) composition") {
     // edge cases: empty array, all-zero (scale 0 -> all codes 0),
     // negative max-|x|, plus the shared vecs fixture
