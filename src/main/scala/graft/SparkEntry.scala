@@ -560,19 +560,28 @@ object SparkEntry {
   /** Language ID (marker-term heuristic) vs the labeled lang. */
   private def q21(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+      // tokenize once behind the sticky barrier; langId alone walks the
+      // token array five times (one markerCount per language)
+      .select(col("doc_id"), col("lang"),
+        graft.plans.ArrayExprs.sticky(TextOps.tokens(col("text"))).as("_toks"))
+      .select(col("doc_id"), col("lang"), TextOps.langIdOf(col("_toks")).as("pred_lang"))
       .orderBy(col("doc_id"))
 
-  /** Quality scoring: length/punct/stopword signals + composite score. */
+  /** Quality scoring: length/punct/stopword signals + composite score.
+    * The document is tokenized ONCE (sticky barrier) and four of the five
+    * signals read the shared array — the text-based forms re-run the
+    * regex split + interpreted filter per signal. */
   private def q22(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        graft.plans.ArrayExprs.sticky(TextOps.tokens(col("text"))).as("_toks"))
       .select(
         col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(col("_toks")).cast("long").as("n_tokens"),
         TextOps.quantize6(TextOps.punctRatio(col("text"))).as("punct_ratio"),
-        TextOps.quantize6(TextOps.stopwordRatio(col("text"))).as("stopword_ratio"),
-        TextOps.quantize6(TextOps.meanTokenLen(col("text"))).as("mean_token_len"),
-        TextOps.qualityScore(col("text")).as("quality"))
+        TextOps.quantize6(TextOps.stopwordRatioOf(col("_toks"))).as("stopword_ratio"),
+        TextOps.quantize6(TextOps.meanTokenLenOf(col("_toks"))).as("mean_token_len"),
+        TextOps.qualityScoreOf(col("text"), col("_toks")).as("quality"))
       .orderBy(col("doc_id"))
 
   /** Rolling-hash document fingerprint (order-sensitive polynomial hash). */

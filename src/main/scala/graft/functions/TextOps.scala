@@ -149,8 +149,13 @@ object TextOps {
 
   /** Best-scoring language label; ties and all-zero resolve to the first
     * language in [[langMarkers]] order with maximal score. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdOf(tokens(text))
+
+  /** [[langId]] over a pre-tokenized array — callers that derive several
+    * metrics from one document should tokenize ONCE (behind a
+    * [[graft.plans.ArrayExprs.sticky]] barrier) and use the `Of` forms:
+    * each text-based form re-runs the regex split + filter per call. */
+  def langIdOf(toks: Column): Column = {
     val scored = langMarkers.map { case (l, ms) => (l, markerCount(toks, ms)) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.reverse
@@ -170,18 +175,20 @@ object TextOps {
       length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text))
 
   /** Ratio of stopword tokens to all tokens (prose-likeness signal). */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+
+  /** [[stopwordRatio]] over a pre-tokenized array (see [[langIdOf]]). */
+  def stopwordRatioOf(toks: Column): Column =
     when(size(toks) === 0, lit(0.0))
       .otherwise(markerCount(toks, stopwords).cast("double") / size(toks))
-  }
 
   /** Mean token length. */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLen(text: Column): Column = meanTokenLenOf(tokens(text))
+
+  /** [[meanTokenLen]] over a pre-tokenized array (see [[langIdOf]]). */
+  def meanTokenLenOf(toks: Column): Column =
     when(size(toks) === 0, lit(0.0)).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
 
   /** Floor-quantization to 6 decimals. Used instead of `round` wherever the
     * value can be an EXACT decimal (ratios of small ints): `round` half-tie
@@ -204,9 +211,13 @@ object TextOps {
   /** Composite quality score in [0,1]: rewards mid-length docs, prose-like
     * stopword ratio, low punctuation noise. Deterministic heuristic in the
     * Gopher-rules style (length/punct/stopword filters). */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
+
+  /** [[qualityScore]] with a pre-tokenized array (see [[langIdOf]]);
+    * `text` is still needed for the length and punctuation signals. */
+  def qualityScoreOf(text: Column, toks: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
-    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val stopScore = least(stopwordRatioOf(toks) * lit(5.0), lit(1.0))
     val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(4.0), lit(0.0))
     quantize6(lenScore * lit(0.4) + stopScore * lit(0.3) + punctPenalty * lit(0.3))
   }
