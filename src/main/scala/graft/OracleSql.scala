@@ -503,6 +503,18 @@ object OracleSql {
         (row_number() OVER (PARTITION BY l.canonical ORDER BY q2.quality DESC, l.doc_id) = 1) AS keep
       FROM lab l JOIN qual q2 USING (doc_id) ORDER BY doc_id""",
 
+    // mirrors q76: the engine's range-partition + offset global index
+    // equals a plain global row_number over the same (hash, id) order
+    "q76_epoch_shuffle" -> s"""
+      WITH k AS (SELECT doc_id,
+        ${h32("'epoch1:' || doc_id::varchar")} AS k1,
+        ${h32("'epoch2:' || doc_id::varchar")} AS k2
+        FROM documents)
+      SELECT doc_id,
+        row_number() OVER (ORDER BY k1, doc_id) AS pos_epoch1,
+        row_number() OVER (ORDER BY k2, doc_id) AS pos_epoch2
+      FROM k ORDER BY doc_id""",
+
     // mirrors q75: df over distinct (tok, doc), drop tokens with df > N/2,
     // ordered reassembly of survivors
     "q75_df_prune" -> s"""

@@ -1102,6 +1102,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic epoch shuffle — training-order randomization without
+    * rand(): order = portable hash of (epoch salt, doc id). Reproducible
+    * across runs/partitionings/engines (the property rand() lacks), a new
+    * salt reshuffles the next epoch, and at scale the hash column is a
+    * RANGE partition key whose uniformity guarantees balanced output
+    * files — the standard way a 100 TB corpus is shuffled for training
+    * (a global sort by random-looking key, planned as one range
+    * exchange). Emits each doc's shuffle position per two epoch salts;
+    * the positions must be a permutation (oracle checks both orders). */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.EpochShuffle
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val e1 = EpochShuffle.globalOrderIndex(docs,
+      EpochShuffle.shuffleKey("epoch1", col("doc_id")), col("doc_id"), "pos_epoch1")
+    val e2 = EpochShuffle.globalOrderIndex(docs,
+      EpochShuffle.shuffleKey("epoch2", col("doc_id")), col("doc_id"), "pos_epoch2")
+    e1.join(e2, Seq("doc_id"))
+      .select(col("doc_id"), col("pos_epoch1"), col("pos_epoch2"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quantized ANN with exact re-rank — the vector-I/O scale path: score
     * the corpus on int8 codes (1/4 the bytes of float32, exact integer
     * dot products via the codegen ByteDotProduct kernel) to pick top-C
@@ -1382,6 +1403,7 @@ object SparkEntry {
     "q73_cluster_neardup" -> (q73 _),
     "q74_keep_best" -> (q74 _),
     "q75_df_prune" -> (q75 _),
+    "q76_epoch_shuffle" -> (q76 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),

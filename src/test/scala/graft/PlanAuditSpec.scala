@@ -134,6 +134,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!broadcastModel, s"bigram model must not broadcast:\n$plan")
   }
 
+  test("epoch-shuffle global index uses partition-local windows, never a single-partition exchange") {
+    val out = SparkEntry.queries("q76_epoch_shuffle")(spark, "/root/testdata/sf0.001")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    // the naive global row_number plans Exchange SinglePartition (the
+    // whole corpus through one task); the operator's windows must all be
+    // partitioned by the range-partition id
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global index must not funnel the corpus through one partition:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("_pid")),
+      s"every window must partition by the range-partition id:\n$plan")
+  }
+
   test("knnJoin(broadcastProbes = false) does NOT broadcast a corpus-sized probe side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // model an above-threshold probe side
