@@ -503,6 +503,35 @@ object OracleSql {
         (row_number() OVER (PARTITION BY l.canonical ORDER BY q2.quality DESC, l.doc_id) = 1) AS keep
       FROM lab l JOIN qual q2 USING (doc_id) ORDER BY doc_id""",
 
+    // mirrors q77 at nprobe=1: both sides assign to the q73 seed
+    // centroids; pairs cross sides only (batch = corpus ids + 100000)
+    "q77_incremental_vector_neardup" -> s"""
+      WITH seeds AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid, embedding AS ce
+                FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+      sc AS (SELECT e.vec_id, e.embedding, s.cid,
+        ${dotExpr("e.embedding", "s.ce")} AS dp,
+        sqrt(${normSq("e.embedding")}) AS na,
+        sqrt(${normSq("s.ce")}) AS nb
+        FROM embeddings e CROSS JOIN seeds s),
+      sim AS (SELECT vec_id, embedding, cid,
+        CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END AS cs FROM sc),
+      asg AS (SELECT vec_id, embedding, cid FROM
+        (SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn FROM sim)
+        WHERE rn = 1),
+      pr AS (SELECT c.vec_id AS corpus_id, b.vec_id + 100000 AS batch_id,
+                    c.embedding AS ec, b.embedding AS eb2
+             FROM asg c JOIN asg b USING (cid)),
+      ref AS (SELECT corpus_id, batch_id,
+        ${dotExpr("ec", "eb2")} AS dp,
+        sqrt(${normSq("ec")}) AS na,
+        sqrt(${normSq("eb2")}) AS nb
+        FROM pr),
+      res AS (SELECT corpus_id, batch_id,
+        round(CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 6) AS cosine FROM ref)
+      SELECT corpus_id, batch_id, cosine FROM res WHERE cosine >= 0.25
+      ORDER BY corpus_id, batch_id""",
+
     // mirrors q76: the engine's range-partition + offset global index
     // equals a plain global row_number over the same (hash, id) order
     "q76_epoch_shuffle" -> s"""

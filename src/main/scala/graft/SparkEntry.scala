@@ -1102,6 +1102,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental vector near-dup (the CDC-cycle vector analog of q68):
+    * a new BATCH of embeddings is checked against the existing CORPUS via
+    * shared nearest-centroid blocking — cross-side pairs only, never
+    * corpus×corpus, so per-cycle work tracks the batch's cluster
+    * footprint. At scale the centroids are the persisted IVF index's own
+    * and the corpus side reads cluster-pruned from the index layout;
+    * here the deterministic seed matrix keeps the assignment
+    * oracle-expressible (same convention as q73). Batch = shifted copy
+    * of the corpus, so every batch vector must rediscover its original
+    * (cosine 1) plus any true near-dups. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val seeds = e.orderBy(col("vec_id")).limit(16)
+      .select(col("embedding")).as[Array[Float]].collect()
+    val batch = e.withColumn("vec_id", col("vec_id") + 100000)
+    Dedup.clusterNearDupPairsAgainst(e, batch, "vec_id", "embedding", seeds, threshold = 0.25)
+      .orderBy(col("corpus_id"), col("batch_id"))
+  }
+
   /** Deterministic epoch shuffle — training-order randomization without
     * rand(): order = portable hash of (epoch salt, doc id). Reproducible
     * across runs/partitionings/engines (the property rand() lacks), a new
@@ -1404,6 +1424,7 @@ object SparkEntry {
     "q74_keep_best" -> (q74 _),
     "q75_df_prune" -> (q75 _),
     "q76_epoch_shuffle" -> (q76 _),
+    "q77_incremental_vector_neardup" -> (q77 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),

@@ -604,4 +604,48 @@ object Dedup {
     // multi-assignment can surface one pair through several shared clusters
     if (nprobe > 1) pairs.distinct() else pairs
   }
+
+  /** Incremental [[clusterNearDupPairs]]: candidate pairs between an
+    * existing CORPUS and a new BATCH only — never within a side — so a
+    * CDC cycle can near-dup-check its delta against the indexed corpus
+    * without re-paying corpus×corpus work (the vector analog of
+    * [[minhashLshPairsAgainst]]). Both sides assign to the same centroid
+    * set (at scale: the persisted IVF index's centroids, so the corpus
+    * side is read cluster-pruned from the index layout and work tracks
+    * the BATCH's cluster footprint). Corpus ids always land in
+    * `corpus_id`. Only the (typically huge) corpus side is
+    * bucket-guarded; batch multi-assignment (`nprobe`) recovers
+    * boundary pairs at ≤ nprobe× candidate cost. */
+  def clusterNearDupPairsAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Float]],
+      threshold: Double = 0.95,
+      maxBucket: Int = DefaultMaxBucket,
+      nprobe: Int = 1): DataFrame = {
+    require(centroids.nonEmpty, "clusterNearDupPairsAgainst needs at least one centroid")
+    // both sides pass through ONE guard (same pattern as
+    // minhashLshPairsAgainst), so an oversized cluster's secondary
+    // sub-keys align across sides; the corpus assigns once, the batch
+    // multi-assigns to its nprobe nearest clusters
+    def prep(df: DataFrame, side: String, np: Int) = df.select(
+      col(idCol).as("vid"),
+      col(vecCol).as("v"),
+      explode(SimilaritySearch.nearestCentroids(col(vecCol), centroids, np)).as("cluster"))
+      .withColumn("side", lit(side))
+    val assigned = subSplitOversizedBuckets(
+      prep(corpus, "c", 1).unionByName(prep(batch, "b", nprobe)).localCheckpoint(true),
+      "cluster", "vid", maxBucket, "clusterNearDupPairsAgainst")
+    val a = assigned.where(col("side") === "c")
+      .select(col("cluster"), col("vid").as("corpus_id"), col("v").as("v_c"))
+    val b = assigned.where(col("side") === "b")
+      .select(col("cluster"), col("vid").as("batch_id"), col("v").as("v_b"))
+    val pairs = a.join(b, Seq("cluster"))
+      .select(col("corpus_id"), col("batch_id"),
+        round(VectorOps.cosineFast(col("v_c"), col("v_b")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+    if (nprobe > 1) pairs.distinct() else pairs
+  }
 }

@@ -376,6 +376,29 @@ class DedupSpec extends AnyFunSuite {
     assert(p2 >= 0.95, f"nprobe=2 recall floor regressed: $p2%.3f")
   }
 
+  test("incremental cluster near-dup pairs only across sides; batch copy finds its original") {
+    import graft.operators.SimilaritySearch
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat; v.map(_ / n)
+    }
+    val corpusVecs = (0L until 60L).map(i => (i, unit(Array.fill(12)(rnd.nextGaussian().toFloat))))
+    val corpus = corpusVecs.toDF("vec_id", "embedding")
+    // batch: exact copies of corpus ids 0..9 (re-keyed) + 5 fresh vectors
+    val batch = (corpusVecs.take(10).map { case (i, v) => (i + 1000L, v) } ++
+      (2000L until 2005L).map(i => (i, unit(Array.fill(12)(rnd.nextGaussian().toFloat)))))
+      .toDF("vec_id", "embedding")
+    val centroids = SimilaritySearch.ivfTrain(corpus, "vec_id", "embedding", k = 6, iters = 1)
+    val out = Dedup.clusterNearDupPairsAgainst(corpus, batch, "vec_id", "embedding",
+      centroids, threshold = 0.999)
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id"))).toSet
+    (0L until 10L).foreach { i =>
+      assert(out.contains((i, i + 1000L)), s"batch copy of $i must rediscover its original: $out")
+    }
+    assert(out.forall { case (c, b) => c < 1000L && b >= 1000L },
+      s"pairs must always be corpus-side x batch-side: $out")
+  }
+
   test("embedding near-dup via sign buckets finds identical vectors") {
     val vecs = Seq(
       (1L, Array(0.5f, -0.5f, 0.3f, 0.2f, -0.1f, 0.9f, 0.4f, -0.2f)),

@@ -123,4 +123,28 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(seen == (1 to 50).map(_.toLong).toSet)
   }
+
+  test("epoch shuffle: positions are a permutation, deterministic, and partitioning-invariant") {
+    import graft.operators.EpochShuffle
+    // adversarial inputs: skewed sizes, non-contiguous ids, tiny + bigger n
+    for (ids <- Seq(Seq(1L), Seq(5L, 9L, 9000L, 3L), (0L until 500L).map(i => i * 7 + 3))) {
+      val df = ids.toDF("doc_id")
+      def pos(parts: Int, inputParts: Int): Map[Long, Long] =
+        EpochShuffle.globalOrderIndex(
+          df.repartition(inputParts),
+          EpochShuffle.shuffleKey("e1", col("doc_id")), col("doc_id"), "pos", parts = parts)
+          .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+      val p8 = pos(8, 3)
+      assert(p8.values.toSeq.sorted == (1L to ids.size).toSeq, s"not a permutation: $p8")
+      // same result under different range-partition counts and input layouts
+      assert(pos(3, 7) == p8 && pos(1, 1) == p8, "global order must be partitioning-invariant")
+      // equals the naive global row_number over the same key
+      val naive = df
+        .withColumn("k", EpochShuffle.shuffleKey("e1", col("doc_id")))
+        .orderBy(col("k"), col("doc_id"))
+        .collect().map(_.getAs[Long]("doc_id")).zipWithIndex
+        .map { case (id, i) => id -> (i + 1L) }.toMap
+      assert(p8 == naive, "distributed index must equal the global row_number order")
+    }
+  }
 }
