@@ -532,6 +532,37 @@ object OracleSql {
       SELECT corpus_id, batch_id, cosine FROM res WHERE cosine >= 0.25
       ORDER BY corpus_id, batch_id""",
 
+    // mirrors q78: q21's langid + q22's quality formulas feeding a fixed
+    // rule priority, grouped per (source, verdict) with integer-ppm share
+    "q78_filter_funnel" -> s"""
+      WITH d AS (SELECT doc_id, source, text, $TOKS AS toks FROM documents),
+      sc AS (SELECT doc_id, source, text, toks,
+        length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is')) AS s_en,
+        length(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='los')) AS s_es,
+        length(list_filter(toks, t -> t='der' OR t='die' OR t='das' OR t='und' OR t='ist')) AS s_de,
+        length(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est')) AS s_fr,
+        length(list_filter(toks, t -> t='de5' OR t='shi4' OR t='le5' OR t='zai4' OR t='he2')) AS s_zh,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+        CASE WHEN length(toks) = 0 THEN 0.0
+             ELSE length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(toks) END AS stop_r
+        FROM d),
+      v AS (SELECT source,
+        CASE WHEN length(text) < 100 THEN 'too_short'
+             WHEN (CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+                   WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+                   WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+                   WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+                   ELSE 'zh' END) != 'en' THEN 'non_english'
+             WHEN ${qz6("least(length(text)::double / 500.0, 1.0) * 0.4 + least(stop_r * 5.0, 1.0) * 0.3 + greatest(1.0 - punct_r * 4.0, 0.0) * 0.3")} < 0.5 THEN 'low_quality'
+             ELSE 'kept' END AS verdict
+        FROM sc),
+      g AS (SELECT source, verdict, count(1)::bigint AS n_docs FROM v GROUP BY source, verdict)
+      SELECT source, verdict, n_docs,
+        n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY source) AS share_ppm
+      FROM g ORDER BY source, verdict""",
+
     // mirrors q76: the engine's range-partition + offset global index
     // equals a plain global row_number over the same (hash, id) order
     "q76_epoch_shuffle" -> s"""

@@ -1122,6 +1122,33 @@ object SparkEntry {
       .orderBy(col("corpus_id"), col("batch_id"))
   }
 
+  /** Curation filter funnel — the accounting report every production
+    * pipeline keeps next to its filters: each document is assigned the
+    * FIRST rule that rejects it (fixed priority: too_short →
+    * non_english → low_quality → kept) and the report counts docs and
+    * integer-ppm shares per (source, verdict). One scan + one grouped
+    * agg + one partitioned window; all signals reuse the oracle-mirrored
+    * TextOps formulas, tokenizing once per doc. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        graft.plans.ArrayExprs.sticky(TextOps.tokens(col("text"))).as("_toks"))
+      .select(col("doc_id"), col("source"),
+        length(col("text")).as("n_chars"),
+        TextOps.langIdOf(col("_toks")).as("pred_lang"),
+        TextOps.qualityScoreOf(col("text"), col("_toks")).as("quality"))
+    val verdict = when(col("n_chars") < 100, lit("too_short"))
+      .when(col("pred_lang") =!= "en", lit("non_english"))
+      .when(col("quality") < 0.5, lit("low_quality"))
+      .otherwise(lit("kept"))
+    scored.withColumn("verdict", verdict)
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_ppm",
+        expr("n_docs * 1000000 DIV sum(n_docs) OVER (PARTITION BY source)"))
+      .orderBy(col("source"), col("verdict"))
+  }
+
   /** Deterministic epoch shuffle — training-order randomization without
     * rand(): order = portable hash of (epoch salt, doc id). Reproducible
     * across runs/partitionings/engines (the property rand() lacks), a new
@@ -1425,6 +1452,7 @@ object SparkEntry {
     "q75_df_prune" -> (q75 _),
     "q76_epoch_shuffle" -> (q76 _),
     "q77_incremental_vector_neardup" -> (q77 _),
+    "q78_filter_funnel" -> (q78 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),
