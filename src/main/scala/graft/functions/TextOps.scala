@@ -143,8 +143,15 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
-  /** Occurrences of any of `terms` in the token stream. */
+  /** Occurrences of any of `terms` in the token stream. Fused codegen
+    * set-probe ([[graft.plans.ArrayExprs.TokenMarkerCount]]) — the
+    * `size(filter(...))` composition interprets a |terms|-way OR per
+    * token (ExprParitySpec pins value equality). */
   def markerCount(toks: Column, terms: Seq[String]): Column =
+    graft.plans.ArrayExprs.tokenMarkerCount(toks, terms)
+
+  /** The declarative composition [[markerCount]] fuses (parity reference). */
+  def markerCountComposed(toks: Column, terms: Seq[String]): Column =
     size(filter(toks, t => terms.map(m => t === lit(m)).reduce(_ || _)))
 
   /** Best-scoring language label; ties and all-zero resolve to the first

@@ -427,6 +427,54 @@ object ArrayExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Count of array elements contained in a LITERAL term set — the fused
+    * form of `size(filter(toks, t => t === m1 || t === m2 || ...))`
+    * (marker/stopword counting): the filter lambda interprets a
+    * |terms|-way OR per element; this probes one hash set per element in
+    * a generated loop. Null elements count as non-members, matching the
+    * composition (a null comparison filters out). */
+  case class TokenMarkerCount(child: Expression, terms: Seq[String])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(terms.nonEmpty, "TokenMarkerCount needs at least one term")
+    override def dataType: DataType = IntegerType
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+
+    @transient private lazy val termSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](terms.size * 2)
+      terms.foreach(t => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+      s
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      var c = 0
+      var i = 0
+      while (i < n) {
+        if (!v.isNullAt(i) && termSet.contains(v.getUTF8String(i))) c += 1
+        i += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("termSet", termSet, "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, v => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val c = ctx.freshName("c")
+        s"""
+        final int $n = $v.numElements();
+        int $c = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$v.isNullAt($i) && $setRef.contains($v.getUTF8String($i))) $c++;
+        }
+        ${ev.value} = $c;
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Fused int8 quantizer: one pass computes maxAbs, derives
     * scale = 127/maxAbs (0 when the array is empty, all-null, or all-zero),
     * a second pass emits clamp(floor(xᵢ·scale + 0.5), -127, 127) as bytes —
@@ -640,6 +688,9 @@ object ArrayExprs {
 
   def shingleHash32(tokens: Column, w: Int): Column =
     ColumnBridge.column(ShingleHash32(ColumnBridge.expression(tokens), w))
+
+  def tokenMarkerCount(tokens: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TokenMarkerCount(ColumnBridge.expression(tokens), terms))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -175,6 +175,25 @@ class ExprParitySpec extends AnyFunSuite {
     assert(forced.map(_.sum).sorted.toSeq == gen.map(_._2.sum).sorted.toSeq)
   }
 
+  test("TokenMarkerCount: interpreted == codegen == size(filter(or-chain)) composition") {
+    import graft.functions.TextOps
+    val cases = docs.unionByName(Seq((7L, "the the the and of unrelated"), (8L, "no markers here at all"))
+      .toDF("doc_id", "text"))
+    val terms = TextOps.stopwords
+    def vals() = cases.select(col("doc_id"),
+      TextOps.markerCount(TextOps.tokens(col("text")), terms).as("fused"),
+      TextOps.markerCountComposed(TextOps.tokens(col("text")), terms).as("ref"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val gen = vals()
+    gen.foreach { case (i, fused, ref) => assert(fused == ref, s"doc $i: $fused != $ref") }
+    assert(withInterpreted(vals()).toSeq == gen.toSeq)
+    val forced = withCodegenOnly {
+      cases.select(TextOps.markerCount(TextOps.tokens(col("text")), terms).as("f"))
+        .collect().map(_.getInt(0))
+    }
+    assert(forced.sorted.toSeq == gen.map(_._2).sorted.toSeq)
+  }
+
   test("ShingleHash32: interpreted == codegen == hash-of-wordShingles composition") {
     // docs cover: normal text, fewer tokens than the width (empty result),
     // exactly the width, empty text, unicode separators, width 1
