@@ -225,7 +225,7 @@ object OracleSql {
       WITH d AS (SELECT doc_id, source, text, $TOKS AS toks FROM documents),
       m AS (SELECT doc_id, source,
         CASE WHEN length(text) = 0 THEN 0.0
-             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))::double / length(text) END AS punct_r,
         CASE WHEN length(toks) = 0 THEN 0.0
              ELSE length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(toks) END AS stop_r,
         length(text) AS len FROM d),
@@ -300,7 +300,7 @@ object OracleSql {
           AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
       m AS (SELECT doc_id, source, w AS toks,
         CASE WHEN length(text) = 0 THEN 0.0
-             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))::double / length(text) END AS punct_r,
         CASE WHEN length(w) = 0 THEN 0.0
              ELSE length(list_filter(w, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(w) END AS stop_r,
         length(text) AS len FROM clean),
@@ -491,7 +491,7 @@ object OracleSql {
       dq AS (SELECT doc_id, text, $TOKS AS toks FROM documents WHERE doc_id < 500),
       m AS (SELECT doc_id,
         CASE WHEN length(text) = 0 THEN 0.0
-             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))::double / length(text) END AS punct_r,
         CASE WHEN length(toks) = 0 THEN 0.0
              ELSE length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(toks) END AS stop_r,
         length(text) AS n_chars
@@ -532,8 +532,11 @@ object OracleSql {
       SELECT corpus_id, batch_id, cosine FROM res WHERE cosine >= 0.25
       ORDER BY corpus_id, batch_id""",
 
-    // mirrors q78: q21's langid + q22's quality formulas feeding a fixed
-    // rule priority, grouped per (source, verdict) with integer-ppm share
+    // mirrors q78: q21's langid feeding a fixed rule priority, grouped per
+    // (source, verdict) with integer-ppm share. The quality cut mirrors
+    // TextOps.qualityMicroOf — pure bigint arithmetic over char/token
+    // counts, so the verdict is engine-independent by construction (no
+    // double rounding, no regex \s divergence on the decision path).
     "q78_filter_funnel" -> s"""
       WITH d AS (SELECT doc_id, source, text, $TOKS AS toks FROM documents),
       sc AS (SELECT doc_id, source, text, toks,
@@ -542,22 +545,27 @@ object OracleSql {
         length(list_filter(toks, t -> t='der' OR t='die' OR t='das' OR t='und' OR t='ist')) AS s_de,
         length(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est')) AS s_fr,
         length(list_filter(toks, t -> t='de5' OR t='shi4' OR t='le5' OR t='zai4' OR t='he2')) AS s_zh,
-        CASE WHEN length(text) = 0 THEN 0.0
-             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
-        CASE WHEN length(toks) = 0 THEN 0.0
-             ELSE length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(toks) END AS stop_r
+        length(text)::bigint AS n_chars,
+        length(toks)::bigint AS n_toks,
+        length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))::bigint AS punct_hits,
+        length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::bigint AS stop_hits
         FROM d),
+      q AS (SELECT source, n_chars, s_en, s_es, s_de, s_fr, s_zh,
+        (4 * least(n_chars * 2000, 1000000)
+         + 3 * least(CASE WHEN n_toks = 0 THEN 0 ELSE (5000000 * stop_hits) // greatest(n_toks, 1) END, 1000000)
+         + 3 * greatest(1000000 - (CASE WHEN n_chars = 0 THEN 0 ELSE (4000000 * punct_hits) // greatest(n_chars, 1) END), 0)) // 10 AS quality_micro
+        FROM sc),
       v AS (SELECT source,
-        CASE WHEN length(text) < 100 THEN 'too_short'
+        CASE WHEN n_chars < 100 THEN 'too_short'
              WHEN (CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
                    WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
                    WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
                    WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
                    WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
                    ELSE 'zh' END) != 'en' THEN 'non_english'
-             WHEN ${qz6("least(length(text)::double / 500.0, 1.0) * 0.4 + least(stop_r * 5.0, 1.0) * 0.3 + greatest(1.0 - punct_r * 4.0, 0.0) * 0.3")} < 0.5 THEN 'low_quality'
+             WHEN quality_micro < 500000 THEN 'low_quality'
              ELSE 'kept' END AS verdict
-        FROM sc),
+        FROM q),
       g AS (SELECT source, verdict, count(1)::bigint AS n_docs FROM v GROUP BY source, verdict)
       SELECT source, verdict, n_docs,
         n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY source) AS share_ppm
@@ -675,7 +683,7 @@ object OracleSql {
       WITH d AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
       m AS (SELECT doc_id, text, toks,
         CASE WHEN length(text) = 0 THEN 0.0
-             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))::double / length(text) END AS punct_r,
         CASE WHEN length(toks) = 0 THEN 0.0
              ELSE length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(toks) END AS stop_r,
         CASE WHEN length(toks) = 0 THEN 0.0
@@ -975,7 +983,7 @@ object OracleSql {
       WITH d AS (SELECT doc_id, source, text, $TOKS AS toks FROM documents),
       m AS (SELECT doc_id, source,
         CASE WHEN length(text) = 0 THEN 0.0
-             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))::double / length(text) END AS punct_r,
         CASE WHEN length(toks) = 0 THEN 0.0
              ELSE length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(toks) END AS stop_r,
         length(text) AS len FROM d),
@@ -992,7 +1000,7 @@ object OracleSql {
         length(toks)::bigint AS ws,
         list_sum(list_transform(toks, t -> 1 + floor(length(t) / 6)::int))::bigint AS bpe,
         CASE WHEN length(text) = 0 THEN 0.0
-             ELSE length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::double / length(text) END AS punct_r,
+             ELSE length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))::double / length(text) END AS punct_r,
         CASE WHEN length(toks) = 0 THEN 0.0
              ELSE length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::double / length(toks) END AS stop_r,
         length(text) AS len FROM d),

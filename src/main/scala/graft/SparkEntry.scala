@@ -1128,7 +1128,10 @@ object SparkEntry {
     * non_english → low_quality → kept) and the report counts docs and
     * integer-ppm shares per (source, verdict). One scan + one grouped
     * agg + one partitioned window; all signals reuse the oracle-mirrored
-    * TextOps formulas, tokenizing once per doc. */
+    * TextOps formulas, tokenizing once per doc. The quality cut runs on
+    * [[TextOps.qualityMicroOf]] — exact bigint arithmetic, so the verdict
+    * can never flip with an engine's double rounding or regex `\s`
+    * semantics (the round-6 env-sensitive hash mismatch class). */
   private def q78(s: SparkSession, dir: String): DataFrame = {
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"),
@@ -1136,10 +1139,10 @@ object SparkEntry {
       .select(col("doc_id"), col("source"),
         length(col("text")).as("n_chars"),
         TextOps.langIdOf(col("_toks")).as("pred_lang"),
-        TextOps.qualityScoreOf(col("text"), col("_toks")).as("quality"))
+        TextOps.qualityMicroOf(col("text"), col("_toks")).as("quality_micro"))
     val verdict = when(col("n_chars") < 100, lit("too_short"))
       .when(col("pred_lang") =!= "en", lit("non_english"))
-      .when(col("quality") < 0.5, lit("low_quality"))
+      .when(col("quality_micro") < lit(500000L), lit("low_quality"))
       .otherwise(lit("kept"))
     scored.withColumn("verdict", verdict)
       .groupBy(col("source"), col("verdict"))

@@ -176,10 +176,20 @@ object TextOps {
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "is", "to", "in", "it", "that", "on")
 
+  /** Chars that do NOT count as punctuation. Spelled as an explicit class
+    * instead of `\s` because Java's `\s` includes vertical tab (\x0B) while
+    * RE2's does not — the explicit class makes the engine and the DuckDB
+    * oracle agree by construction on every input. */
+  val NonPunctClass = "[a-zA-Z0-9 \\t\\n\\r\\f]"
+
+  /** Count of punctuation chars (integer — exact, no division). */
+  def punctHits(text: Column): Column =
+    length(regexp_replace(text, NonPunctClass, ""))
+
   /** Ratio of non-alphanumeric, non-space chars to total chars. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(
-      length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text))
+      punctHits(text).cast("double") / length(text))
 
   /** Ratio of stopword tokens to all tokens (prose-likeness signal). */
   def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
@@ -227,5 +237,42 @@ object TextOps {
     val stopScore = least(stopwordRatioOf(toks) * lit(5.0), lit(1.0))
     val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(4.0), lit(0.0))
     quantize6(lenScore * lit(0.4) + stopScore * lit(0.3) + punctPenalty * lit(0.3))
+  }
+
+  /** Exact floor division of non-negative longs, expressed without an
+    * integer-division builtin: `a - (a mod b)` is exactly divisible by `b`
+    * and both sides stay < 2⁵³, so the intermediate double division is
+    * bit-exact (an integer-valued double). */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** [[qualityScoreOf]] re-expressed in integer micro-units (0..1 000 000,
+    * bigint) so a THRESHOLD decision on the score involves no floating-point
+    * anywhere: every term is exact integer arithmetic over char/token COUNTS,
+    * identical in any engine. Used where the score feeds a cut (q78's
+    * `quality_micro < 500000`) rather than being reported as a double —
+    * a `0.4999999…` vs `0.5000000…` flip can never depend on the engine's
+    * double rounding or regex `\s` semantics.
+    *
+    *  - len_micro   = min(n_chars · 2000, 10⁶)                (= min(n_chars/500,1)·10⁶, exact)
+    *  - stop_micro  = min(⌊5·10⁶ · stop_hits / n_toks⌋, 10⁶)
+    *  - punct_micro = max(10⁶ − ⌊4·10⁶ · punct_hits / n_chars⌋, 0)
+    *  - quality_micro = ⌊(4·len + 3·stop + 3·punct) / 10⌋
+    */
+  def qualityMicroOf(text: Column, toks: Column): Column = {
+    val nChars = length(text).cast("long")
+    val nToks = size(toks).cast("long")
+    val sHits = markerCount(toks, stopwords).cast("long")
+    val pHits = punctHits(text).cast("long")
+    val lenMicro = least(nChars * lit(2000L), lit(1000000L))
+    val stopMicro = least(
+      when(nToks === lit(0L), lit(0L))
+        .otherwise(idiv(lit(5000000L) * sHits, greatest(nToks, lit(1L)))),
+      lit(1000000L))
+    val punctMicro = greatest(
+      lit(1000000L) - when(nChars === lit(0L), lit(0L))
+        .otherwise(idiv(lit(4000000L) * pHits, greatest(nChars, lit(1L)))),
+      lit(0L))
+    idiv(lit(4L) * lenMicro + lit(3L) * stopMicro + lit(3L) * punctMicro, lit(10L))
   }
 }

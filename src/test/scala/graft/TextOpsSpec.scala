@@ -73,6 +73,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m("good") > m("bad"))
   }
 
+  test("qualityMicroOf: integer micro-units, exact boundary at the q78 cut") {
+    // 25 tokens (24 spaces), 76 token chars => n_chars = 100; 2 stopwords
+    // ("the", "a"); zero punctuation. quality_micro lands EXACTLY on the
+    // q78 cut: (4*min(100*2000,1e6) + 3*(5e6*2/25) + 3*1e6)/10
+    //        = (800000 + 1200000 + 3000000)/10 = 500000  -> NOT low_quality
+    val boundary = (Seq("the", "a") ++ Seq.fill(22)("abc") :+ "abcdef").mkString(" ")
+    assert(boundary.length == 100)
+    // one stopword instead of two: stop_micro = 5e6*1/25 = 200000 and
+    // n_chars = 101 => (4*202000 + 600000 + 3000000)/10 = 440800 -> below
+    val below = (Seq("the", "zz") ++ Seq.fill(22)("abc") :+ "abcdef").mkString(" ")
+    val df = Seq(("at", boundary), ("under", below)).toDF("id", "text")
+      .select(col("id"),
+        TextOps.qualityMicroOf(col("text"), TextOps.tokens(col("text"))).as("qm"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("at") == 500000L) // strict `< 500000` keeps the boundary doc
+    assert(m("under") == 440800L)
+  }
+
+  test("punctHits counts vertical tab as punctuation in both engines' semantics") {
+    // Java \s includes \x0B, RE2's does not — NonPunctClass spells the
+    // whitespace set explicitly so both sides agree: \x0B IS punctuation.
+    val df = Seq("ab\u000Bcd \t\n").toDF("text")
+      .select(TextOps.punctHits(col("text")).as("p"))
+    assert(df.collect()(0).getInt(0) == 1)
+  }
+
   test("tokenCount and approxBpeCount: bpe >= words (long words add pieces)") {
     val df = Seq("short supercalifragilistic words").toDF("text")
       .select(TextOps.tokenCount(col("text")).as("w"), TextOps.approxBpeCount(col("text")).as("b"))

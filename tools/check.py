@@ -51,10 +51,17 @@ for name in sorted(oracle):
     if len(sr) != len(orr):
         print(f"FAIL {name}: rowcount spark={len(sr)} oracle={len(orr)}"); fails += 1; continue
     if sr != orr:
-        bad = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
-        print(f"FAIL {name}: values differ; first diffs (spark vs oracle):")
-        for a, b in bad:
+        bad = [(a, b) for a, b in zip(sr, orr) if a != b]
+        print(f"FAIL {name}: values differ in {len(bad)}/{len(sr)} rows; first diffs (spark vs oracle):")
+        for a, b in bad[:3]:
             print(f"   spark : {a}\n   oracle: {b}")
+        # localize: which columns diverge, and how often (cols are sorted
+        # by name in canon(), so index i of a row tuple is sc[i])
+        percol = {}
+        for a, b in bad:
+            for i, (x, y) in enumerate(zip(a, b)):
+                if x != y: percol[sc[i]] = percol.get(sc[i], 0) + 1
+        print(f"   per-column diff counts: {dict(sorted(percol.items()))}")
         fails += 1; continue
     print(f"PASS {name} ({len(sr)} rows)")
 
