@@ -532,6 +532,12 @@ object OracleSql {
       SELECT corpus_id, batch_id, cosine FROM res WHERE cosine >= 0.25
       ORDER BY corpus_id, batch_id""",
 
+    // mirrors q79: q95's ANSI-expressible exact columns, split out of the
+    // rows-only sketch query so they get a full hash-checked row
+    "q79_sketch_exact" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, count(1) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     // mirrors q78: q21's langid feeding a fixed rule priority, grouped per
     // (source, verdict) with integer-ppm share. The quality cut mirrors
     // TextOps.qualityMicroOf — pure bigint arithmetic over char/token

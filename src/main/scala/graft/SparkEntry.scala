@@ -1294,6 +1294,10 @@ object SparkEntry {
   private def q67(s: SparkSession, dir: String): DataFrame = {
     val db = "graftq67_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val url = s"jdbc:derby:memory:$db;create=true"
+    // Derby writes derby.log into the JVM's cwd (the repo root under sbt)
+    // unless told otherwise; must be set before the engine first loads
+    System.setProperty("derby.stream.error.file",
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_derby.log").getAbsolutePath)
     jdbcSeeded.computeIfAbsent(db, _ => {
       val rows = t(s, dir, "nation")
         .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
@@ -1322,9 +1326,23 @@ object SparkEntry {
       .orderBy(col("r_name"))
   }
 
+  /** Exact twin of q95's ANSI-expressible half: the sketch query's
+    * `exact_parts`/`n` sanity columns, split out so they get a full
+    * hash-checked oracle row — only the `approx_*` columns remain
+    * rows-only (engine-specific sketch internals). Same scan shape as
+    * q95: one pass, two-phase agg (partial countDistinct under the
+    * exchange). */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Sketch family (rows-only: HLL/KLL sketches are engine-specific, no
     * cross-engine oracle): approx distinct + approx percentiles, with the
-    * exact values alongside for sanity. */
+    * exact values alongside for sanity (hash-checked separately as q79). */
   private def q95(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -1375,6 +1393,57 @@ object SparkEntry {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(); ()
+  }
+
+  /** ANN search through a persisted IVF index AFTER incremental append
+    * (rows-only, like q94) — the CDC × ANN maintenance path, kept
+    * bench-visible so it can't bit-rot: the index is built from the
+    * lower half of the corpus, the upper half arrives later as a batch
+    * with offset ids routed to the EXISTING centroids
+    * ([[IvfIndex.append]]: new files inside routed cluster directories
+    * only, no retrain, no rewrite), and the search reads base and
+    * appended files through the same pruned nprobe-cluster scan. The
+    * probe is an upper-half vector, absent from the base index — its
+    * cosine-1.0 top hit (id `vec_id + 1000000`) can only come from the
+    * appended files, so a non-empty exact match proves the append is
+    * actually being read (PlanAuditSpec asserts the pruned scan + the
+    * appended top hit). */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val idx = ivfAppendScratchIndex(e, dir)
+    val probe = e.orderBy(desc("vec_id")).limit(1).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    IvfIndex.search(s, idx, probe, k = 10, nprobe = 2)
+  }
+
+  /** q96's scratch index: built + appended ONCE per (JVM, fixture dir)
+    * — same lifecycle as [[ivfScratchIndex]], with an extra `APPENDED`
+    * marker so a complete build+append survives across JVMs and a
+    * partial one is rebuilt from scratch. Repeats therefore bench the
+    * pruned SEARCH over the appended layout, and the append itself runs
+    * exactly once (appending per repeat would violate append's new-ids
+    * contract and grow the index between repeats). */
+  private val ivfAppendBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfAppendScratchIndex(e: DataFrame, dir: String): String = {
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_ivf_q96_" + dir.replaceAll("[^A-Za-z0-9.-]", "_")).getAbsolutePath
+    ivfAppendBuilt.computeIfAbsent(path, p => {
+      val marker = new java.io.File(p, "APPENDED")
+      if (!marker.isFile) {
+        deleteRecursively(new java.io.File(p))
+        val maxId = e.agg(max(col("vec_id"))).collect()(0).getLong(0)
+        IvfIndex.build(e.where(col("vec_id") <= maxId / 2), "vec_id", "embedding",
+          p, k = 8, iters = 2)
+        IvfIndex.append(
+          e.where(col("vec_id") > maxId / 2)
+            .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")),
+          "vec_id", "embedding", p)
+        marker.createNewFile()
+      }
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(new java.io.File(p))))
+      p
+    })
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1456,12 +1525,14 @@ object SparkEntry {
     "q76_epoch_shuffle" -> (q76 _),
     "q77_incremental_vector_neardup" -> (q77 _),
     "q78_filter_funnel" -> (q78 _),
+    "q79_sketch_exact" -> (q79 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),
     "q93_cdc_cycle" -> (q93 _),
     "q94_ivf_ann" -> (q94 _),
-    "q95_sketches" -> (q95 _))
+    "q95_sketches" -> (q95 _),
+    "q96_ivf_append" -> (q96 _))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

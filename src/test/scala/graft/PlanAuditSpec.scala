@@ -148,6 +148,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"every window must partition by the range-partition id:\n$plan")
   }
 
+  test("q96 appended-IVF search prunes at the scan and reads the appended files") {
+    val out = SparkEntry.queries("q96_ivf_append")(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // the cluster restriction must prune cluster DIRECTORIES at the scan
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cluster.*"),
+      s"cluster must be a partition filter:\n$plan")
+    // the probe is an upper-half vector absent from the base index, so its
+    // cosine-1.0 match (offset id) can only come from files written by
+    // IvfIndex.append — proving the appended files are read, not just present
+    assert(rows.nonEmpty && rows.head.getLong(0) >= 1000000L && rows.head.getDouble(1) == 1.0,
+      s"appended vector must be the top hit: ${rows.take(3).mkString(",")}")
+  }
+
   test("knnJoin(broadcastProbes = false) does NOT broadcast a corpus-sized probe side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // model an above-threshold probe side
