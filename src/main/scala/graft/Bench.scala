@@ -39,6 +39,7 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", GraftSession.warehouseDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,7 +70,13 @@ object Bench {
       }
       name -> (if (secs.nonEmpty) secs.min else -1.0)
     }
-    val currentTotal = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // A query that failed every repeat records the -1 sentinel in its own
+    // slot but is EXCLUDED from every total (summing -1 would make a run
+    // with a crashed query look FASTER than a clean one and mask
+    // regressions); the failed list is published so a non-empty run can
+    // never pass as clean.
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val currentTotal = results.map(_._2).filter(_ >= 0).sum
     // The HEADLINE ("value"/"queries") is THIS run's raw measurement — the
     // stdout contract reports what the current code actually did. Per-query
     // minima across the round's same-sf history (bench_history.jsonl,
@@ -80,13 +87,17 @@ object Bench {
     // flags that either the machine was loaded or a late commit regressed.
     diffAgainstHistory(results.toMap, currentTotal, sfDir)
     val histMins = historyMins(sfDir)
-    val roundMin = results.map { case (k, v) => k -> math.min(v, histMins.getOrElse(k, v)) }
-    val roundMinTotal = if (roundMin.nonEmpty) roundMin.map(_._2).sum else 0.0
+    val roundMin = results.map { case (k, v) =>
+      val cands = Seq(v, histMins.getOrElse(k, v)).filter(_ >= 0)
+      k -> (if (cands.nonEmpty) cands.min else -1.0)
+    }
+    val roundMinTotal = roundMin.map(_._2).filter(_ >= 0).sum
     if (roundMinTotal > 0 && currentTotal > roundMinTotal * 1.15)
       System.err.println(f"[bench] WARN raw total $currentTotal%.2fs is ${currentTotal / roundMinTotal}%.2fx the round-min total $roundMinTotal%.2fs — loaded machine or a late-round regression; trust neither until re-run clean")
     def toJson(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$currentTotal,"unit":"sec","queries":${toJson(results)},"round_min_total":$roundMinTotal,"round_min_queries":${toJson(roundMin)},"sf":"$sfDir"}"""
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$currentTotal,"unit":"sec","queries":${toJson(results)},"failed":$failedJson,"round_min_total":$roundMinTotal,"round_min_queries":${toJson(roundMin)},"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }
@@ -102,6 +113,7 @@ object Bench {
       val lines = try src.getLines().filter(_.contains("\"sf\":\"" + sfDir + "\"")).toVector finally src.close()
       val qre = """"(q\d+\w*)":([0-9.Ee+-]+)""".r
       lines.flatMap(l => qre.findAllMatchIn(l).map(m => m.group(1) -> m.group(2).toDouble))
+        .filter(_._2 >= 0) // historical -1 failure sentinels are not minima
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
     } catch { case e: Exception =>
       System.err.println(s"[bench] history mins skipped: ${e.getMessage}"); Map.empty

@@ -14,12 +14,19 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session timezone: deterministic timestamp semantics vs the oracle.
   */
 object GraftSession {
+  /** Scratch warehouse dir: no main/test ever creates managed tables, but
+    * the session default (`./spark-warehouse`) litters the repo root on
+    * first catalog touch — point it at tmp explicitly. */
+  def warehouseDir: String =
+    new java.io.File(sys.props("java.io.tmpdir"), "graft_warehouse").getAbsolutePath
+
   def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
     SparkSession
       .builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .appName("graft")
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

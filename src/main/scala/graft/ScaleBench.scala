@@ -39,6 +39,7 @@ object ScaleBench {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", GraftSession.warehouseDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -70,7 +71,10 @@ object ScaleBench {
         q -> (if (secs.nonEmpty) secs.min else -1.0)
       }
       val qs = times.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      println(s"""{"dir":"$dir","queries":$qs,"total":${times.map(_._2).sum}}""")
+      // -1 failure sentinels stay visible per-query but never sum into the
+      // total (a crashed query must not make the curve point look faster)
+      val failed = times.filter(_._2 < 0).map { case (k, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+      println(s"""{"dir":"$dir","queries":$qs,"failed":$failed,"total":${times.map(_._2).filter(_ >= 0).sum}}""")
     }
     spark.stop()
   }

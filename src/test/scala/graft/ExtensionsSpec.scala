@@ -17,6 +17,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .appName("graft-ext-test")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.warehouse.dir", GraftSession.warehouseDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // restore the shared session as default for suites that run after

@@ -5,11 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for all suites. */
 object TestSpark {
   lazy val session: SparkSession = {
+    // keep Derby's log and the session warehouse out of the repo root
+    System.setProperty("derby.stream.error.file",
+      new java.io.File(sys.props("java.io.tmpdir"), "graft_derby.log").getAbsolutePath)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", GraftSession.warehouseDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
