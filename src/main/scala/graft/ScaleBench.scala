@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   * scale path for vectors is IVF.
   *
   * Usage: runMain graft.ScaleBench <dir1> <dir2> ...
+  * SPARK_GRAFT_QUERIES=qA,qB restricts the run to a subset of Heavy —
+  * for pushing single watch-queries one more decade without paying for
+  * the whole list at the largest fixture.
   */
 object ScaleBench {
   val Heavy = Seq(
@@ -28,6 +31,10 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleBench <dir> [<dir> ...]")
+    val Heavy = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) => qs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      case None => this.Heavy
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -62,7 +69,14 @@ object ScaleBench {
           val t0 = System.nanoTime()
           try {
             Bench.materialize(SparkEntry.queries(q)(spark, dir))
-            Some((System.nanoTime() - t0) / 1e9)
+            val t = (System.nanoTime() - t0) / 1e9
+            // Outside the timed window: ContextCleaner frees a repeat's
+            // localCheckpoint blocks only after a GC proves the plan
+            // unreachable, and at the biggest fixtures the next repeat
+            // can OOM before that async race resolves — drain it now so
+            // block-manager occupancy at repeat start is one generation
+            System.gc()
+            Some(t)
           } catch {
             case e: Throwable =>
               System.err.println(s"[scalebench] $q failed: ${e.getMessage}"); None

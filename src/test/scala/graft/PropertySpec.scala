@@ -147,4 +147,19 @@ class PropertySpec extends AnyFunSuite {
       assert(p8 == naive, "distributed index must equal the global row_number order")
     }
   }
+
+  test("epoch shuffle: key-derived block ids handle the 32-bit domain edges") {
+    import graft.operators.EpochShuffle
+    // keys at the domain extremes and straddling a block boundary:
+    // block = (k*parts) >> 32 must stay in [0, parts) with no overflow,
+    // and the global order must follow (key, tieBreak) exactly
+    val rows = Seq((1L, 0L), (2L, 4294967295L), (3L, 2147483648L),
+      (4L, 134217727L), (5L, 134217728L), (6L, 134217728L))
+    val df = rows.toDF("doc_id", "k")
+    val out = EpochShuffle.globalOrderIndex(df, col("k"), col("doc_id"), "pos", parts = 32)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    val expected = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(out == expected, s"$out vs $expected")
+  }
 }
