@@ -230,11 +230,16 @@ object Dedup {
     // Checkpointed at exactly two 8-byte columns (doc_id, wh): the
     // guard-rewritable join key `wkey` is derived AFTER the checkpoint,
     // so the stored relation (the biggest in the engine — one row per
-    // distinct window per doc) carries no duplicate column. At 125×
-    // scale this is ~1/3 less block-manager storage and correspondingly
-    // later spill onset.
+    // distinct window per doc) carries no duplicate column. Stored
+    // SERIALIZED: two-long rows pack into contiguous buffers at a
+    // fraction of the per-object deserialized footprint, and this
+    // relation is what hits the block-manager storage ceiling first at
+    // scale (the measured q69 spill knee in BASELINE.md) — the cheap
+    // re-deserialization on the two join reads buys several times more
+    // headroom before eviction.
     val blocked = subSplitOversizedBuckets(
-      windows.localCheckpoint(true).withColumn("wkey", col("wh")),
+      windows.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .withColumn("wkey", col("wh")),
       "wkey", "doc_id", maxBucket, "exactWindowPairs")
     val a = blocked.select(col("wkey"), col("wh"), col("doc_id").as("id_a"))
     val b = blocked.select(col("wkey").as("wkey_r"), col("wh").as("wh_b"), col("doc_id").as("id_b"))
