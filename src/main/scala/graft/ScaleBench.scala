@@ -42,8 +42,12 @@ object ScaleBench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // shuffle.partitions is the small-data default; AQE starts wide and
       // coalesces DOWN per stage, so the big fixtures aren't pinned to 32
-      // post-shuffle partitions (the scale knob a real cluster would turn)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // post-shuffle partitions. The initial width is the scale knob a
+      // real cluster raises with data — overridable per run so decade
+      // pushes can hold per-partition size constant instead of letting
+      // per-partition hash relations grow with the fixture
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256"))
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", GraftSession.warehouseDir)
