@@ -41,6 +41,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", GraftSession.warehouseDir)
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM, codegen cache, and JIT on the smallest scale factor:
@@ -54,7 +55,7 @@ object Bench {
     } else {
       spark.range(1000000).selectExpr("sum(id)").collect()
     }
-    ()
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // failed repeats record no time; a query failing every repeat shows
       // as -1, never as the duration of its own failure
@@ -62,10 +63,17 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           materialize(fn(spark, sfDir))
-          Some((System.nanoTime() - t0) / 1e9)
+          val t = (System.nanoTime() - t0) / 1e9
+          // untimed: release relations the query pinned via
+          // Materialize.shared — CacheManager entries are never GC-freed,
+          // so without this storage accumulates across the 86 queries
+          spark.catalog.clearCache()
+          Some(t)
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            spark.catalog.clearCache()
+            None
         }
       }
       name -> (if (secs.nonEmpty) secs.min else -1.0)

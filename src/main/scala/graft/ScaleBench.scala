@@ -52,6 +52,7 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", GraftSession.warehouseDir)
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one untimed warmup of every heavy query on the first (smallest) dir
@@ -74,16 +75,19 @@ object ScaleBench {
           try {
             Bench.materialize(SparkEntry.queries(q)(spark, dir))
             val t = (System.nanoTime() - t0) / 1e9
-            // Outside the timed window: ContextCleaner frees a repeat's
-            // localCheckpoint blocks only after a GC proves the plan
-            // unreachable, and at the biggest fixtures the next repeat
-            // can OOM before that async race resolves — drain it now so
-            // block-manager occupancy at repeat start is one generation
+            // Outside the timed window: drop the repeat's Materialize.shared
+            // cache entries (CacheManager pins them — never GC-freed) and
+            // GC so shuffle/broadcast cleanup races can't carry one
+            // repeat's storage generation into the next (an sx125
+            // back-to-back repeat at 8g once OOMed on exactly that race)
+            spark.catalog.clearCache()
             System.gc()
             Some(t)
           } catch {
             case e: Throwable =>
-              System.err.println(s"[scalebench] $q failed: ${e.getMessage}"); None
+              System.err.println(s"[scalebench] $q failed: ${e.getMessage}")
+              spark.catalog.clearCache()
+              None
           }
         }
         q -> (if (secs.nonEmpty) secs.min else -1.0)

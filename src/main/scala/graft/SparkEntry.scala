@@ -420,21 +420,21 @@ object SparkEntry {
     // merges the same bigrams in both engines, so parity is exact by
     // construction): the materialized relation and the model join carry
     // (long, long, long) rows instead of ~15-char strings, the same
-    // feature-hashing trade every at-scale LM pipeline makes. Stored
-    // SERIALIZED like q69's window relation: four-long rows pack into
-    // contiguous buffers at a fraction of the deserialized per-object
-    // footprint, and this relation is the query's biggest block-manager
-    // tenant — deserialized it starts evicting around the 625× fixture,
-    // and a partial eviction recomputes the whole explode pipeline for
-    // whichever of the three consumers reads next (measured: the same
-    // sx625 point swung 90→180 s run-to-run before this change).
-    val bigrCounts = t(s, dir, "documents")
+    // feature-hashing trade every at-scale LM pipeline makes. Cached
+    // columnar (Materialize.shared) like q69's window relation: the
+    // four-long rows compress into columnar batches at a fraction of the
+    // deserialized per-object footprint, and this relation is the query's
+    // biggest storage tenant — deserialized it starts evicting around the
+    // 625× fixture, and a partial eviction recomputes the whole explode
+    // pipeline for whichever of the three consumers reads next (measured:
+    // the same sx625 point swung 90→180 s run-to-run before compaction).
+    // Lineage is kept: an executor loss recomputes deterministically.
+    val bigrCounts = operators.Materialize.shared(t(s, dir, "documents")
       .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
       .select(col("doc_id"),
         PortableHash.hash32(col("bigram")).as("bh"),
         PortableHash.hash32(split(col("bigram"), " ").getItem(0)).as("w1h"))
-      .groupBy(col("doc_id"), col("bh"), col("w1h")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .groupBy(col("doc_id"), col("bh"), col("w1h")).agg(count(lit(1)).as("cnt")))
     val model = bigrCounts.groupBy(col("bh"), col("w1h")).agg(sum(col("cnt")).as("n12"))
     val totals = model.groupBy(col("w1h")).agg(sum(col("n12")).as("n1"))
     val probs = model.join(totals, "w1h")

@@ -437,10 +437,10 @@ object Cdc {
     * duplicate CONTENT with distinct ids (still never duplicate ids, and
     * never lost rows). `deterministicChunks = true` opts into exact
     * reproducible boundaries via a total order on `orderCol` (distributed
-    * numbering: range partition + broadcast offsets — see
+    * numbering: key-derived blocks + broadcast offsets — see
     * Chunker.chunkDeterministic), restoring strict retry idempotency for
-    * pipelines that need it, at the cost of one extra global ordering pass
-    * per cycle. */
+    * pipelines that need it, at the cost of one extra ordering pass per
+    * cycle. */
   def syncTable(
       spark: SparkSession,
       sourceDir: String,

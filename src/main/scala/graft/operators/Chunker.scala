@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * Two modes:
   *  - [[chunkDeterministic]]: a total order over an explicit key defines
   *    chunk membership — testable, oracle-checkable. Implemented as a
-  *    DISTRIBUTED global numbering (range partition + per-partition counts
+  *    DISTRIBUTED global numbering (key-derived blocks + per-block counts
   *    + broadcast offsets), NOT a single-partition `Window.orderBy`: same
-  *    chunk boundaries, no one-executor bottleneck.
+  *    chunk boundaries, no one-executor bottleneck, no stored snapshot
+  *    for numeric keys.
   *  - [[chunkScalable]]: partition-local chunk ids salted by
   *    `spark_partition_id` — no global ordering pass at all, arbitrary-but-
   *    deterministic-per-partition boundaries. The reference's own chunk
@@ -47,22 +48,25 @@ object Chunker {
     * group rows into chunks of `chunkSize`, space-join `docCol` values in
     * order. Output: (chunk_no, id, source, text, n_rows).
     *
-    * Global row numbers WITHOUT a single-partition window (the classic
-    * zipWithIndex-for-DataFrames): range-partition by the order key, sort
-    * within partitions, take `monotonically_increasing_id` = (partition <<
-    * 33) | local index, then add broadcast per-partition cumulative offsets.
-    *
-    * The indexed relation is localCheckpoint'ed (eager) before being read
-    * by both the counts pass and the numbering pass: range partitioning
-    * SAMPLES its input to pick bounds, so two independent executions of
-    * the same repartitionByRange can bucket rows differently — offsets
-    * computed on one partitioning applied to another would corrupt the
-    * numbering. Materializing once makes both passes see identical
-    * partitions by construction (exchange reuse would usually dedupe the
-    * scan anyway, but correctness must not hinge on an optimizer
-    * optimization). Every stage is fully distributed; the only
-    * driver-size object is the (≤ numPartitions)-row offsets relation,
-    * which is broadcast. */
+    * Global row numbers WITHOUT a single-partition window AND (for the
+    * numeric keys every caller passes — CDC primary keys, event ids)
+    * without storing anything: the [[EpochShuffle.globalOrderIndex]]
+    * pattern generalized to an arbitrary numeric range. The block id is a
+    * PURE, monotone function of the key — its proportional position
+    * inside the exact [min, max] value range — so per-block row_numbers
+    * plus broadcast per-block offsets reproduce the total order under ANY
+    * recompute; correctness never depends on which physical partition
+    * computed a row, no snapshot is taken, and the corpus is never pinned
+    * in storage (the previous design cached the WHOLE indexed relation to
+    * stabilize sampled range partitioning — at 100 TB that cache is a
+    * straight memory/disk tax, and losing it mid-job lost the numbering).
+    * Block balance tracks the key's value distribution (ids and
+    * timestamps are near-uniform in practice); skew degrades balance,
+    * never correctness, and the counts pass makes any imbalance visible
+    * to AQE. Non-numeric keys (no monotone arithmetic mapping exists)
+    * keep the sampled range partitioning, with the sampled outcome
+    * captured ONCE in a RELIABLE snapshot ([[Materialize.truncate]]) —
+    * durable against executor loss, unlike the previous local snapshot. */
   def chunkDeterministic(
       df: DataFrame,
       orderCol: Column,
@@ -74,36 +78,61 @@ object Chunker {
       scala.util.Try(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .getOrElse(32), // non-numeric conf (e.g. "auto" in forks) → safe default
       1)
-    // partition-local index in sorted order: m_i_i is assigned in row-flow
-    // order, which the preceding intra-partition sort makes deterministic
-    // (_doc as tiebreak: equal (ord, doc) rows are interchangeable)
-    val indexed = df
-      .select(orderCol.as("_ord"), docCol.as("_doc"))
-      .repartitionByRange(nPart, col("_ord"))
-      .sortWithinPartitions(col("_ord"), col("_doc"))
-      .withColumn("_mid", monotonically_increasing_id())
-      .select(
-        shiftright(col("_mid"), 33).as("_pid"),
-        col("_mid").bitwiseAND(lit((1L << 33) - 1)).as("_local"),
-        col("_doc"))
-      .localCheckpoint() // one materialization; both passes below share it
-    // per-range-partition sizes: partial-aggregates to one row per partition
-    // map-side, so the counts pass shuffles ~nPart rows
-    val counts = indexed.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-    // exclusive prefix sum over the tiny counts relation (range partition
-    // ids are ordered by _ord, so offset order == global order). The
-    // constant-valued-but-non-foldable partition key keeps this off the
-    // "all data to a single partition" warning path (a foldable key would
-    // be stripped by EliminateWindowPartitions) — by construction this
-    // window sees ≤ nPart rows, one per range partition
-    val wOff = Window.partitionBy(pmod(col("_pid"), lit(1L))).orderBy(col("_pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    val numbered = indexed
-      .join(broadcast(offsets), Seq("_pid"))
-      .withColumn("_rn", col("_off") + col("_local") + lit(1L))
+    val keyed = df.select(orderCol.as("_ord"), docCol.as("_doc"))
+    val isNumericKey = keyed.schema("_ord").dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
+    val blocked =
+      if (isNumericKey) {
+        // exact (min, max) — one tiny deterministic agg; the ONLY
+        // driver-side value in the numeric path (2 doubles)
+        val mm = keyed.agg(
+          min(col("_ord").cast("double")).as("lo"),
+          max(col("_ord").cast("double")).as("hi")).collect()(0)
+        val bid =
+          if (mm.isNullAt(0) || mm.getDouble(1) <= mm.getDouble(0))
+            // empty input or single distinct key: one block
+            when(col("_ord").isNotNull, lit(0)).otherwise(lit(-1))
+          else {
+            val lo = mm.getDouble(0)
+            val span = mm.getDouble(1) - lo
+            // double cast of any numeric is monotone (non-strict); floor
+            // and clamp preserve it, so block id order == key order
+            when(col("_ord").isNotNull,
+              least(lit(nPart - 1), greatest(lit(0),
+                floor((col("_ord").cast("double") - lit(lo)) / lit(span) * lit(nPart)).cast("int"))))
+              .otherwise(lit(-1)) // SQL sort is NULLS FIRST: nulls get the lowest block
+          }
+        keyed.withColumn("_bid", bid)
+      } else {
+        // sampled range partitioning: two executions can bucket rows
+        // differently, so the sampled outcome must be captured once —
+        // reliably, so an executor loss re-reads the snapshot instead of
+        // failing the job (and a recompute can never renumber rows)
+        Materialize.truncate(keyed
+          .repartitionByRange(nPart, col("_ord"))
+          .withColumn("_bid", spark_partition_id()))
+      }
+    // per-block sizes: partial-aggregates map-side, so the counts pass
+    // shuffles ~nPart rows — and in the numeric path Catalyst prunes
+    // `_doc` from this branch entirely, so an expensive doc expression
+    // (e.g. whole-row JSON) is only ever computed in the numbering branch
+    val counts = blocked.groupBy(col("_bid")).agg(count(lit(1)).as("_cnt"))
+    // exclusive prefix sum over the ≤ (nPart+1)-row counts relation via a
+    // broadcast triangular join (block ids are monotone in the key, so
+    // offset order == global order); in-plan, driver-free, and never a
+    // single-partition window
+    val prior = counts.select(col("_bid").as("_bid_lt"), col("_cnt").as("_cnt_lt"))
+    val offsets = counts.join(broadcast(prior), col("_bid_lt") < col("_bid"), "left_outer")
+      .groupBy(col("_bid")).agg(coalesce(sum(col("_cnt_lt")), lit(0L)).as("_off"))
+    // per-block numbering: the window partitions on _bid, so no partition
+    // ever holds more than one block's rows
+    val wBlock = Window.partitionBy(col("_bid")).orderBy(col("_ord"), col("_doc"))
+    val numbered = blocked
+      .join(broadcast(offsets), Seq("_bid"))
+      .withColumn("_rn", row_number().over(wBlock).cast("long") + col("_off"))
       .withColumn("_chunk_no", floor((col("_rn") - 1) / chunkSize))
       .select(col("_chunk_no"), col("_rn"), col("_doc"))
     assemble(numbered, source, sep)

@@ -51,7 +51,7 @@ object Dedup {
     * exact-dedup first ([[exactByText]]: byte-identical copies collapse
     * to one representative and never reach the LSH stage). The oversized
     * list is tiny by construction (≤ rows/maxBucket entries),
-    * materialized once (localCheckpoint) and joined as a broadcast — the
+    * materialized once ([[Materialize.shared]]) and joined as a broadcast — the
     * guard costs one map-side-combined count per bucket key and adds no
     * shuffle on the data path. All output keys are xxhash64-normalized
     * longs (a 64-bit collision merging two buckets only adds candidates;
@@ -65,9 +65,9 @@ object Dedup {
     // real (joinable) bucket and reintroduce the quadratic path for
     // null-text floods.
     val blocked = blocked0.where(col(key).isNotNull)
-    val oversized = blocked.groupBy(col(key)).agg(count(lit(1)).as("_bsz"))
-      .where(col("_bsz") > maxBucket)
-      .localCheckpoint(true)
+    val oversized = Materialize.shared(
+      blocked.groupBy(col(key)).agg(count(lit(1)).as("_bsz"))
+        .where(col("_bsz") > maxBucket))
     val stats = oversized.agg(count(lit(1)).as("nb"), sum(col("_bsz")).as("nrows"),
       sum(ceil(col("_bsz") / lit(maxBucket))).as("nsub")).collect()(0)
     if (stats.getLong(0) > 0)
@@ -130,19 +130,18 @@ object Dedup {
     // The prep relation feeds BOTH sides of the self-join; materialized
     // once (pre-explode, so hs arrays are stored n× not n×bands×) or the
     // whole shingle+minhash pipeline executes twice. At cluster scale the
-    // same role is a persisted staging table; locally the block-manager
-    // checkpoint is the no-dependency equivalent (same pattern as
-    // Chunker.chunkDeterministic). Block lifecycle: once the returned
-    // plan (and thus the checkpointed RDD) becomes unreachable,
-    // ContextCleaner unpersists it on GC — long sessions reclaim these
-    // blocks without an explicit handle.
-    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
-        ArrayExprs.shingleHash32(TextOps.tokens(col("text")), shingleN)))))
-      .withColumn("sz", size(col("hs")))
-      .withColumn("sig", ArrayExprs.sticky(ArrayExprs.minhashSignatureFast(col("hs"), k)))
-      .drop("text")
-      .localCheckpoint(true)
+    // same role is a persisted staging table; locally the columnar cache
+    // ([[Materialize.shared]]) is the no-dependency equivalent — lineage
+    // kept, so an executor loss recomputes instead of killing the job.
+    // Storage lifecycle: harness loops clearCache() between queries;
+    // within a query the entry lives exactly as long as its consumers.
+    val base = Materialize.shared(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
+          ArrayExprs.shingleHash32(TextOps.tokens(col("text")), shingleN)))))
+        .withColumn("sz", size(col("hs")))
+        .withColumn("sig", ArrayExprs.sticky(ArrayExprs.minhashSignatureFast(col("hs"), k)))
+        .drop("text"))
     val withSig = subSplitOversizedBuckets(
       base.withColumn("band_key", explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand))),
       "band_key", "doc_id", maxBucket, "minhashLshPairs")
@@ -184,7 +183,7 @@ object Dedup {
       .withColumn("sig", ArrayExprs.sticky(ArrayExprs.minhashSignatureFast(col("hs"), k)))
       .drop("text")
       .withColumn("side", lit(side))
-    val both = prep(corpus, "c").unionByName(prep(batch, "b")).localCheckpoint(true)
+    val both = Materialize.shared(prep(corpus, "c").unionByName(prep(batch, "b")))
     val withSig = subSplitOversizedBuckets(
       both.withColumn("band_key", explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand))),
       "band_key", "doc_id", maxBucket, "minhashLshPairsAgainst")
@@ -227,19 +226,17 @@ object Dedup {
       explode(array_distinct(
         ArrayExprs.rollingWindowHash(tokHashes, windowTokens))).as("wh"))
     // Materialized once — feeds the guard count and both join sides.
-    // Checkpointed at exactly two 8-byte columns (doc_id, wh): the
-    // guard-rewritable join key `wkey` is derived AFTER the checkpoint,
-    // so the stored relation (the biggest in the engine — one row per
-    // distinct window per doc) carries no duplicate column. Stored
-    // SERIALIZED: two-long rows pack into contiguous buffers at a
-    // fraction of the per-object deserialized footprint, and this
-    // relation is what hits the block-manager storage ceiling first at
-    // scale (the measured q69 spill knee in BASELINE.md) — the cheap
-    // re-deserialization on the two join reads buys several times more
-    // headroom before eviction.
+    // Cached at exactly two 8-byte columns (doc_id, wh): the
+    // guard-rewritable join key `wkey` is derived AFTER the cache, so the
+    // stored relation (the biggest in the engine — one row per distinct
+    // window per doc) carries no duplicate column. The columnar cache
+    // packs the two long columns into compressed batches at a fraction of
+    // the per-object deserialized footprint — this relation is what hits
+    // the storage ceiling first at scale (the measured q69 spill knee in
+    // BASELINE.md) — and keeps lineage, so a lost partition recomputes
+    // deterministically instead of failing the job.
     val blocked = subSplitOversizedBuckets(
-      windows.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        .withColumn("wkey", col("wh")),
+      Materialize.shared(windows).withColumn("wkey", col("wh")),
       "wkey", "doc_id", maxBucket, "exactWindowPairs")
     val a = blocked.select(col("wkey"), col("wh"), col("doc_id").as("id_a"))
     val b = blocked.select(col("wkey").as("wkey_r"), col("wh").as("wh_b"), col("doc_id").as("id_b"))
@@ -289,10 +286,12 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
-    // localCheckpoint (not cache) each round: iterative DataFrames grow a
-    // nested logical plan per iteration, and Catalyst re-analyzes the whole
-    // tree every round — lineage truncation keeps planning O(1) per round.
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("label")).localCheckpoint(true)
+    // Materialize.truncate (not cache) each round: iterative DataFrames
+    // grow a nested logical plan per iteration, and Catalyst re-analyzes
+    // the whole tree every round — plan truncation keeps planning O(1) per
+    // round. The snapshot is a RELIABLE checkpoint (scratch-dir files), so
+    // an executor loss mid-loop re-reads files instead of killing the job.
+    var labels = Materialize.truncate(ids.select(col(idCol).as("id"), col(idCol).as("label")))
     var prevCkpt = labels // superseded checkpoint blocks are freed each round
     try {
       var changed = 1L
@@ -301,25 +300,25 @@ object Dedup {
         // 1. hook: pull the min label across edges
         val neighborMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        val hooked = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
-          .select(labels("id"),
-            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
-            labels("label").as("_old"))
-          .localCheckpoint(true) // referenced twice below (both sides of the jump join)
+        val hooked = Materialize.truncate( // referenced twice below (both sides of the jump join)
+          labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+            .select(labels("id"),
+              least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
+              labels("label").as("_old")))
         // 2. pointer jump: label := label(label) — halves chain depth each
         //    round, so convergence is O(log n) even for path-shaped
         //    components (plain propagation needs O(diameter) rounds and
         //    could exhaust maxIter on long chains)
         val lookup = hooked.select(col("id").as("_lid"), col("label").as("_llabel"))
-        val newLabels = hooked.join(lookup, hooked("label") === lookup("_lid"), "left_outer")
-          .select(hooked("id"),
-            least(hooked("label"), coalesce(col("_llabel"), hooked("label"))).as("label"),
-            col("_old"))
-          .localCheckpoint(true)
+        val newLabels = Materialize.truncate(
+          hooked.join(lookup, hooked("label") === lookup("_lid"), "left_outer")
+            .select(hooked("id"),
+              least(hooked("label"), coalesce(col("_llabel"), hooked("label"))).as("label"),
+              col("_old")))
         changed = newLabels.where(col("label") =!= col("_old")).count()
-        // newLabels is materialized — the blocks it was built from are dead
-        freeLocalCheckpoint(prevCkpt)
-        freeLocalCheckpoint(hooked)
+        // newLabels is materialized — the snapshots it was built from are dead
+        Materialize.free(prevCkpt)
+        Materialize.free(hooked)
         prevCkpt = newLabels
         labels = newLabels.drop("_old")
         i += 1
@@ -331,17 +330,6 @@ object Dedup {
         (col("id") === col("label")).as("is_canonical"))
     } finally { edges.unpersist(); () }
   }
-
-  /** Release the block-manager storage behind an eager `localCheckpoint`
-    * Dataset once it is superseded (iterative loops otherwise accumulate
-    * one full copy of the working relation per round). The final round's
-    * checkpoint must stay persisted — localCheckpoint data is NOT
-    * recomputable, so only blocks no downstream plan reads are freed. */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
 
   /** Connected components by alternating star contraction (the
     * large-star/small-star algorithm of Kiveris et al., "Connected
@@ -364,12 +352,11 @@ object Dedup {
     * [[dedupClusters]] (verified equal in DedupSpec). */
   def dedupClustersStar(ids: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // canonical child→parent orientation: u > v (drop self-loops)
-    var edges = pairs
+    var edges = Materialize.truncate(pairs
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -378,20 +365,18 @@ object Dedup {
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val large = nbrs.join(mins, "u")
+      val large = Materialize.truncate(nbrs.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // (larger neighbor → m); m < u < v, no self-loop
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       // small-star on the (u > v) orientation: parents and self to min parent
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val small = large.join(smins, "u")
+      val small = Materialize.truncate(large.join(smins, "u")
         .select(col("v").as("n"), col("m"))
         .unionByName(smins.select(col("u").as("n"), col("m")))
         .where(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       // Convergence = the edge set is a forest of depth-1 stars, which
       // requires BOTH (checked on THIS round's materialized output, so no
       // redundant confirming round is paid):
@@ -410,8 +395,8 @@ object Dedup {
         small.select(col("v"))
           .join(small.select(col("u").as("v")), Seq("v"), "left_semi")
           .isEmpty
-      freeLocalCheckpoint(large)
-      freeLocalCheckpoint(edges)
+      Materialize.free(large)
+      Materialize.free(edges)
       edges = small
       i += 1
     }
@@ -453,11 +438,10 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming <= 3, "byte-blocking is exact only for maxHamming <= 3 over 4 bytes")
     // materialized once — feeds both join sides (see minhashLshPairs)
-    val withSim = df.select(
+    val withSim = Materialize.shared(df.select(
       col(idCol).as("doc_id"),
       ArrayExprs.sticky(ArrayExprs.simhash32Fast(
-        PortableHash.hash32Array(TextOps.tokens(col(textCol))))).as("simhash"))
-      .localCheckpoint(true)
+        PortableHash.hash32Array(TextOps.tokens(col(textCol))))).as("simhash")))
     // block key = byteIdx*256 + byte value — exact, injective, and a LONG
     // (the former "i:b" concat string shuffled ~3× heavier per row)
     val blocked = subSplitOversizedBuckets(
@@ -497,13 +481,13 @@ object Dedup {
     val thrNum = math.round(threshold * 1e6)
     // materialized once — feeds both join sides (see minhashLshPairs)
     val prepped = subSplitOversizedBuckets(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-        .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
-          ArrayExprs.shingleHash32(TextOps.tokens(col("text")), shingleN)))))
-        .withColumn("sz", size(col("hs")))
-        .withColumn("block", ArrayExprs.sticky(floor(TextOps.tokenCount(col("text")) / lengthBucket)))
-        .drop("text")
-        .localCheckpoint(true),
+      Materialize.shared(
+        df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+          .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
+            ArrayExprs.shingleHash32(TextOps.tokens(col("text")), shingleN)))))
+          .withColumn("sz", size(col("hs")))
+          .withColumn("block", ArrayExprs.sticky(floor(TextOps.tokenCount(col("text")) / lengthBucket)))
+          .drop("text")),
       "block", "doc_id", maxBucket, "ngramJaccardPairs")
     val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
@@ -545,11 +529,10 @@ object Dedup {
       nprobe: Int = 1): DataFrame = {
     // materialized once — feeds the bucket-size count and both join sides
     val withBucket = subSplitOversizedBuckets(
-      df.select(
+      Materialize.shared(df.select(
         col(idCol).as("vid"),
         col(vecCol).as("v"),
-        explode(VectorOps.probeBuckets(col(vecCol), bits, nprobe)).as("bucket"))
-        .localCheckpoint(true),
+        explode(VectorOps.probeBuckets(col(vecCol), bits, nprobe)).as("bucket"))),
       "bucket", "vid", maxBucket, "embeddingNearDupPairs")
     val a = withBucket.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
     val b = withBucket.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
@@ -600,11 +583,10 @@ object Dedup {
     require(centroids.nonEmpty, "clusterNearDupPairs needs at least one centroid")
     // materialized once — feeds the cluster-size count and both join sides
     val assigned = subSplitOversizedBuckets(
-      df.select(
+      Materialize.shared(df.select(
         col(idCol).as("vid"),
         col(vecCol).as("v"),
-        explode(SimilaritySearch.nearestCentroids(col(vecCol), centroids, nprobe)).as("cluster"))
-        .localCheckpoint(true),
+        explode(SimilaritySearch.nearestCentroids(col(vecCol), centroids, nprobe)).as("cluster"))),
       "cluster", "vid", maxBucket, "clusterNearDupPairs")
     val a = assigned.select(col("cluster"), col("vid").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cluster"), col("vid").as("id_b"), col("v").as("v_b"))
@@ -649,7 +631,7 @@ object Dedup {
       explode(SimilaritySearch.nearestCentroids(col(vecCol), centroids, np)).as("cluster"))
       .withColumn("side", lit(side))
     val assigned = subSplitOversizedBuckets(
-      prep(corpus, "c", 1).unionByName(prep(batch, "b", nprobe)).localCheckpoint(true),
+      Materialize.shared(prep(corpus, "c", 1).unionByName(prep(batch, "b", nprobe))),
       "cluster", "vid", maxBucket, "clusterNearDupPairsAgainst")
     val a = assigned.where(col("side") === "c")
       .select(col("cluster"), col("vid").as("corpus_id"), col("v").as("v_c"))

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Materialization policy for relations that are read more than once or
+  * rebuilt every round of an iterative loop. One place, three tools, each
+  * with a distinct fault story — chosen so that NO data path in the engine
+  * depends on executor-local storage that cannot be rebuilt after an
+  * executor loss (the failure mode `localCheckpoint` bakes in: blocks live
+  * only in executor storage AND lineage is truncated, so losing one
+  * executor kills the job; at 100 TB the pinned corpus is also a straight
+  * memory/disk tax on the cluster).
+  *
+  *  - [[shared]] — deterministic relation feeding several consumers (both
+  *    sides of a self-join, a guard count + the guarded join, a model and
+  *    its totals). Columnar `persist(MEMORY_AND_DISK)`: compressed
+  *    columnar batches (typically far smaller than row-serialized blocks
+  *    for the engine's narrow long-column relations), spill-safe, and the
+  *    LINEAGE IS KEPT — a lost partition recomputes from source, which is
+  *    exactly correct because every `shared` input in this engine is a
+  *    pure hash/arithmetic derivation of its source ([[ArrayExprs.sticky]]
+  *    marks columns non-deterministic only as an optimizer placement
+  *    barrier; their values are deterministic functions of the row).
+  *  - [[truncate]] — iterative loops (connected components) grow a nested
+  *    logical plan per round, and Catalyst re-analyzes the whole tree
+  *    every round; some snapshot MUST break the plan. A RELIABLE
+  *    checkpoint into [[checkpointDir]] (tmp locally, a durable scratch
+  *    dir — HDFS/object store — on a cluster) truncates the plan AND
+  *    survives executor loss, the trade `localCheckpoint` refused.
+  *    Superseded rounds free their files eagerly via [[free]].
+  *  - `snapshot` semantics (non-deterministic plans that must be captured
+  *    once, e.g. sampled range partitioning) are [[truncate]] — the
+  *    reliable files ARE the point-in-time capture; recompute never runs.
+  *
+  * Storage lifecycle: `shared` blocks are released by [[release]] where a
+  * handle exists, else by ContextCleaner on GC (same as the previous
+  * checkpoint blocks); reliable checkpoint files are deleted by [[free]],
+  * by ContextCleaner when `spark.cleaner.referenceTracking.cleanCheckpoints`
+  * is on, and finally by the JVM shutdown hook on the session-scoped dir. */
+object Materialize {
+
+  /** Eagerly cache a deterministic multi-consumer relation. Columnar
+    * persist keeps lineage (executor-loss recoverable) and the eager pass
+    * makes every consumer — including both sides of a self-join running in
+    * one job — read identical, already-built cache batches. */
+  def shared(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    df.persist(level)
+    df.count()
+    df
+  }
+
+  /** Release the storage behind a [[shared]] relation once no downstream
+    * plan reads it again (blocking=false: don't stall the caller). */
+  def release(df: DataFrame): Unit = { df.unpersist(false); () }
+
+  /** Reliable checkpoint: truncates the logical plan / lineage for
+    * iterative loops and captures non-deterministic plans, while remaining
+    * recoverable — the files live in [[checkpointDir]], not in executor
+    * block-manager storage. Eager by contract (the returned plan reads
+    * only the files). */
+  def truncate(df: DataFrame): DataFrame = {
+    ensureCheckpointDir(df.sparkSession)
+    df.checkpoint(eager = true)
+  }
+
+  /** Best-effort delete of the files behind a superseded [[truncate]]
+    * result. Safe only once no live plan reads it (same contract the old
+    * eager-localCheckpoint free had for block-manager storage). */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile.foreach { path =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            fs.delete(p, true)
+          } catch { case _: java.io.IOException => () } // cleanup is advisory
+        }
+      case _ => ()
+    }
+
+  /** Session-scoped reliable-checkpoint scratch dir, created on first use
+    * and deleted on JVM exit. On a real cluster this conf points at a
+    * durable shared filesystem; the engine's behavior is identical. */
+  def ensureCheckpointDir(spark: SparkSession): Unit = synchronized {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(
+          java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft_ckpt_")
+        .toFile
+      sc.setCheckpointDir(dir.getAbsolutePath)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+      ()
+    }
+  }
+}
