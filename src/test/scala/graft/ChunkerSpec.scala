@@ -42,6 +42,35 @@ class ChunkerSpec extends AnyFunSuite {
     assert(a.map(_.getAs[String]("id")).sorted.sameElements(b.map(_.getAs[String]("id")).sorted))
   }
 
+  test("string order key (sampled-range snapshot path) orders and is deterministic") {
+    // zero-padded keys: lexicographic order == numeric order, so the
+    // expected chunk contents are the same as the numeric-key tests'
+    val df = (1 to 250).map(i => (f"k$i%04d", f"doc$i%04d")).toDF("id", "doc")
+      .repartition(7) // physical order != key order: the snapshot must sort
+    val out = Chunker.chunkDeterministic(df, col("id"), col("doc"), "t", 100)
+      .orderBy("chunk_no").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("n_rows")).toSeq == Seq(100L, 100L, 50L))
+    assert(out(0).getAs[String]("text").startsWith("doc0001 doc0002"))
+    assert(out(1).getAs[String]("text").startsWith("doc0101"))
+    assert(out(2).getAs[String]("text").endsWith("doc0250"))
+    val again = Chunker.chunkDeterministic(df, col("id"), col("doc"), "t", 100)
+      .orderBy("chunk_no").collect()
+    assert(out.map(_.getAs[String]("id")).sameElements(again.map(_.getAs[String]("id"))))
+  }
+
+  test("skewed numeric keys (duplicates + outlier) keep every row, bounded chunks") {
+    // 240 rows share key 1, one row at key 1e9: almost everything lands in
+    // one value-range block — balance degrades, correctness must not
+    val df = ((1 to 240).map(i => (1L, s"d$i")) :+ (1000000000L, "tail")).toDF("id", "doc")
+    val out = Chunker.chunkDeterministic(df, col("id"), col("doc"), "t", 100).collect()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == 241)
+    assert(out.forall(_.getAs[Long]("n_rows") <= 100))
+    // the outlier key sorts last, so "tail" is the final doc of the last chunk
+    val last = out.maxBy(_.getAs[Long]("chunk_no"))
+    assert(last.getAs[String]("text").endsWith("tail"))
+  }
+
   test("scalable chunking covers all rows with bounded chunk size") {
     val out = Chunker.chunkScalable(mk(250).repartition(4), col("doc"), "t", 100).collect()
     assert(out.map(_.getAs[Long]("n_rows")).sum == 250)
