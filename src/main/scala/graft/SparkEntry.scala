@@ -420,16 +420,19 @@ object SparkEntry {
     // merges the same bigrams in both engines, so parity is exact by
     // construction): the materialized relation and the model join carry
     // (long, long, long) rows instead of ~15-char strings, the same
-    // feature-hashing trade every at-scale LM pipeline makes. Cached
-    // columnar (Materialize.shared) like q69's window relation: the
-    // four-long rows compress into columnar batches at a fraction of the
-    // deserialized per-object footprint, and this relation is the query's
-    // biggest storage tenant — deserialized it starts evicting around the
-    // 625× fixture, and a partial eviction recomputes the whole explode
-    // pipeline for whichever of the three consumers reads next (measured:
-    // the same sx625 point swung 90→180 s run-to-run before compaction).
-    // Lineage is kept: an executor loss recomputes deterministically.
-    val bigrCounts = operators.Materialize.shared(t(s, dir, "documents")
+    // feature-hashing trade every at-scale LM pipeline makes. Staged to
+    // RELIABLE files (Materialize.truncate), NOT a storage-memory cache:
+    // this relation is the query's biggest tenant, and holding it in
+    // unified memory contends with the scoring join's own shuffle + hash
+    // build — measured bimodal at the 625× fixture (61 s with the cache
+    // unchallenged, 225 s when execution pressure forced mid-job
+    // evictions; the mid-round serialized-block variant swung 90→180 s
+    // the same way). File staging pins NOTHING in memory, so the join
+    // gets the whole execution budget and the cost is two deterministic
+    // sequential reads — the cluster-scale shape is exactly a staging
+    // table. The two model-build consumers share one ReusedExchange
+    // (identical subtrees over the staged files).
+    val bigrCounts = operators.Materialize.truncate(t(s, dir, "documents")
       .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
       .select(col("doc_id"),
         PortableHash.hash32(col("bigram")).as("bh"),

@@ -300,7 +300,13 @@ object Dedup {
         // 1. hook: pull the min label across edges
         val neighborMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        val hooked = Materialize.truncate( // referenced twice below (both sides of the jump join)
+        // shared (not truncate): referenced twice below (both sides of the
+        // jump join), but it lives only within this round — newLabels'
+        // truncation is what breaks the plan across rounds, so caching
+        // here halves the checkpoint file writes per round; its lineage
+        // roots in the previous round's reliable snapshot, so recompute
+        // after a lost partition is deterministic
+        val hooked = Materialize.shared(
           labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
             .select(labels("id"),
               least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
@@ -316,9 +322,9 @@ object Dedup {
               least(hooked("label"), coalesce(col("_llabel"), hooked("label"))).as("label"),
               col("_old")))
         changed = newLabels.where(col("label") =!= col("_old")).count()
-        // newLabels is materialized — the snapshots it was built from are dead
+        // newLabels is materialized — the storage it was built from is dead
         Materialize.free(prevCkpt)
-        Materialize.free(hooked)
+        Materialize.release(hooked)
         prevCkpt = newLabels
         labels = newLabels.drop("_old")
         i += 1
@@ -365,7 +371,10 @@ object Dedup {
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val large = Materialize.truncate(nbrs.join(mins, "u")
+      // shared (not truncate): read by smins and small within this round
+      // only — small's truncation breaks the plan across rounds, and
+      // large's lineage roots in the previous round's reliable snapshot
+      val large = Materialize.shared(nbrs.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // (larger neighbor → m); m < u < v, no self-loop
         .distinct())
@@ -395,7 +404,7 @@ object Dedup {
         small.select(col("v"))
           .join(small.select(col("u").as("v")), Seq("v"), "left_semi")
           .isEmpty
-      Materialize.free(large)
+      Materialize.release(large)
       Materialize.free(edges)
       edges = small
       i += 1

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Materialize
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the engine's materialization policy (operators/Materialize):
+  * `shared` caches with LINEAGE KEPT (recoverable after storage loss),
+  * `truncate` snapshots to RELIABLE files and cuts the plan (iterative
+  * loops), `free`/`release` reclaim storage. */
+class MaterializeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  test("shared caches eagerly and release drops the cache entry") {
+    val df = (1 to 100).toDF("n").select(col("n"), (col("n") * 2).as("m"))
+    val shared = Materialize.shared(df)
+    assert(shared.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "shared must register a cache entry")
+    assert(shared.count() == 100)
+    Materialize.release(shared)
+    assert(shared.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "release must drop the cache entry")
+  }
+
+  test("shared keeps lineage: values survive cache loss by recompute") {
+    val df = (1 to 50).toDF("n").select(col("n"), (col("n") + 7).as("m"))
+    val shared = Materialize.shared(df)
+    val before = shared.orderBy("n").collect().map(_.getInt(1)).toSeq
+    // simulate total cache loss (the executor-failure analog local mode
+    // can express): the plan must recompute from source, not fail
+    shared.unpersist(true)
+    val after = shared.orderBy("n").collect().map(_.getInt(1)).toSeq
+    assert(before == after, "recompute after storage loss must reproduce the values")
+  }
+
+  test("truncate cuts the logical plan and survives iteration without nesting") {
+    var df = (1 to 10).toDF("n")
+    val depth0 = df.queryExecution.analyzed.collect { case p => p }.size
+    for (_ <- 1 to 5) {
+      df = Materialize.truncate(df.select((col("n") + 1).as("n")))
+      val depth = df.queryExecution.analyzed.collect { case p => p }.size
+      assert(depth <= depth0 + 1,
+        s"each round's plan must stay O(1) deep after truncate, got $depth nodes")
+    }
+    assert(df.agg(sum(col("n"))).collect()(0).getLong(0) == (6 to 15).sum.toLong)
+  }
+
+  test("truncate writes reliable files under the scratch dir; free deletes them") {
+    val df = (1 to 1000).toDF("n")
+    val snap = Materialize.truncate(df)
+    val ckptFile = snap.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
+      case other => fail(s"truncate must yield a checkpoint-backed plan, got ${other.getClass}")
+    }
+    assert(ckptFile.isDefined, "truncate must be a RELIABLE (file-backed) checkpoint")
+    val path = new org.apache.hadoop.fs.Path(ckptFile.get)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(path), "checkpoint files must exist while the snapshot is live")
+    assert(snap.count() == 1000)
+    Materialize.free(snap)
+    assert(!fs.exists(path), "free must delete the superseded snapshot's files")
+  }
+}

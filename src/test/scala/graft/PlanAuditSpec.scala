@@ -148,6 +148,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"every window must partition by the range-partition id:\n$plan")
   }
 
+  test("deterministic chunking numbers rows per key-block, never a single-partition exchange") {
+    val out = SparkEntry.queries("q16_chunk_docs")(spark, "/root/testdata/sf0.001")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    // the naive global row_number would plan Exchange SinglePartition;
+    // key-derived blocks keep every window partitioned on _bid
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"chunk numbering must not funnel the corpus through one partition:\n$plan")
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("_bid")),
+      s"every window must partition by the key-derived block id:\n$plan")
+  }
+
   test("q96 appended-IVF search prunes at the scan and reads the appended files") {
     val out = SparkEntry.queries("q96_ivf_append")(spark, "/root/testdata/sf0.001")
     val rows = out.collect()
