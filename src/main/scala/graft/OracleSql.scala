@@ -538,6 +538,49 @@ object OracleSql {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, count(1) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // exact Jaccard over the per-source DISTINCT shingle-hash sets; the
+    // self-join on h mirrors the engine's pair generation, and the ratio
+    // is computed double-quantized with the identical op order
+    "q80_source_overlap" -> s"""
+      WITH d AS (SELECT source, $TOKS AS w FROM documents),
+      sh AS (SELECT DISTINCT source,
+               unnest(list_transform($SHINGLES3RAW, s -> ${h32("s")})) AS h FROM d),
+      sz AS (SELECT source, count(1) AS c FROM sh GROUP BY source),
+      j AS (SELECT a.source AS src_a, b.source AS src_b, count(1) AS inter
+            FROM sh a JOIN sh b USING (h) WHERE a.source < b.source
+            GROUP BY a.source, b.source)
+      SELECT src_a, src_b, inter,
+        ${qz6("inter::double / (za.c + zb.c - inter)::double")} AS jaccard
+      FROM j JOIN sz za ON za.source = j.src_a JOIN sz zb ON zb.source = j.src_b
+      ORDER BY src_a, src_b""",
+
+    // top-20 3-grams by (occurrences, doc_freq, ngram) — the ngram string
+    // is a unique tie-break, so the 20-row cut is deterministic
+    "q81_ngram_mining" -> s"""
+      WITH d AS (SELECT doc_id, $TOKS AS w FROM documents),
+      g AS (SELECT doc_id, unnest($SHINGLES3RAW) AS ngram FROM d),
+      agg AS (SELECT ngram, count(1) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+              FROM g GROUP BY ngram)
+      SELECT ngram, occurrences, doc_freq FROM agg
+      ORDER BY occurrences DESC, doc_freq DESC, ngram LIMIT 20""",
+
+    // containment of each candidate doc's DISTINCT shingle hashes in the
+    // src0 benchmark set; verdict on integers (n_hit*2 >= n_ngrams) so
+    // the 0.5 cut is engine-exact
+    "q82_ngram_containment" -> s"""
+      WITH d AS (SELECT doc_id, source, $TOKS AS w FROM documents),
+      hs AS (SELECT doc_id, source,
+               list_distinct(list_transform($SHINGLES3RAW, s -> ${h32("s")})) AS hl FROM d),
+      bench AS (SELECT DISTINCT unnest(hl) AS h FROM hs WHERE source = 'src0'),
+      g AS (SELECT doc_id, unnest(hl) AS h FROM hs WHERE source <> 'src0'),
+      sc AS (SELECT g.doc_id, count(1) AS n_ngrams,
+               sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_hit
+             FROM g LEFT JOIN bench b USING (h) GROUP BY g.doc_id)
+      SELECT doc_id, n_ngrams, n_hit,
+        ${qz6("n_hit::double / n_ngrams::double")} AS containment,
+        (n_hit * 2 >= n_ngrams) AS contaminated
+      FROM sc ORDER BY doc_id""",
+
     // mirrors q78: q21's langid feeding a fixed rule priority, grouped per
     // (source, verdict) with integer-ppm share. The quality cut mirrors
     // TextOps.qualityMicroOf — pure bigint arithmetic over char/token

@@ -1350,6 +1350,81 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Cross-source corpus overlap matrix — the corpus-analytics view a
+    * mixture designer reads before setting source weights: exact Jaccard
+    * of the DISTINCT 3-gram shingle-hash sets of every source pair.
+    * Plan: one distinct over (source, shingle_hash) — bounded by
+    * sources × shingle vocabulary, NOT corpus size — then a self-join on
+    * the hash (each hash yields at most sources² pair rows, so candidate
+    * volume is linear in vocabulary) and a count per pair; set sizes are
+    * a sources-row relation, broadcast. The two self-join sides are the
+    * identical subplan, so ReuseExchange scans and shuffles once. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.ArrayExprs
+    val sh = t(s, dir, "documents")
+      .select(col("source"),
+        explode(array_distinct(ArrayExprs.shingleHash32(TextOps.tokens(col("text")), 3))).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sz_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("sz_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        TextOps.quantize6(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double")).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Frequent n-gram mining — the memorization-risk list: the 20 most
+    * frequent 3-grams with total occurrence count and document
+    * frequency. Two-phase: per-(ngram, doc) multiplicities first (the
+    * partial agg collapses within-doc repeats map-side, so the second
+    * shuffle carries one row per distinct pair — the same pre-aggregation
+    * that fixed q63's occurrence blow-up), then one agg per ngram; the
+    * top-20 runs as TakeOrdered (per-partition heaps + a 20-row driver
+    * merge), never a global sort. Fully deterministic: the ngram string
+    * is a unique final tie-break. */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 3)).as("ngram"))
+      .groupBy(col("ngram"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("c")).as("occurrences"), count(lit(1)).as("doc_freq"))
+      .orderBy(desc("occurrences"), desc("doc_freq"), col("ngram"))
+      .limit(20)
+
+  /** Fuzzy-overlap contamination scoring (the 13-gram-style containment
+    * check of GPT-3/PaLM data decontamination, at fixture scale 3-grams):
+    * for every candidate document, the fraction of its DISTINCT shingle
+    * hashes that appear anywhere in the benchmark corpus (here: source
+    * `src0`). Complements q57/q71, which drop on EXACT chunk matches —
+    * containment catches partial copies. The benchmark set is a DISTINCT
+    * hash relation joined shuffle-hash on the shingle hash (never
+    * broadcast: a benchmark suite can be arbitrarily large), then one
+    * groupBy per doc; the verdict compares integers (n_hit*2 >= n_ngrams)
+    * so the 0.5 cut is engine-exact, q78-style. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.ArrayExprs
+    val docs = t(s, dir, "documents")
+    def shingles(d: DataFrame, cols: Column*) = d.select(
+      cols :+ explode(array_distinct(
+        ArrayExprs.shingleHash32(TextOps.tokens(col("text")), 3))).as("h"): _*)
+    val bench = shingles(docs.where(col("source") === "src0")).distinct()
+      .withColumn("hit", lit(1L))
+    shingles(docs.where(col("source") =!= "src0"), col("doc_id"))
+      .join(bench.hint("shuffle_hash"), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hit"),
+        TextOps.quantize6(col("n_hit").cast("double") / col("n_ngrams").cast("double")).as("containment"),
+        (col("n_hit") * 2 >= col("n_ngrams")).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sketch family (rows-only: HLL/KLL sketches are engine-specific, no
     * cross-engine oracle): approx distinct + approx percentiles, with the
     * exact values alongside for sanity (hash-checked separately as q79). */
@@ -1536,6 +1611,9 @@ object SparkEntry {
     "q77_incremental_vector_neardup" -> (q77 _),
     "q78_filter_funnel" -> (q78 _),
     "q79_sketch_exact" -> (q79 _),
+    "q80_source_overlap" -> (q80 _),
+    "q81_ngram_mining" -> (q81 _),
+    "q82_ngram_containment" -> (q82 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),

@@ -175,6 +175,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"appended vector must be the top hit: ${rows.take(3).mkString(",")}")
   }
 
+  test("q80 source-overlap self-join reuses the distinct's exchange (one scan feeds both sides)") {
+    val out = SparkEntry.queries("q80_source_overlap")(spark, "/root/testdata/sf0.001")
+    out.collect() // materialize THIS df so the adaptive plan is final
+    val plan = out.queryExecution.executedPlan.toString
+    // all four consumers (two self-join sides, two size lookups) are the
+    // identical (scan → explode → distinct) subtree — AQE stage reuse must
+    // collapse them onto ONE materialized shuffle; re-running the corpus
+    // scan+explode per consumer would quadruple the dominant cost
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"self-join sides must share one exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"pair join must stay hash-keyed:\n$plan")
+  }
+
+  test("q82 containment join never broadcasts the benchmark shingle set") {
+    val out = SparkEntry.queries("q82_ngram_containment")(spark, "/root/testdata/sf0.001")
+    out.collect() // final adaptive plan — AQE must not flip the hinted join
+    val plan = out.queryExecution.executedPlan.toString
+    // a benchmark suite's distinct-shingle relation grows with the suite —
+    // the shuffle_hash hint must hold so memory stays bounded per task
+    val broadcastBench = plan.linesIterator
+      .filter(_.contains("BroadcastHashJoin")).exists(_.contains("LeftOuter"))
+    assert(!broadcastBench, s"benchmark set must not broadcast:\n$plan")
+  }
+
   test("knnJoin(broadcastProbes = false) does NOT broadcast a corpus-sized probe side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // model an above-threshold probe side
