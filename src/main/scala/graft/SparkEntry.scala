@@ -1142,12 +1142,16 @@ object SparkEntry {
     * [[TextOps.qualityMicroOf]] — exact bigint arithmetic, so the verdict
     * can never flip with an engine's double rounding or regex `\s`
     * semantics (the round-6 env-sensitive hash mismatch class). */
-  private def q78(s: SparkSession, dir: String): DataFrame = {
+  /** Shared scoring stage of the curation funnel: per-doc (doc_id, source,
+    * n_chars, pred_lang, quality_micro, verdict). q78 aggregates it; q83
+    * traces it row-by-row — the SAME plan prefix by construction, so a q78
+    * mismatch with q83 green localizes the bug to the aggregation/window. */
+  private def funnelScored(s: SparkSession, dir: String): DataFrame = {
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"),
         graft.plans.ArrayExprs.sticky(TextOps.tokens(col("text"))).as("_toks"))
       .select(col("doc_id"), col("source"),
-        length(col("text")).as("n_chars"),
+        length(col("text")).cast("long").as("n_chars"),
         TextOps.langIdOf(col("_toks")).as("pred_lang"),
         TextOps.qualityMicroOf(col("text"), col("_toks")).as("quality_micro"))
     val verdict = when(col("n_chars") < 100, lit("too_short"))
@@ -1155,12 +1159,25 @@ object SparkEntry {
       .when(col("quality_micro") < lit(500000L), lit("low_quality"))
       .otherwise(lit("kept"))
     scored.withColumn("verdict", verdict)
+  }
+
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    funnelScored(s, dir)
       .groupBy(col("source"), col("verdict"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share_ppm",
         expr("n_docs * 1000000 DIV sum(n_docs) OVER (PARTITION BY source)"))
       .orderBy(col("source"), col("verdict"))
-  }
+
+  /** Funnel trace (q78's per-doc debugging surface): every intermediate
+    * the verdict depends on, for a bounded id range — a driver mismatch
+    * names the diverging column and doc in the correctness row itself. */
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    funnelScored(s, dir)
+      .where(col("doc_id") < 200)
+      .select(col("doc_id"), col("n_chars"), col("pred_lang"),
+        col("quality_micro"), col("verdict"))
+      .orderBy(col("doc_id"))
 
   /** Deterministic epoch shuffle — training-order randomization without
     * rand(): order = portable hash of (epoch salt, doc id). Reproducible
@@ -1610,6 +1627,7 @@ object SparkEntry {
     "q76_epoch_shuffle" -> (q76 _),
     "q77_incremental_vector_neardup" -> (q77 _),
     "q78_filter_funnel" -> (q78 _),
+    "q83_funnel_trace" -> (q83 _),
     "q79_sketch_exact" -> (q79 _),
     "q80_source_overlap" -> (q80 _),
     "q81_ngram_mining" -> (q81 _),

@@ -35,6 +35,22 @@ import java.sql.Timestamp
 object Cdc {
 
   val WatermarkTable = "watermark" // controller/controller.py:23-24
+
+  /** Tolerant timestamp extraction from a collected Row value. Spark hands
+    * back `java.sql.Timestamp` for TIMESTAMP but `java.time.LocalDateTime`
+    * for TIMESTAMP_NTZ (and `Instant` under
+    * `spark.sql.datetime.java8API.enabled`). [[Tables.normalizeTimestamps]]
+    * already casts NTZ away at the source choke point; this is
+    * defense-in-depth for callers that hand the engine their own frames
+    * (session tz pinned UTC, so LocalDateTime→UTC-instant is exact). */
+  def asTimestamp(v: Any): Timestamp = v match {
+    case null => null
+    case t: Timestamp => t
+    case ldt: java.time.LocalDateTime => Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+    case i: java.time.Instant => Timestamp.from(i)
+    case other =>
+      throw new IllegalArgumentException(s"not a timestamp value: $other (${other.getClass.getName})")
+  }
   val watermarkSchema: StructType = StructType(Seq(
     StructField("table_name", StringType, nullable = false),
     StructField("last_updated", TimestampType, nullable = true)))
@@ -126,7 +142,7 @@ object Cdc {
       .select("last_updated")
       .collect()
       .headOption
-      .map(_.getTimestamp(0))
+      .map(r => asTimestamp(r.get(0)))
   }
 
   def readWatermarks(spark: SparkSession, stateDir: String): DataFrame =
@@ -389,11 +405,85 @@ object Cdc {
 
   // --- the cycle (§3.2) ----------------------------------------------------
 
+  /** Per-table cycle outcome: synced row count, or the isolated failure. */
+  sealed trait TableOutcome { def isFailure: Boolean }
+  final case class TableSynced(rows: Long) extends TableOutcome { def isFailure = false }
+  final case class TableFailed(error: Throwable) extends TableOutcome { def isFailure = true }
+
+  /** Raised by [[syncCycle]] when any table failed — a total or partial
+    * failure must never be indistinguishable from "no new data" (VERDICT
+    * r8: a swallowed per-table ClassCastException produced an empty sink
+    * that a rows-only check and the bench both read as fast success). */
+  final class CdcCycleException(val failures: Map[String, Throwable])
+    extends RuntimeException(
+      s"CDC cycle: ${failures.size} table(s) failed: " +
+        failures.toSeq.sortBy(_._1)
+          .map { case (t, e) => s"$t: ${e.getMessage}" }.mkString("; "))
+
   /** One full sync cycle over every table in `sourceDir` except the
-    * watermark state table (`controller/controller.py:17-35`). Returns
-    * (table → rows synced). Tables run serially like the reference, but
-    * each table's plan is fully distributed; per-table failures are
-    * isolated (improving on the reference's cycle-abort, T6). */
+    * watermark state table (`controller/controller.py:17-35`), returning a
+    * per-table outcome (T6 isolation made LOUD: failures are isolated —
+    * every table is still attempted, successes commit — but they are
+    * returned, not swallowed).
+    *
+    * Tables run CONCURRENTLY (the reference loops serially on one
+    * connection, `controller/controller.py:25-27`): per-table compute —
+    * footer/metadata load, delta count/max, chunk+embed materialization —
+    * overlaps freely, while the sink upsert + watermark commit serialize
+    * under a per-cycle mutex, because both are read-modify-write protocols
+    * on shared state (single stage/manifest dir; watermark store swap).
+    * Optimistic-parallel compute with a serialized commit tail is the same
+    * shape every table format (Delta/Iceberg) uses for concurrent writers;
+    * cycle latency becomes max-of-tables' compute + sum of (small) commits
+    * instead of sum of everything. */
+  def syncCycleOutcomes(
+      spark: SparkSession,
+      sourceDir: String,
+      stateDir: String,
+      sinkDir: String,
+      changeCol: String = "ts",
+      orderCol: String = "event_id",
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      deterministicChunks: Boolean = false,
+      namespace: String = DefaultNamespace,
+      layout: SinkLayout = DefaultLayout,
+      parallelism: Int = 8): Map[String, TableOutcome] = {
+    initVectorSink(spark, sinkDir, layout)
+    val tables = Tables.listTables(sourceDir)
+      .filter(_ != WatermarkTable) // P5 anti-filter
+    if (tables.isEmpty) return Map.empty
+    // one read of the watermark store for the whole cycle — per-table
+    // getWatermark would run a separate job (read + filter + collect) per
+    // table per cycle, pure fixed overhead at any scale
+    val wms = readWatermarks(spark, stateDir).collect()
+      .map(r => r.getAs[String]("table_name") -> asTimestamp(r.get(r.fieldIndex("last_updated")))).toMap
+    val commitLock = new Object
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, tables.size)))
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val futures = tables.map { t =>
+        t -> scala.concurrent.Future {
+          try TableSynced(syncTable(spark, sourceDir, stateDir, sinkDir, t,
+            changeCol, orderCol, chunkSize, deterministicChunks, namespace,
+            Some(wms.get(t)), commitLock))
+          catch {
+            case e: Exception => // T6: isolate, but NEVER swallow
+              System.err.println(s"[cdc] table $t failed: ${e.getMessage}")
+              TableFailed(e)
+          }
+        }(ec)
+      }
+      futures.map { case (t, f) =>
+        t -> scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+      }.toMap
+    } finally { pool.shutdown(); () }
+  }
+
+  /** Legacy row-count surface over [[syncCycleOutcomes]] — now loud: any
+    * per-table failure raises [[CdcCycleException]] AFTER every table has
+    * been attempted (successes keep their committed sink + watermark; a
+    * retry is idempotent via content-hash ids). */
   def syncCycle(
       spark: SparkSession,
       sourceDir: String,
@@ -405,22 +495,11 @@ object Cdc {
       deterministicChunks: Boolean = false,
       namespace: String = DefaultNamespace,
       layout: SinkLayout = DefaultLayout): Map[String, Long] = {
-    initVectorSink(spark, sinkDir, layout)
-    val tables = Tables.listTables(sourceDir)
-      .filter(_ != WatermarkTable) // P5 anti-filter
-    // one read of the watermark store for the whole cycle — per-table
-    // getWatermark would run a separate job (read + filter + collect) per
-    // table per cycle, pure fixed overhead at any scale
-    val wms = readWatermarks(spark, stateDir).collect()
-      .map(r => r.getAs[String]("table_name") -> r.getAs[Timestamp]("last_updated")).toMap
-    tables.flatMap { t =>
-      try Some(t -> syncTable(spark, sourceDir, stateDir, sinkDir, t, changeCol, orderCol, chunkSize, deterministicChunks, namespace, Some(wms.get(t))))
-      catch {
-        case e: Exception => // T6: log-and-continue, per-table isolation
-          System.err.println(s"[cdc] table $t failed: ${e.getMessage}")
-          None
-      }
-    }.toMap
+    val outcomes = syncCycleOutcomes(spark, sourceDir, stateDir, sinkDir,
+      changeCol, orderCol, chunkSize, deterministicChunks, namespace, layout)
+    val failures = outcomes.collect { case (t, TableFailed(e)) => t -> e }
+    if (failures.nonEmpty) throw new CdcCycleException(failures)
+    outcomes.collect { case (t, TableSynced(n)) => t -> n }
   }
 
   /** Sync one table: delta → chunk → embed → upsert → commit watermark.
@@ -452,7 +531,8 @@ object Cdc {
       chunkSize: Int,
       deterministicChunks: Boolean = false,
       namespace: String = DefaultNamespace,
-      knownWatermark: Option[Option[Timestamp]] = None): Long = {
+      knownWatermark: Option[Option[Timestamp]] = None,
+      commitLock: AnyRef = new Object): Long = {
     val src = Tables.table(spark, sourceDir, tableName)
     if (!src.columns.contains(changeCol)) return 0L // not a CDC table
     // chunk order: the table's primary key when known (SURVEY §7: defined
@@ -469,7 +549,7 @@ object Cdc {
       val agg = delta.agg(count(lit(1)).as("n"), max(col(changeCol)).as("mx")).collect()(0)
       val n = agg.getLong(0)
       if (n == 0L) return 0L
-      val newWm = agg.getTimestamp(1)
+      val newWm = asTimestamp(agg.get(1))
       val chunks =
         if (deterministicChunks)
           Chunker.chunkRowsAsJson(delta, col(effOrderCol), tableName, chunkSize)
@@ -481,10 +561,18 @@ object Cdc {
         col("id"),
         Embeddings.embedCol(col("text")).as("embedding"),
         col("source"),
-        col("text"))
-      upsertVectors(spark, sinkDir, vectors, namespace)
-      // S7 commit AFTER the sink write — reference order, T3.
-      updateWatermark(spark, stateDir, tableName, newWm)
+        col("text")).cache()
+      try {
+        // materialize chunk+embed OUTSIDE the commit lock, so concurrent
+        // tables overlap their compute and only serialize the (small)
+        // sink swap + watermark commit
+        vectors.count()
+        commitLock.synchronized {
+          upsertVectors(spark, sinkDir, vectors, namespace)
+          // S7 commit AFTER the sink write — reference order, T3.
+          updateWatermark(spark, stateDir, tableName, newWm)
+        }
+      } finally vectors.unpersist()
       n
     } finally delta.unpersist()
   }

@@ -54,9 +54,29 @@ object Tables {
     }
     val reader = if (multiFile) spark.read.option("mergeSchema", "true") else spark.read
     val df = reader.parquet(path)
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    val shimmed =
+      if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else df
+    normalizeTimestamps(shimmed)
+  }
+
+  /** Timestamp-type robustness: a parquet writer is one flag away from
+    * emitting `TIMESTAMP(isAdjustedToUTC=false)`, which Spark 4 infers as
+    * TIMESTAMP_NTZ — a distinct type that `unix_micros`, timestamp
+    * comparisons against `java.sql.Timestamp` literals, and
+    * `Row.getTimestamp` all reject. The reference is schema-generic
+    * (`SELECT *`, whatever MySQL returns — `service_layer/service.py:53-57`),
+    * so the engine must take either flavor in stride. The session timezone
+    * is pinned UTC in every entry point, making the NTZ→TIMESTAMP cast a
+    * deterministic reinterpretation (identical micros value), not a shift.
+    * Cast-at-source keeps every downstream plan monomorphic — one choke
+    * point instead of per-operator branching. */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+    ntz.foldLeft(df)((d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(TimestampType)))
   }
 
   /** S2: enumerate tables available in a fixture directory (the engine's

@@ -68,7 +68,7 @@ object CdcStream {
               // ids turn that re-run into an idempotent overwrite
               // (crash-injection-tested in StreamingSpec)
               onAfterUpsert()
-              Cdc.updateWatermark(spark2, stateDir, tableName, agg.getTimestamp(1))
+              Cdc.updateWatermark(spark2, stateDir, tableName, Cdc.asTimestamp(agg.get(1)))
             }
           } finally { delta.unpersist(); () }
         }

@@ -350,4 +350,51 @@ class CdcSpec extends AnyFunSuite {
     assert(r3("events") == 0)
     assert(Cdc.getWatermark(spark, state, "events").get == wm2)
   }
+
+  test("a failed table is isolated AND loud: outcomes name it, syncCycle throws (T6)") {
+    val scratch = Files.createTempDirectory("graft_cdc_fail").toString
+    val src = s"$scratch/src"
+    new java.io.File(src).mkdirs()
+    Seq((1L, ts("2024-01-01 00:00:00"), "a"), (2L, ts("2024-01-02 00:00:00"), "b"))
+      .toDF("event_id", "ts", "payload").write.parquet(s"$src/events.parquet")
+    // a table whose read fails: garbage bytes behind a .parquet name
+    Files.write(java.nio.file.Paths.get(s"$src/broken.parquet"),
+      "this is not a parquet file".getBytes)
+
+    // outcome surface: failure isolated per table, healthy table commits
+    val outcomes = Cdc.syncCycleOutcomes(spark, src, s"$scratch/state", s"$scratch/sink")
+    assert(outcomes("events") == Cdc.TableSynced(2L))
+    assert(outcomes("broken").isFailure)
+    assert(Cdc.readVectorSink(spark, s"$scratch/sink").count() > 0)
+    assert(Cdc.getWatermark(spark, s"$scratch/state", "events").isDefined)
+
+    // legacy surface: a partial failure must raise, not masquerade as
+    // "no new data" (VERDICT r8: empty sink read as fast success)
+    val e = intercept[Cdc.CdcCycleException] {
+      Cdc.syncCycle(spark, src, s"$scratch/state2", s"$scratch/sink2")
+    }
+    assert(e.failures.keySet == Set("broken"))
+    assert(e.getMessage.contains("broken"))
+  }
+
+  test("concurrent cycle matches the serial result (commit-lock correctness)") {
+    val scratch = Files.createTempDirectory("graft_cdc_par").toString
+    val src = s"$scratch/src"
+    new java.io.File(src).mkdirs()
+    // several independent CDC tables, all with deltas, synced in one cycle
+    (0 until 4).foreach { k =>
+      (1 to 120).map(i => (i.toLong + k * 1000, ts(f"2024-01-01 0$k:${i % 60}%02d:00"), s"t$k-u$i"))
+        .toDF("event_id", "ts", "payload").write.parquet(s"$src/tab$k.parquet")
+    }
+    val r = Cdc.syncCycle(spark, src, s"$scratch/state", s"$scratch/sink")
+    assert(r == (0 until 4).map(k => s"tab$k" -> 120L).toMap)
+    val sink = Cdc.readVectorSink(spark, s"$scratch/sink")
+    // every table's chunks present, ids unique (no lost update under the
+    // concurrent upserts), watermark per table committed
+    assert(sink.select("id").distinct().count() == sink.count())
+    (0 until 4).foreach { k =>
+      assert(sink.where(col("source") === s"tab$k").count() >= 2)
+      assert(Cdc.getWatermark(spark, s"$scratch/state", s"tab$k").isDefined)
+    }
+  }
 }
