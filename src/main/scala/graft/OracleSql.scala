@@ -617,14 +617,53 @@ object OracleSql {
         FROM q),
       g AS (SELECT source, verdict, count(1)::bigint AS n_docs FROM v GROUP BY source, verdict)
       SELECT source, verdict, n_docs,
-        n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY source) AS share_ppm
+        -- DuckDB's sum(BIGINT) is HUGEINT, which pandas renders as float64;
+        -- an un-cast share_ppm therefore hashes as 76233.0 against Spark's
+        -- int64 76233 — rows/schema match, hash doesn't. Cast kills it.
+        (n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY source))::bigint AS share_ppm
       FROM g ORDER BY source, verdict""",
 
-    // q78's per-doc trace: identical scoring CTEs with doc_id carried
-    // through — a driver mismatch names the diverging column and doc
+    // q78's per-doc trace over the FULL corpus: identical scoring CTEs with
+    // doc_id and every raw signal carried through — a driver mismatch names
+    // the diverging column and doc. All integer outputs cast ::bigint so no
+    // HUGEINT/float artifact can leak into the hash.
     "q83_funnel_trace" -> s"""
-      WITH d AS (SELECT doc_id, text, $TOKS AS toks FROM documents WHERE doc_id < 200),
-      sc AS (SELECT doc_id, text, toks,
+      WITH d AS (SELECT doc_id, source, text, $TOKS AS toks FROM documents),
+      sc AS (SELECT doc_id, source, text, toks,
+        length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is'))::bigint AS s_en,
+        length(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='los'))::bigint AS s_es,
+        length(list_filter(toks, t -> t='der' OR t='die' OR t='das' OR t='und' OR t='ist'))::bigint AS s_de,
+        length(list_filter(toks, t -> t='le' OR t='la' OR t='les' OR t='et' OR t='est'))::bigint AS s_fr,
+        length(list_filter(toks, t -> t='de5' OR t='shi4' OR t='le5' OR t='zai4' OR t='he2'))::bigint AS s_zh,
+        length(text)::bigint AS n_chars,
+        length(toks)::bigint AS n_toks,
+        length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))::bigint AS punct_hits,
+        length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::bigint AS stop_hits
+        FROM d),
+      q AS (SELECT doc_id, source, n_chars, n_toks, punct_hits, stop_hits,
+        s_en, s_es, s_de, s_fr, s_zh,
+        CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+             ELSE 'zh' END AS pred_lang,
+        ((4 * least(n_chars * 2000, 1000000)
+         + 3 * least(CASE WHEN n_toks = 0 THEN 0 ELSE (5000000 * stop_hits) // greatest(n_toks, 1) END, 1000000)
+         + 3 * greatest(1000000 - (CASE WHEN n_chars = 0 THEN 0 ELSE (4000000 * punct_hits) // greatest(n_chars, 1) END), 0)) // 10)::bigint AS quality_micro
+        FROM sc)
+      SELECT doc_id, source, n_chars, n_toks, punct_hits, stop_hits,
+        s_en, s_es, s_de, s_fr, s_zh, pred_lang, quality_micro,
+        CASE WHEN n_chars < 100 THEN 'too_short'
+             WHEN pred_lang != 'en' THEN 'non_english'
+             WHEN quality_micro < 500000 THEN 'low_quality'
+             ELSE 'kept' END AS verdict
+      FROM q ORDER BY doc_id""",
+
+    // q78 minus the share window (bisect surface): grouped counts only
+    "q84_funnel_counts" -> s"""
+      WITH d AS (SELECT doc_id, source, text, $TOKS AS toks FROM documents),
+      sc AS (SELECT doc_id, source, text, toks,
         length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is')) AS s_en,
         length(list_filter(toks, t -> t='el' OR t='la' OR t='de' OR t='que' OR t='los')) AS s_es,
         length(list_filter(toks, t -> t='der' OR t='die' OR t='das' OR t='und' OR t='ist')) AS s_de,
@@ -635,23 +674,24 @@ object OracleSql {
         length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))::bigint AS punct_hits,
         length(list_filter(toks, t -> t='the' OR t='a' OR t='of' OR t='and' OR t='is' OR t='to' OR t='in' OR t='it' OR t='that' OR t='on'))::bigint AS stop_hits
         FROM d),
-      q AS (SELECT doc_id, n_chars,
-        CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
-             WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
-             WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
-             WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
-             WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
-             ELSE 'zh' END AS pred_lang,
+      q AS (SELECT source, n_chars, s_en, s_es, s_de, s_fr, s_zh,
         (4 * least(n_chars * 2000, 1000000)
          + 3 * least(CASE WHEN n_toks = 0 THEN 0 ELSE (5000000 * stop_hits) // greatest(n_toks, 1) END, 1000000)
          + 3 * greatest(1000000 - (CASE WHEN n_chars = 0 THEN 0 ELSE (4000000 * punct_hits) // greatest(n_chars, 1) END), 0)) // 10 AS quality_micro
-        FROM sc)
-      SELECT doc_id, n_chars, pred_lang, quality_micro,
+        FROM sc),
+      v AS (SELECT source,
         CASE WHEN n_chars < 100 THEN 'too_short'
-             WHEN pred_lang != 'en' THEN 'non_english'
+             WHEN (CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+                   WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+                   WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+                   WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+                   WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+                   ELSE 'zh' END) != 'en' THEN 'non_english'
              WHEN quality_micro < 500000 THEN 'low_quality'
              ELSE 'kept' END AS verdict
-      FROM q ORDER BY doc_id""",
+        FROM q)
+      SELECT source, verdict, count(1)::bigint AS n_docs
+      FROM v GROUP BY source, verdict ORDER BY source, verdict""",
 
     // mirrors q76: the engine's range-partition + offset global index
     // equals a plain global row_number over the same (hash, id) order

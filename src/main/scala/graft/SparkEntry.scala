@@ -1142,18 +1142,27 @@ object SparkEntry {
     * [[TextOps.qualityMicroOf]] — exact bigint arithmetic, so the verdict
     * can never flip with an engine's double rounding or regex `\s`
     * semantics (the round-6 env-sensitive hash mismatch class). */
-  /** Shared scoring stage of the curation funnel: per-doc (doc_id, source,
-    * n_chars, pred_lang, quality_micro, verdict). q78 aggregates it; q83
-    * traces it row-by-row — the SAME plan prefix by construction, so a q78
-    * mismatch with q83 green localizes the bug to the aggregation/window. */
+  /** Shared scoring stage of the curation funnel: per-doc raw signals
+    * (n_chars, n_toks, punct_hits, stop_hits, per-language marker scores)
+    * plus the derived pred_lang / quality_micro / verdict. q78 aggregates
+    * it; q83 traces it row-by-row — the SAME plan prefix by construction,
+    * so a q78 mismatch with q83 green localizes the bug to the
+    * aggregation/window. */
   private def funnelScored(s: SparkSession, dir: String): DataFrame = {
     val scored = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"),
         graft.plans.ArrayExprs.sticky(TextOps.tokens(col("text"))).as("_toks"))
-      .select(col("doc_id"), col("source"),
+      .select(Seq(
+        col("doc_id"), col("source"),
         length(col("text")).cast("long").as("n_chars"),
+        size(col("_toks")).cast("long").as("n_toks"),
+        TextOps.punctHits(col("text")).cast("long").as("punct_hits"),
+        TextOps.markerCount(col("_toks"), TextOps.stopwords).cast("long").as("stop_hits"),
         TextOps.langIdOf(col("_toks")).as("pred_lang"),
-        TextOps.qualityMicroOf(col("text"), col("_toks")).as("quality_micro"))
+        TextOps.qualityMicroOf(col("text"), col("_toks")).as("quality_micro")) ++
+        TextOps.langMarkers.map { case (l, ms) =>
+          TextOps.markerCount(col("_toks"), ms).cast("long").as(s"s_$l")
+        }: _*)
     val verdict = when(col("n_chars") < 100, lit("too_short"))
       .when(col("pred_lang") =!= "en", lit("non_english"))
       .when(col("quality_micro") < lit(500000L), lit("low_quality"))
@@ -1169,15 +1178,27 @@ object SparkEntry {
         expr("n_docs * 1000000 DIV sum(n_docs) OVER (PARTITION BY source)"))
       .orderBy(col("source"), col("verdict"))
 
-  /** Funnel trace (q78's per-doc debugging surface): every intermediate
-    * the verdict depends on, for a bounded id range — a driver mismatch
-    * names the diverging column and doc in the correctness row itself. */
+  /** Funnel trace (q78's per-doc debugging surface): EVERY raw signal and
+    * intermediate the verdict depends on, over the FULL corpus — a driver
+    * mismatch names the diverging column and doc in the correctness row
+    * itself. With this green, any residual q78 divergence is pinned to
+    * the grouped agg / share window alone. */
   private def q83(s: SparkSession, dir: String): DataFrame =
     funnelScored(s, dir)
-      .where(col("doc_id") < 200)
-      .select(col("doc_id"), col("n_chars"), col("pred_lang"),
-        col("quality_micro"), col("verdict"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n_toks"),
+        col("punct_hits"), col("stop_hits"),
+        col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("s_zh"),
+        col("pred_lang"), col("quality_micro"), col("verdict"))
       .orderBy(col("doc_id"))
+
+  /** q78 minus the share window: the grouped (source, verdict) counts
+    * alone. Bisect surface — with q83 green per-doc and q84 green, any
+    * residual q78 red is pinned to the share_ppm window division. */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    funnelScored(s, dir)
+      .groupBy(col("source"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("verdict"))
 
   /** Deterministic epoch shuffle — training-order randomization without
     * rand(): order = portable hash of (epoch salt, doc id). Reproducible
@@ -1628,6 +1649,7 @@ object SparkEntry {
     "q77_incremental_vector_neardup" -> (q77 _),
     "q78_filter_funnel" -> (q78 _),
     "q83_funnel_trace" -> (q83 _),
+    "q84_funnel_counts" -> (q84 _),
     "q79_sketch_exact" -> (q79 _),
     "q80_source_overlap" -> (q80 _),
     "q81_ngram_mining" -> (q81 _),
