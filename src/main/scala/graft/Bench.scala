@@ -87,14 +87,19 @@ object Bench {
     val currentTotal = results.map(_._2).filter(_ >= 0).sum
     // The HEADLINE ("value"/"queries") is THIS run's raw measurement — the
     // stdout contract reports what the current code actually did. Per-query
-    // minima across the round's same-sf history (bench_history.jsonl,
-    // rotated per round) are published only as clearly-labeled auxiliary
-    // fields ("round_min_total"/"round_min_queries"): a historical lower
-    // bound for judging machine-load contamination, never a measurement of
-    // HEAD. If raw total drifts >15% above the round minimum, a stderr WARN
-    // flags that either the machine was loaded or a late commit regressed.
-    diffAgainstHistory(results.toMap, currentTotal, sfDir)
-    val histMins = historyMins(sfDir)
+    // minima over SAME-CODE history lines (bench_history.jsonl entries whose
+    // code fingerprint matches HEAD+worktree — so faster old code's minima
+    // can never leak in) are published only as one clearly-labeled auxiliary
+    // scalar ("round_min_total"): a historical lower bound for judging
+    // machine-load contamination, never a measurement of HEAD. The
+    // "calibration" object makes contamination machine-detectable: a fixed
+    // code-independent probe timed against its all-time floor (persisted
+    // separately, never rotated — the probe never changes, so its floor is
+    // comparable across rounds); ratio >1.3 sets "loaded":true, telling the
+    // gate to fall back to round_min_total instead of the raw value.
+    val fp = codeFingerprint()
+    diffAgainstHistory(results.toMap, currentTotal, sfDir, fp)
+    val histMins = historyMins(sfDir, fp)
     val roundMin = results.map { case (k, v) =>
       val cands = Seq(v, histMins.getOrElse(k, v)).filter(_ >= 0)
       k -> (if (cands.nonEmpty) cands.min else -1.0)
@@ -102,23 +107,87 @@ object Bench {
     val roundMinTotal = roundMin.map(_._2).filter(_ >= 0).sum
     if (roundMinTotal > 0 && currentTotal > roundMinTotal * 1.15)
       System.err.println(f"[bench] WARN raw total $currentTotal%.2fs is ${currentTotal / roundMinTotal}%.2fx the round-min total $roundMinTotal%.2fs — loaded machine or a late-round regression; trust neither until re-run clean")
+    val (calSec, calFloor) = calibrate(spark)
+    val calRatio = if (calFloor > 0) calSec / calFloor else 1.0
+    val loaded = calRatio > 1.3
+    if (loaded)
+      System.err.println(f"[bench] WARN calibration probe $calSec%.3fs is $calRatio%.2fx its floor $calFloor%.3fs — machine is loaded; prefer round_min_total")
     def toJson(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$currentTotal,"unit":"sec","queries":${toJson(results)},"failed":$failedJson,"round_min_total":$roundMinTotal,"round_min_queries":${toJson(roundMin)},"sf":"$sfDir"}"""
+    val calJson = f"""{"sec":$calSec%.4f,"floor":$calFloor%.4f,"ratio":$calRatio%.3f}"""
+    val line = s"""{"metric":"total","value":$currentTotal,"unit":"sec","queries":${toJson(results)},"failed":$failedJson,"round_min_total":$roundMinTotal,"calibration":$calJson,"loaded":$loaded,"sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }
 
-  /** Per-query minima across every recorded same-sf run in this round's
-    * bench_history.jsonl (the file is rotated at round boundaries so stale
-    * code's numbers can't leak in). */
-  private def historyMins(sfDir: String): Map[String, Double] = {
+  /** Fixed machine-speed probe: a pure-CPU whole-stage-codegen aggregate
+    * over a literal range — ZERO dependence on repo code or fixture data,
+    * so its cost only moves with machine conditions. min of 3 (even the
+    * min inflates when the box is genuinely loaded, which is the signal).
+    * The all-time floor persists in bench_calibration_floor.txt; it is
+    * NEVER rotated because the probe never changes. */
+  private def calibrate(spark: SparkSession): (Double, Double) = {
+    val sec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // per-term modulus keeps the ANSI sum < 4e17 (no long overflow)
+      spark.range(0L, 400000000L, 1, 32)
+        .selectExpr("sum((id * 2654435761) % 1000000007)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val floorFile = new java.io.File("bench_calibration_floor.txt")
+    val prior = try {
+      if (floorFile.exists()) scala.io.Source.fromFile(floorFile).mkString.trim.toDouble
+      else Double.MaxValue
+    } catch { case _: Exception => Double.MaxValue }
+    val floor = math.min(prior, sec)
+    try {
+      val w = new java.io.FileWriter(floorFile)
+      try w.write(f"$floor%.4f") finally w.close()
+    } catch { case e: Exception => System.err.println(s"[bench] floor write skipped: ${e.getMessage}") }
+    (sec, floor)
+  }
+
+  /** Fingerprint of the code under measurement: git HEAD plus a hash of the
+    * uncommitted tracked diff. History minima are only trusted when the
+    * fingerprint matches — the honest version of "rotate per round" (two
+    * runs with ANY source difference never share minima, while clean
+    * re-runs of identical code do, across however many rounds). */
+  private def codeFingerprint(): String = {
+    // raw bytes end-to-end: source diffs can contain non-ASCII that the
+    // JVM default charset refuses to decode, and we only hash them anyway
+    def run(cmd: Seq[String]): Option[Array[Byte]] =
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+        val out = p.getInputStream.readAllBytes()
+        p.waitFor()
+        if (p.exitValue() == 0) Some(out) else None
+      } catch { case _: Exception => None }
+    val head = run(Seq("git", "rev-parse", "HEAD"))
+      .map(b => new String(b, "US-ASCII").trim)
+    val diff = run(Seq("git", "diff", "HEAD", "--", "src", "build.sbt"))
+    (head, diff) match {
+      case (None, _) => "unknown"
+      case (Some(h), Some(d)) if d.isEmpty => h.take(12)
+      case (Some(h), Some(d)) =>
+        h.take(12) + "+" + java.util.UUID.nameUUIDFromBytes(d).toString.take(8)
+      case (Some(h), None) => h.take(12) + "+dirty"
+    }
+  }
+
+  /** Per-query minima across recorded runs of the SAME code (fingerprint
+    * match) at the same sf in bench_history.jsonl. Pre-fingerprint legacy
+    * lines (no "code" key) are excluded — stale code's numbers can't leak
+    * into the minima by construction. */
+  private def historyMins(sfDir: String, fingerprint: String): Map[String, Double] = {
     val hist = new java.io.File("bench_history.jsonl")
     if (!hist.exists()) return Map.empty
     try {
       val src = scala.io.Source.fromFile(hist)
-      val lines = try src.getLines().filter(_.contains("\"sf\":\"" + sfDir + "\"")).toVector finally src.close()
+      val lines = try src.getLines()
+        .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+        .filter(_.contains("\"code\":\"" + fingerprint + "\""))
+        .toVector finally src.close()
       val qre = """"(q\d+\w*)":([0-9.Ee+-]+)""".r
       lines.flatMap(l => qre.findAllMatchIn(l).map(m => m.group(1) -> m.group(2).toDouble))
         .filter(_._2 >= 0) // historical -1 failure sentinels are not minima
@@ -133,7 +202,7 @@ object Bench {
     * contract is untouched) for queries that regressed >1.5× vs the most
     * recent same-sf run — regressions in the pair-join hot path surface
     * immediately instead of at judging time. */
-  private def diffAgainstHistory(current: Map[String, Double], total: Double, sfDir: String): Unit = {
+  private def diffAgainstHistory(current: Map[String, Double], total: Double, sfDir: String, fingerprint: String): Unit = {
     val hist = new java.io.File("bench_history.jsonl")
     try {
       val prior = if (hist.exists()) {
@@ -150,10 +219,19 @@ object Bench {
           }
         }
       }
+      // bounded growth: keep the newest 100 lines once the file passes 200
+      if (hist.exists()) {
+        val src = scala.io.Source.fromFile(hist)
+        val all = try src.getLines().toVector finally src.close()
+        if (all.size > 200) {
+          val w = new java.io.FileWriter(hist)
+          try w.write(all.takeRight(100).mkString("", "\n", "\n")) finally w.close()
+        }
+      }
       val qs = current.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val out = new java.io.FileWriter(hist, true)
-      try out.write(s"""{"total":$total,"sf":"$sfDir","queries":$qs}""" + "\n") finally out.close()
+      try out.write(s"""{"total":$total,"sf":"$sfDir","code":"$fingerprint","queries":$qs}""" + "\n") finally out.close()
     } catch { case e: Exception => System.err.println(s"[bench] history skipped: ${e.getMessage}") }
   }
 }
