@@ -1131,5 +1131,27 @@ object OracleSql {
         FROM m)
       SELECT lang, count(1) AS n_docs, sum(ws)::bigint AS ws_tokens, sum(bpe)::bigint AS bpe_tokens,
         cast(sum(cast(quality AS decimal(18,6))) AS double) / count(1)::double AS mean_quality
-      FROM q GROUP BY lang ORDER BY lang""")
+      FROM q GROUP BY lang ORDER BY lang""",
+
+    // the CDC cycle's sink after two cycles (cycle 2 is a no-op delta, so
+    // any idempotency violation breaks this hash): deterministic chunks of
+    // whole-row JSON over the only ts-bearing fixture table, content-hash
+    // ids. The JSON build mirrors JsonRows.toJsonCol byte-for-byte
+    // (column order, ISO-µs timestamps, shortest-round-trip doubles,
+    // string escaping) — verified exact over the full events table.
+    "q93_cdc_cycle" -> """
+      WITH docs AS (
+        SELECT '{"event_id":' || event_id::varchar
+          || ',"ts":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '"'
+          || ',"user_id":' || user_id::varchar
+          || ',"event_type":"' || event_type || '"'
+          || ',"value":' || value::varchar
+          || ',"props":"' || replace(replace(props, '\', '\\'), '"', '\"') || '"}' AS doc,
+          row_number() OVER (ORDER BY event_id) AS rn
+        FROM events),
+      chunks AS (
+        SELECT string_agg(doc, ' ' ORDER BY rn) AS text
+        FROM docs GROUP BY floor((rn - 1) / 100))
+      SELECT 'events#' || sha256(text) AS id, 'events' AS source, text
+      FROM chunks ORDER BY id""")
 }

@@ -834,7 +834,14 @@ object SparkEntry {
 
   /** The full CDC sync cycle (§3.2) against a scratch state/sink dir:
     * delta → chunk → embed → idempotent upsert → watermark commit. Runs
-    * two cycles to exercise the incremental path, returns the sink. */
+    * two cycles to exercise the incremental path, returns the sink.
+    * `deterministicChunks = true` gives cycle 1 a DEFINED chunk order
+    * (global numbering on the primary key), so the sink content —
+    * whole-row JSON chunks under content-hash ids — is fully
+    * oracle-expressible in SQL (the reference's main query,
+    * `service_layer/service.py:48-80`, hash-checked end-to-end; cycle 2
+    * remains the idempotency check: a no-op delta must leave the
+    * hash unchanged). */
   private def q93(s: SparkSession, dir: String): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_cdc").toString
     // layout tuned to the delta volume (~1k chunks/cycle at sf0.1): 8
@@ -842,8 +849,10 @@ object SparkEntry {
     // and read pruning without fragmenting into one-row parquet files (the
     // default 64-bucket layout is sized for a far larger sink)
     val layout = Cdc.SinkLayout(buckets = 8, simBits = Cdc.SimBits)
-    Cdc.syncCycle(s, dir, s"$scratch/state", s"$scratch/sink", layout = layout)
-    Cdc.syncCycle(s, dir, s"$scratch/state", s"$scratch/sink") // no-op delta
+    Cdc.syncCycle(s, dir, s"$scratch/state", s"$scratch/sink",
+      deterministicChunks = true, layout = layout)
+    Cdc.syncCycle(s, dir, s"$scratch/state", s"$scratch/sink",
+      deterministicChunks = true) // no-op delta
     Cdc.readVectorSink(s, s"$scratch/sink").select(col("id"), col("source"), col("text"))
       .orderBy(col("id"))
   }
