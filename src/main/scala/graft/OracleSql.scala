@@ -50,6 +50,48 @@ object OracleSql {
 
   private val DEC1 = "cast(1 AS decimal(18,2))"
 
+  // --- bit-exact mirror of scala.util.hashing.MurmurHash3.stringHash -------
+  // (the token hashing inside Embeddings.embedRaw/embed). All arithmetic is
+  // unsigned 32-bit emulated on BIGINT with & masks; the two fmix multiplies
+  // can exceed INT64 so they route through HUGEINT. Validated token-by-token
+  // against the JVM over the full fixture vocabulary.
+  private def and32(e: String) = s"($e & 4294967295)"
+  private def mul32(a: String, b: Long) = s"((($a)::HUGEINT * $b) % 4294967296)::BIGINT"
+  private def rotl32(e: String, r: Int) = and32(s"(($e << $r) | ($e >> ${32 - r}))")
+  /** The k-transform both mix and mixLast apply to a 2-char block. */
+  private def mmK(d: String) = and32(s"(${rotl32(and32(s"($d * 3432918353)"), 15)} * 461845907)")
+  /** One MurmurHash3.mix step: (h, data-block) → h'. */
+  private def mmMix(h: String, d: String) =
+    and32(s"(${rotl32(s"xor($h, ${mmK(d)})", 13)} * 5 + 3864292196)")
+  /** 2-char blocks of token col `t` ((c0 << 16) + c1, stringHash order). */
+  private val MmPairs =
+    "list_transform(range(1, (length(t) // 2) + 1), i -> (ascii(substr(t, 2*i - 1, 1)) << 16) + ascii(substr(t, 2*i, 1)))"
+  private val MmLastK = mmK("ascii(substr(t, length(t), 1))")
+  private val MmSeed1 = 4157243346L // stringSeed 0xf7ca7fd2 as unsigned
+  private val MmSeed2 = 2538058380L // Embeddings.SignSeed 0x9747b28c as unsigned
+
+  /** CTE chain computing, per distinct token `t` of CTE `src`, the embed
+    * accumulator coordinates: `idx` (0-based dimension, floorMod(f1, dim))
+    * and `sign` (±1 from f2's low bit). Emits a CTE named `<p>hash`. */
+  private def mmTokenHashCtes(p: String, src: String, dim: Int): String = s"""
+      ${p}tp AS (SELECT t, length(t) AS n,
+        list_reduce(list_prepend($MmSeed1, $MmPairs), (h, d) -> ${mmMix("h", "d")}) AS b1,
+        list_reduce(list_prepend($MmSeed2, $MmPairs), (h, d) -> ${mmMix("h", "d")}) AS b2
+        FROM (SELECT DISTINCT t FROM $src)),
+      ${p}tq AS (SELECT t,
+        xor(CASE WHEN n % 2 = 1 THEN xor(b1, $MmLastK) ELSE b1 END, n) AS x1,
+        xor(CASE WHEN n % 2 = 1 THEN xor(b2, $MmLastK) ELSE b2 END, n) AS y1
+        FROM ${p}tp),
+      ${p}u2 AS (SELECT t, ${mul32("xor(x1, x1 >> 16)", 2246822507L)} AS x2,
+                           ${mul32("xor(y1, y1 >> 16)", 2246822507L)} AS y2 FROM ${p}tq),
+      ${p}u3 AS (SELECT t, ${mul32("xor(x2, x2 >> 13)", 3266489909L)} AS x3,
+                           ${mul32("xor(y2, y2 >> 13)", 3266489909L)} AS y3 FROM ${p}u2),
+      ${p}u4 AS (SELECT t, xor(x3, x3 >> 16) AS f1u, xor(y3, y3 >> 16) AS f2u FROM ${p}u3),
+      ${p}hash AS (SELECT t,
+        (((CASE WHEN f1u >= 2147483648 THEN f1u - 4294967296 ELSE f1u END % $dim) + $dim) % $dim)::bigint AS idx,
+        (CASE WHEN (f2u & 1) = 0 THEN 1 ELSE -1 END)::bigint AS sign
+        FROM ${p}u4)"""
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> s"""
       SELECT l_returnflag, l_linestatus,
@@ -1153,5 +1195,42 @@ object OracleSql {
         SELECT string_agg(doc, ' ' ORDER BY rn) AS text
         FROM docs GROUP BY floor((rn - 1) / 100))
       SELECT 'events#' || sha256(text) AS id, 'events' AS source, text
-      FROM chunks ORDER BY id""")
+      FROM chunks ORDER BY id""",
+
+    // the hashed-feature embedding, content-verified: per-doc integer
+    // accumulator fingerprint (nnz / Σacc² / index-weighted checksum) via
+    // the bit-exact murmur3 mirror; nrm is the float stage's unit-norm
+    // invariant (1.0 whenever the accumulator is nonzero)
+    "q90_embed_documents" -> s"""
+      WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      g AS (SELECT doc_id, unnest(toks) AS t FROM d),${mmTokenHashCtes("e", "g", 384)},
+      acc AS (SELECT doc_id, idx, sum(sign)::bigint AS acc
+              FROM g JOIN ehash USING (t) GROUP BY doc_id, idx HAVING sum(sign) != 0),
+      agg AS (SELECT doc_id, count(1)::bigint AS nnz, sum(acc * acc)::bigint AS l2sq,
+                     sum((idx + 1) * acc)::bigint AS chk
+              FROM acc GROUP BY doc_id)
+      SELECT d.doc_id, 384::bigint AS dim, coalesce(nnz, 0)::bigint AS nnz,
+        coalesce(l2sq, 0)::bigint AS l2sq, coalesce(chk, 0)::bigint AS chk,
+        (CASE WHEN coalesce(l2sq, 0) > 0 THEN 1.0 ELSE 0.0 END)::double AS nrm
+      FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
+
+    // text-query knn on the integer accumulators: dot and norms exact,
+    // the single double division + sqrt bit-identical across engines
+    "q91_text_query_knn" -> s"""
+      WITH d AS (SELECT doc_id, $TOKS AS toks FROM documents),
+      g AS (SELECT doc_id, unnest(toks) AS t FROM d),${mmTokenHashCtes("e", "g", 384)},
+      acc AS (SELECT doc_id, idx, sum(sign)::bigint AS acc
+              FROM g JOIN ehash USING (t) GROUP BY doc_id, idx HAVING sum(sign) != 0),
+      qg AS (SELECT unnest(['table', 'scan', 'merge', 'join', 'spark']) AS t),${mmTokenHashCtes("q", "qg", 384)},
+      qacc AS (SELECT idx, sum(sign)::bigint AS qa
+               FROM qg JOIN qhash USING (t) GROUP BY idx HAVING sum(sign) != 0),
+      ql2 AS (SELECT sum(qa * qa)::bigint AS l2q FROM qacc),
+      l2 AS (SELECT doc_id, sum(acc * acc)::bigint AS l2d FROM acc GROUP BY doc_id),
+      dt AS (SELECT a.doc_id, sum(a.acc * q.qa)::bigint AS dot
+             FROM acc a JOIN qacc q USING (idx) GROUP BY a.doc_id),
+      sc AS (SELECT l2.doc_id, coalesce(dt.dot, 0)::bigint AS dot, l2.l2d
+             FROM l2 LEFT JOIN dt USING (doc_id))
+      SELECT doc_id, dot,
+        ${qz6("dot::double / sqrt((l2d * l2q)::double)")} AS score
+      FROM sc, ql2 ORDER BY score DESC, doc_id LIMIT 10""")
 }

@@ -801,23 +801,55 @@ object SparkEntry {
   // (F7/F8), the full CDC cycle (stateful), multimodal plumbing.
   // ---------------------------------------------------------------------
 
-  /** F7: hashed-feature embedding of documents; emits dim + norm so the
-    * rows-only check still sees the structural invariants. */
-  private def q90(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), Embeddings.embedCol(col("text")).as("emb"))
-      .select(
-        col("doc_id"),
-        size(col("emb")).as("dim"),
-        round(VectorOps.norm(col("emb")), 4).as("nrm"))
-      .orderBy(col("doc_id"))
-
-  /** F8+§3.3: text-query similarity search (embed a literal query, top-10
-    * over embedded documents). */
-  private def q91(s: SparkSession, dir: String): DataFrame = {
+  /** F7: hashed-feature embedding of documents, ORACLE-HASH-CHECKED via the
+    * integer pre-normalization accumulator ([[Embeddings.embedRaw]]): the
+    * murmur3 token hashing is mirrored bit-exactly in DuckDB SQL, and the
+    * emitted fingerprint — nonzero count, integer sum of squares, and an
+    * index-weighted checksum — determines the vector content exactly (the
+    * float stage is this, scaled by 1/√l2sq; its unit-norm invariant is
+    * the `nrm` column, and the scale curve keeps q90 measured). */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), Embeddings.embedCol(col("text")).as("emb"))
-    SimilaritySearch.topKText(docs, "doc_id", "emb", "table scan merge join spark", 10)
+      .select(col("doc_id"), col("text"),
+        Embeddings.embedRawCol(col("text")).as("acc"))
+    val nnz = size(filter(col("acc"), a => a =!= 0)).cast("long")
+    val l2sq = aggregate(transform(col("acc"), a => a.cast("long") * a.cast("long")), lit(0L), _ + _)
+    val chk = aggregate(
+      zip_with(col("acc"), sequence(lit(1L), lit(Embeddings.Dim.toLong)), (a, i) => a.cast("long") * i),
+      lit(0L), _ + _)
+    docs.select(
+      col("doc_id"),
+      lit(Embeddings.Dim.toLong).as("dim"),
+      nnz.as("nnz"),
+      l2sq.as("l2sq"),
+      chk.as("chk"),
+      round(VectorOps.norm(Embeddings.embedCol(col("text"))), 4).as("nrm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F8+§3.3: text-query similarity search, ORACLE-HASH-CHECKED: top-10 by
+    * cosine computed EXACTLY from the integer accumulators (dot and norms
+    * are exact longs; the one double division + sqrt runs in the same IEEE
+    * op order on both engines, so ranking and score are bit-identical).
+    * Mathematically the same cosine as the float production path
+    * (Engine.searchSimilar / SimilaritySearch.topKText, e2e-tested in
+    * ServeSpec), which differs only by float32 normalization rounding. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val qAcc = Embeddings.embedRaw("table scan merge join spark")
+    val qL2 = qAcc.map(a => a.toLong * a).sum
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), Embeddings.embedRawCol(col("text")).as("acc"))
+    val dot = aggregate(
+      zip_with(col("acc"), lit(qAcc), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), _ + _)
+    val l2d = aggregate(transform(col("acc"), a => a.cast("long") * a.cast("long")), lit(0L), _ + _)
+    docs.select(col("doc_id"), dot.as("dot"), l2d.as("_l2d"))
+      .where(col("_l2d") > 0)
+      .withColumn("score",
+        TextOps.quantize6(col("dot").cast("double") / sqrt((col("_l2d") * lit(qL2)).cast("double"))))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("dot"), col("score"))
   }
 
   /** Multimodal decode/featurize/resize: image rows decode REAL PNGs and

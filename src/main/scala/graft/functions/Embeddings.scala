@@ -50,10 +50,29 @@ object Embeddings {
     * bit-identical; for Unicode the scanner is the more reproducible
     * definition, which is what a persisted vector sink needs. */
   def embed(text: String, dim: Int = Dim): Array[Float] = {
+    val acc = embedRaw(text, dim)
     val out = new Array[Float](dim)
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += acc(j).toDouble * acc(j); j += 1 }
+    if (ss > 0) {
+      val inv = (1.0 / math.sqrt(ss)).toFloat
+      j = 0
+      while (j < dim) { out(j) = acc(j) * inv; j += 1 }
+    }
+    out
+  }
+
+  /** The pre-normalization INTEGER accumulator of [[embed]]: index i holds
+    * the signed occurrence count of tokens hashing to i. [[embed]] is
+    * exactly this, L2-normalized — exposing the integer stage makes the
+    * embedding ORACLE-CHECKABLE (the murmur3 token hashing is mirrored
+    * bit-exactly in DuckDB SQL; integer outputs can never diverge on
+    * float rounding), so q90/q91 hash-verify the vector content. */
+  def embedRaw(text: String, dim: Int = Dim): Array[Int] = {
+    val out = new Array[Int](dim)
     if (text != null) {
       val n = text.length
-      var i = 0
       // per-token incremental murmur3 state for both seeds
       var h1 = TokenSeed; var h2 = SignSeed
       var pending = -1 // buffered char awaiting its pair (chars mix in 2s)
@@ -79,18 +98,10 @@ object Embeddings {
           if (pending >= 0) { f1 = MurmurHash3.mixLast(f1, pending); f2 = MurmurHash3.mixLast(f2, pending) }
           f1 = MurmurHash3.finalizeHash(f1, tokLen)
           f2 = MurmurHash3.finalizeHash(f2, tokLen)
-          out(math.floorMod(f1, dim)) += (if ((f2 & 1) == 0) 1f else -1f)
+          out(math.floorMod(f1, dim)) += (if ((f2 & 1) == 0) 1 else -1)
           h1 = TokenSeed; h2 = SignSeed; pending = -1; tokLen = 0
         }
         k += 1
-      }
-      var ss = 0.0
-      var j = 0
-      while (j < dim) { ss += out(j).toDouble * out(j); j += 1 }
-      if (ss > 0) {
-        val inv = (1.0 / math.sqrt(ss)).toFloat
-        j = 0
-        while (j < dim) { out(j) *= inv; j += 1 }
       }
     }
     out
@@ -100,6 +111,11 @@ object Embeddings {
   val embedUdf: UserDefinedFunction = udf((s: String) => embed(s))
 
   def embedCol(text: Column): Column = embedUdf(text)
+
+  /** [[embedRaw]] as a UDF — the oracle-checkable integer surface. */
+  val embedRawUdf: UserDefinedFunction = udf((s: String) => embedRaw(s))
+
+  def embedRawCol(text: Column): Column = embedRawUdf(text)
 
   /** F8: embed a literal query string into a literal vector column. */
   def embedQueryCol(query: String): Column =
