@@ -38,15 +38,38 @@ class Engine(
   def runSyncCycle(): Map[String, Long] =
     Cdc.syncCycle(spark, sourceDir, stateDir, sinkDir, changeCol, chunkSize = chunkSize, layout = layout)
 
+  /** Consecutive failed cycles since the last success — the health signal
+    * an operator (or [[runPolling]]'s own circuit breaker) watches, so a
+    * failing loop is never indistinguishable from "no new data". */
+  @volatile private var consecutiveFailuresVar = 0
+  def consecutiveFailures: Int = consecutiveFailuresVar
+  def healthy: Boolean = consecutiveFailuresVar == 0
+
   /** The polling scheduler (T1): fixed-delay like the reference —
     * sleep AFTER each cycle's work, so drift accumulates identically
     * (`controller/controller.py:35`). `maxCycles` bounds the loop
-    * (the reference runs forever; tests and batch backfills shouldn't). */
-  def runPolling(intervalSeconds: Long = 300, maxCycles: Int = Int.MaxValue): Unit = {
+    * (the reference runs forever; tests and batch backfills shouldn't).
+    *
+    * Failure policy: a failed cycle is logged and retried next tick
+    * (transient source/sink hiccups shouldn't kill a long-running
+    * poller), but `maxConsecutiveFailures` failures IN A ROW rethrow the
+    * last error — a persistently broken pipeline must crash loudly, not
+    * tick forever while the sink quietly stops advancing. [[healthy]] /
+    * [[consecutiveFailures]] expose the state between ticks. */
+  def runPolling(
+      intervalSeconds: Long = 300,
+      maxCycles: Int = Int.MaxValue,
+      maxConsecutiveFailures: Int = 3): Unit = {
     var i = 0
     while (i < maxCycles) {
-      try runSyncCycle()
-      catch { case e: Exception => System.err.println(s"[engine] cycle failed: ${e.getMessage}") }
+      try { runSyncCycle(); consecutiveFailuresVar = 0 }
+      catch {
+        case e: Exception =>
+          consecutiveFailuresVar += 1
+          System.err.println(
+            s"[engine] cycle failed ($consecutiveFailuresVar consecutive): ${e.getMessage}")
+          if (consecutiveFailuresVar >= maxConsecutiveFailures) throw e
+      }
       i += 1
       if (i < maxCycles) Thread.sleep(intervalSeconds * 1000)
     }
