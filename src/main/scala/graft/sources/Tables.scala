@@ -109,6 +109,27 @@ object Tables {
 
   def primaryKey(tableName: String): Option[String] = fixturePrimaryKeys.get(tableName)
 
+  /** MySQL JDBC URL with the connection options a CDC reader needs for
+    * MySQL's dialect quirks (`utils/mysql_connect.py:5-17` analog — the
+    * reference's pymysql applies equivalent conversions client-side):
+    *  - `zeroDateTimeBehavior=CONVERT_TO_NULL`: MySQL zero-dates
+    *    ('0000-00-00 00:00:00') surface as NULL instead of a connector
+    *    exception — matching pymysql's None, and safe for the watermark
+    *    MAX (NULLs are ignored by aggregates; a zero-date can never
+    *    poison the delta predicate).
+    *  - `tinyInt1isBit=false`: TINYINT(1) arrives as Types.TINYINT →
+    *    ByteType (pymysql returns ints), not a JDBC BIT/boolean.
+    *  - `connectionTimeZone=UTC`: server session timezone pinned to the
+    *    engine's UTC normalization (see [[normalizeTimestamps]]).
+    * Unsigned widths are handled at the TYPE level (MySQLDialect +
+    * Spark's generic unsigned mapping — JdbcSpec pins them): TINYINT
+    * UNSIGNED → Short, SMALLINT UNSIGNED → Int, INT UNSIGNED → Long,
+    * BIGINT UNSIGNED → DECIMAL(20,0), so a full-range unsigned value
+    * never wraps negative. */
+  def mysqlUrl(host: String, port: Int, database: String): String =
+    s"jdbc:mysql://$host:$port/$database" +
+      "?zeroDateTimeBehavior=CONVERT_TO_NULL&tinyInt1isBit=false&connectionTimeZone=UTC"
+
   /** S1/S5: JDBC source with parallel partitioned reads and predicate
     * pushdown. `predicates`/bounds make Spark issue one bounded query per
     * partition instead of the reference's single unbounded

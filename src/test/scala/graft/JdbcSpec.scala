@@ -56,4 +56,49 @@ class JdbcSpec extends AnyFunSuite {
     assert(plan.contains("greaterthan(event_id,150)"),
       s"strict-> predicate not pushed to the source:\n$plan")
   }
+
+  // --- MySQL dialect quirks (no live MySQL in this container; the
+  // mappings are resolved through Spark's PUBLIC dialect registry, i.e.
+  // exactly the code path a jdbc:mysql read takes) ------------------------
+
+  test("mysql dialect: TINYINT/unsigned-width catalyst mappings never wrap") {
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val d = JdbcDialects.get(Tables.mysqlUrl("h", 3306, "db"))
+    assert(d.getClass.getName.contains("MySQLDialect"),
+      "a jdbc:mysql URL must resolve to the MySQL dialect")
+    def md(signed: Boolean) =
+      new MetadataBuilder().putBoolean("isSigned", signed).putLong("scale", 0)
+    // TINYINT(1) with tinyInt1isBit=false arrives as Types.TINYINT:
+    // signed → ByteType (pymysql ints), UNSIGNED → ShortType (0..255
+    // can't wrap a signed byte)
+    assert(d.getCatalystType(java.sql.Types.TINYINT, "TINYINT", 1, md(true)).contains(ByteType))
+    assert(d.getCatalystType(java.sql.Types.TINYINT, "TINYINT UNSIGNED", 3, md(false)).contains(ShortType))
+    // SMALLINT UNSIGNED (0..65535) widens to Int
+    assert(d.getCatalystType(java.sql.Types.SMALLINT, "SMALLINT UNSIGNED", 5, md(false)).contains(IntegerType))
+    // BIGINT (signed and unsigned) and INT UNSIGNED: the dialect returns
+    // None, DELEGATING to Spark's generic JDBC mapping, which resolves
+    // unsigned INT → LongType and unsigned BIGINT → DECIMAL(20,0) from
+    // the same isSigned metadata — full-range 2^64-1 never wraps negative
+    assert(d.getCatalystType(java.sql.Types.BIGINT, "BIGINT UNSIGNED", 20, md(false)).isEmpty)
+    assert(d.getCatalystType(java.sql.Types.INTEGER, "INT UNSIGNED", 10, md(false)).isEmpty)
+  }
+
+  test("mysqlUrl pins zero-date, TINYINT(1), and timezone connection options") {
+    val u = Tables.mysqlUrl("db.internal", 3306, "app")
+    assert(u.startsWith("jdbc:mysql://db.internal:3306/app?"))
+    // zero-dates → NULL (pymysql None): NULLs drop out of the watermark
+    // MAX and the strict-> delta predicate instead of erroring the read
+    assert(u.contains("zeroDateTimeBehavior=CONVERT_TO_NULL"))
+    // TINYINT(1) stays numeric (ByteType), not a JDBC BIT/boolean
+    assert(u.contains("tinyInt1isBit=false"))
+    // server session pinned to the engine's UTC timestamp normalization
+    assert(u.contains("connectionTimeZone=UTC"))
+  }
+
+  test("mysql dialect quotes identifiers with backticks (reserved-word tables)") {
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    val d = JdbcDialects.get("jdbc:mysql://h:3306/db")
+    assert(d.quoteIdentifier("order") == "`order`")
+  }
 }
