@@ -854,7 +854,9 @@ object SparkEntry {
 
   /** Multimodal decode/featurize/resize: image rows decode REAL PNGs and
     * audio rows REAL WAVs through the JDK codecs (ImageIO, javax.sound);
-    * video rows exercise the labeled stub fallback. */
+    * video rows parse REAL MP4 container metadata (dims/duration/tracks
+    * via the ISO-BMFF box walk), with a corrupt slice exercising the
+    * labeled stub fallback. */
   private def q92(s: SparkSession, dir: String): DataFrame = {
     // bounded: the cost being exercised is decode/featurize/resize, not
     // the synthetic PNG/WAV ENCODING that fabricates the fixture (500 docs

@@ -17,9 +17,13 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   *    preserving resize run on actual pixels with zero extra deps.
   *  - **audio: REAL** for WAV/PCM (`javax.sound.sampled`): header parse,
   *    16-bit PCM decode, RMS/zero-crossing/amplitude-histogram features.
-  *  - **video: STUB** (no container/video codec exists in the JDK) —
-  *    deterministic pseudo-dims + byte-histogram features with a
-  *    frame-stride stand-in, clearly marked.
+  *  - **video: REAL at the CONTAINER level** (MP4/ISO-BMFF box walk,
+  *    pure byte parsing, zero deps): presentation dims from tkhd,
+  *    duration/timescale from mvhd, track count — the metadata gates a
+  *    100 TB ingest filter actually runs. FRAME-level decode (H.264 et
+  *    al.) needs codecs the JDK doesn't ship and is formally out of
+  *    scope; payload features beyond the container walk are the labeled
+  *    byte-histogram stand-in.
   * Undecodable bytes of any modality fall back to the stub path instead
   * of failing the partition — corrupt media is data, not an exception.
   *
@@ -32,8 +36,9 @@ object Multimodal {
   case class MediaRow(media_id: Long, modality: String, data: Array[Byte], meta: Map[String, String])
 
   /** width/height are pixels for images, (sampleRate, frames) for audio,
-    * stub pseudo-dims for video/undecodable; `decoded` marks whether the
-    * REAL codec path produced the row. */
+    * container presentation dims for video, stub pseudo-dims for
+    * undecodable bytes; `decoded` marks whether the REAL codec/container
+    * path produced the row. */
   case class DecodedRow(
       media_id: Long, modality: String, n_bytes: Int,
       width: Int, height: Int, decoded: Boolean, features: Array[Float])
@@ -177,7 +182,148 @@ object Multimodal {
       } finally ais.close()
     } catch { case _: Exception => None }
 
-  // --- stub fallback (video; undecodable bytes) ---------------------------
+  // --- real video container metadata (MP4/ISO-BMFF box parse, pure JVM) ---
+
+  /** Container-level video metadata: presentation dims (tkhd 16.16 fixed),
+    * movie timescale/duration (mvhd), track count. */
+  case class Mp4Meta(width: Int, height: Int, timescale: Long, durationTicks: Long, tracks: Int) {
+    def durationSeconds: Double = if (timescale > 0) durationTicks.toDouble / timescale else 0.0
+  }
+
+  private def be32(d: Array[Byte], p: Int): Long =
+    ((d(p) & 0xffL) << 24) | ((d(p + 1) & 0xffL) << 16) | ((d(p + 2) & 0xffL) << 8) | (d(p + 3) & 0xffL)
+  private def be64(d: Array[Byte], p: Int): Long =
+    (be32(d, p) << 32) | be32(d, p + 4)
+  private def boxType(d: Array[Byte], p: Int): String =
+    new String(d, p + 4, 4, "US-ASCII")
+
+  /** Walk one ISO-BMFF box level in [lo, hi): returns (type, contentFrom,
+    * contentEnd) tuples. Malformed sizes end the walk. */
+  private def boxes(d: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var pos = lo
+      def hasNext: Boolean = pos + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val size0 = be32(d, pos)
+        val t = boxType(d, pos)
+        val (contentFrom, size) =
+          if (size0 == 1 && pos + 16 <= hi) (pos + 16, be64(d, pos + 8))
+          else if (size0 == 0) (pos + 8, (hi - pos).toLong)
+          else (pos + 8, size0)
+        val end =
+          if (size < 8 || pos + size > hi || pos + size < 0) hi // malformed: stop after this
+          else pos + size.toInt
+        val out = (t, contentFrom, end)
+        pos = if (end <= pos) hi else end
+        out
+      }
+    }
+
+  private val TopLevelBrands =
+    Set("ftyp", "styp", "moov", "mdat", "free", "skip", "wide", "pdin", "sidx", "moof", "mfra", "meta", "uuid")
+
+  /** MP4/ISO-BMFF container metadata parse — REAL (byte-level box walk,
+    * zero deps): mvhd → timescale/duration, first video-sized tkhd →
+    * width/height, trak count. None for anything that isn't a plausible
+    * ISO-BMFF stream (first box must be a known top-level type), so raw
+    * text/corrupt bytes take the stub fallback. FRAME-level decode (H.264
+    * et al.) needs codecs the JDK doesn't ship and stays out of scope —
+    * the container walk is what a 100 TB ingest filter actually runs
+    * (dims/duration gates before any expensive transcode). */
+  def mp4Metadata(data: Array[Byte]): Option[Mp4Meta] =
+    try {
+      if (data.length < 16 || !TopLevelBrands.contains(boxType(data, 0))) None
+      else {
+        var timescale = 0L; var duration = 0L
+        var w = 0; var h = 0; var tracks = 0
+        boxes(data, 0, data.length).foreach {
+          case ("moov", cFrom, cTo) =>
+            boxes(data, cFrom, cTo).foreach {
+              case ("mvhd", mFrom, mTo) if mFrom + 20 <= mTo =>
+                val version = data(mFrom) & 0xff
+                if (version == 1 && mFrom + 28 <= mTo) {
+                  timescale = be32(data, mFrom + 20)
+                  duration = be64(data, mFrom + 24)
+                } else {
+                  timescale = be32(data, mFrom + 12)
+                  duration = be32(data, mFrom + 16)
+                }
+              case ("trak", tFrom, tTo) =>
+                tracks += 1
+                boxes(data, tFrom, tTo).foreach {
+                  case ("tkhd", kFrom, kTo) if kFrom + 84 <= kTo =>
+                    // width/height are the LAST 8 bytes of tkhd (16.16
+                    // fixed) in BOTH tkhd versions (end-anchored, so the
+                    // v0/v1 time-field width difference doesn't matter);
+                    // first video-sized track wins
+                    val wd = (be32(data, kTo - 8) >> 16).toInt
+                    val ht = (be32(data, kTo - 4) >> 16).toInt
+                    if (w == 0 && wd > 0 && ht > 0) { w = wd; h = ht }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        if (timescale > 0) Some(Mp4Meta(w, h, timescale, duration, tracks)) else None
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic minimal-but-VALID MP4 skeleton (ftyp + moov[mvhd +
+    * trak[tkhd]]) — the media generator for video rows, the container
+    * analog of [[encodePng]]/[[encodeWav]]. */
+  def encodeMp4(width: Int, height: Int, durationTicks: Long, timescale: Long = 1000L): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def i32(v: Long): Unit = { bos.write(((v >> 24) & 0xff).toInt); bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt); bos.write((v & 0xff).toInt) }
+    def tag(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
+    // ftyp
+    i32(24); tag("ftyp"); tag("isom"); i32(512); tag("isom"); tag("mp41")
+    // moov = 8 + mvhd(108) + trak(100)
+    i32(8 + 108 + 100); tag("moov")
+    // mvhd v0
+    i32(108); tag("mvhd"); i32(0) // version+flags
+    i32(0); i32(0) // ctime mtime
+    i32(timescale); i32(durationTicks)
+    i32(0x00010000) // rate 1.0
+    bos.write(Array[Byte](0x01, 0x00)) // volume 1.0
+    (0 until 10).foreach(_ => bos.write(0)) // reserved
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(i32) // identity matrix
+    (0 until 6).foreach(_ => i32(0)) // pre_defined
+    i32(2) // next track id
+    // trak > tkhd v0
+    i32(100); tag("trak")
+    i32(92); tag("tkhd"); i32(7) // version 0, flags: enabled|in-movie
+    i32(0); i32(0) // ctime mtime
+    i32(1) // track id
+    i32(0) // reserved
+    i32(durationTicks)
+    i32(0); i32(0) // reserved
+    bos.write(Array[Byte](0, 0, 0, 0, 0, 0, 0, 0)) // layer, alt_group, volume, reserved
+    Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(i32)
+    i32(width.toLong << 16); i32(height.toLong << 16) // 16.16 fixed
+    bos.toByteArray
+  }
+
+  /** Video features from REAL container metadata: [durationSec, tracks,
+    * aspect, bytes/sec] + a 12-bin byte histogram of the stream (stride 4,
+    * the frame-sample stand-in for payload stats). 16-dim like the other
+    * modalities. */
+  def videoFeatures(data: Array[Byte], meta: Mp4Meta): Array[Float] = {
+    val feats = new Array[Float](16)
+    feats(0) = meta.durationSeconds.toFloat
+    feats(1) = meta.tracks.toFloat
+    feats(2) = if (meta.height > 0) meta.width.toFloat / meta.height else 0f
+    feats(3) = if (meta.durationSeconds > 0) (data.length / meta.durationSeconds).toFloat else 0f
+    val hist = new Array[Float](12)
+    var i = 0
+    while (i < data.length) { hist((data(i) & 0xff) % 12) += 1f; i += 4 }
+    val total = hist.sum
+    if (total > 0) { var j = 0; while (j < 12) { hist(j) /= total; j += 1 } }
+    System.arraycopy(hist, 0, feats, 4, 12)
+    feats
+  }
+
+  // --- stub fallback (undecodable bytes of any modality) -------------------
 
   /** STUB codec (video / fallback): deterministic pseudo-dimensions from
     * the byte content so downstream plumbing stays testable. */
@@ -201,8 +347,10 @@ object Multimodal {
   // --- media generation + the operator ------------------------------------
 
   /** Binary "media" table from a text fixture: image rows carry REAL PNG
-    * bytes, audio rows REAL WAV bytes (both deterministic from the id),
-    * video rows the raw UTF-8 text (exercising the stub fallback). */
+    * bytes, audio rows REAL WAV bytes, video rows REAL MP4 container
+    * bytes (all deterministic from the id). Every third video row keeps
+    * the raw UTF-8 text instead — a permanently-corrupt slice exercising
+    * the stub fallback the way real crawl media does. */
   def syntheticMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(
@@ -215,7 +363,11 @@ object Multimodal {
         r.modality match {
           case "image" => r.copy(data = encodePng(32 + (r.media_id % 32).toInt, 24 + (r.media_id % 24).toInt, r.media_id))
           case "audio" => r.copy(data = encodeWav(800 + (r.media_id % 400).toInt, 8000f, 440.0 + (r.media_id % 200)))
-          case _ => r
+          case "video" if r.media_id % 9 != 2 =>
+            r.copy(data = encodeMp4(
+              320 + (r.media_id % 1600).toInt, 240 + (r.media_id % 840).toInt,
+              durationTicks = 1000 + (r.media_id % 120000)))
+          case _ => r // corrupt-video slice: raw text bytes → stub fallback
         }
       }
   }
@@ -243,6 +395,12 @@ object Multimodal {
           case "audio" => audioFeatures(r.data) match {
             case Some((rate, frames, feats)) =>
               DecodedRow(r.media_id, r.modality, r.data.length, rate, frames, decoded = true, feats)
+            case None => fallback
+          }
+          case "video" => mp4Metadata(r.data) match {
+            case Some(meta) =>
+              DecodedRow(r.media_id, r.modality, r.data.length,
+                meta.width, meta.height, decoded = true, videoFeatures(r.data, meta))
             case None => fallback
           }
           case _ => fallback

@@ -4,9 +4,11 @@ import graft.multimodal.Multimodal
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal plumbing: image and audio run REAL JDK codecs (ImageIO,
-  * javax.sound WAV/PCM); video and undecodable bytes take the labeled
-  * stub fallback; the Spark-side contract (schema, typed Dataset,
-  * per-partition batch shape, deterministic outputs) is real throughout. */
+  * javax.sound WAV/PCM); video runs a REAL MP4/ISO-BMFF container-metadata
+  * parse (frame-level decode is formally out of scope — no JDK codec);
+  * undecodable bytes of any modality take the labeled stub fallback; the
+  * Spark-side contract (schema, typed Dataset, per-partition batch shape,
+  * deterministic outputs) is real throughout. */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   import spark.implicits._
@@ -17,14 +19,38 @@ class MultimodalSpec extends AnyFunSuite {
     (2L, "third payload somewhat longer than the rest", "fr", "srcC", 43L))
     .toDF("doc_id", "text", "lang", "source", "n_chars")
 
-  test("syntheticMedia: modality cycles; image/audio carry real codec bytes; video keeps text") {
+  test("syntheticMedia: modality cycles; image/audio carry real codec bytes; doc 2 is the corrupt-video slice") {
     val media = Multimodal.syntheticMedia(spark, docs).collect().sortBy(_.media_id)
     assert(media.map(_.modality).toSeq == Seq("image", "audio", "video"))
     // image bytes are a real PNG (magic header), audio a real WAV (RIFF)
     assert(media(0).data.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
     assert(new String(media(1).data.take(4), "US-ASCII") == "RIFF")
+    // media_id % 9 == 2: the permanently-corrupt slice keeps raw text
     assert(new String(media(2).data, "UTF-8") == "third payload somewhat longer than the rest")
     assert(media(1).meta == Map("source" -> "srcB", "lang" -> "de"))
+  }
+
+  test("real video container path: MP4 metadata round-trips dims/duration; corrupt bytes -> None") {
+    val mp4 = Multimodal.encodeMp4(640, 360, durationTicks = 90000, timescale = 1000)
+    assert(new String(mp4.slice(4, 8), "US-ASCII") == "ftyp")
+    val meta = Multimodal.mp4Metadata(mp4)
+    assert(meta.contains(Multimodal.Mp4Meta(640, 360, 1000, 90000, 1)))
+    assert(math.abs(meta.get.durationSeconds - 90.0) < 1e-9)
+    assert(Multimodal.mp4Metadata("definitely not an mp4 container".getBytes).isEmpty)
+    assert(Multimodal.mp4Metadata(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("decodeAndFeaturize: a valid-MP4 video row decodes to container dims") {
+    val vdocs = Seq((5L, "video payload five", "en", "srcV", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars") // 5 % 3 == 2 -> video, 5 % 9 != 2 -> real MP4
+    val out = Multimodal.decodeAndFeaturize(Multimodal.syntheticMedia(spark, vdocs)).collect()
+    assert(out.length == 1)
+    val v = out.head
+    assert(v.modality == "video" && v.decoded)
+    assert(v.width == 320 + 5 && v.height == 240 + 5)
+    assert(v.features.length == 16)
+    assert(math.abs(v.features(0) - (1000 + 5) / 1000.0) < 1e-6) // durationSec from mvhd
+    assert(v.features(1) == 1f) // track count
   }
 
   test("real image path: PNG decodes to its true dimensions with pixel-histogram features") {
@@ -63,7 +89,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(0) > 0.1f && feats(1) > 0.05f) // mixed-down waveform, not L/R interleave
   }
 
-  test("decodeAndFeaturize: real paths flagged decoded=true, video falls back to stub") {
+  test("decodeAndFeaturize: real paths flagged decoded=true, corrupt video falls back to stub") {
     val media = Multimodal.syntheticMedia(spark, docs)
     val out1 = Multimodal.decodeAndFeaturize(media).collect().sortBy(_.media_id)
     val out2 = Multimodal.decodeAndFeaturize(media).collect().sortBy(_.media_id)
