@@ -41,16 +41,27 @@ object Cdc {
     * for TIMESTAMP_NTZ (and `Instant` under
     * `spark.sql.datetime.java8API.enabled`). [[Tables.normalizeTimestamps]]
     * already casts NTZ away at the source choke point; this is
-    * defense-in-depth for callers that hand the engine their own frames
-    * (session tz pinned UTC, so LocalDateTime→UTC-instant is exact). */
+    * defense-in-depth for callers that hand the engine their own frames.
+    * The LocalDateTime→instant conversion uses the ACTIVE SESSION's
+    * `spark.sql.session.timeZone` (the zone Spark itself used to render
+    * the NTZ value), not a hardcoded UTC — every engine entry point pins
+    * UTC, but a caller embedding the library under a different session
+    * zone gets correct watermarks instead of silently shifted ones. */
   def asTimestamp(v: Any): Timestamp = v match {
     case null => null
     case t: Timestamp => t
-    case ldt: java.time.LocalDateTime => Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+    case ldt: java.time.LocalDateTime => Timestamp.from(ldt.atZone(sessionZone).toInstant)
     case i: java.time.Instant => Timestamp.from(i)
     case other =>
       throw new IllegalArgumentException(s"not a timestamp value: $other (${other.getClass.getName})")
   }
+
+  /** The active session's SQL timezone (UTC fallback when no session is
+    * active — the engine's own entry points always pin UTC anyway). */
+  private def sessionZone: java.time.ZoneId =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(s => java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone", "UTC")))
+      .getOrElse(java.time.ZoneOffset.UTC)
   val watermarkSchema: StructType = StructType(Seq(
     StructField("table_name", StringType, nullable = false),
     StructField("last_updated", TimestampType, nullable = true)))
@@ -468,15 +479,27 @@ object Cdc {
             changeCol, orderCol, chunkSize, deterministicChunks, namespace,
             Some(wms.get(t)), commitLock))
           catch {
-            case e: Exception => // T6: isolate, but NEVER swallow
+            // T6: isolate, but NEVER swallow. NonFatal only — a fatal
+            // Error (OOM, NoClassDefFoundError) must escape the future
+            // and abort the cycle, not be recorded as a table outcome.
+            case scala.util.control.NonFatal(e) =>
               System.err.println(s"[cdc] table $t failed: ${e.getMessage}")
               TableFailed(e)
           }
         }(ec)
       }
-      futures.map { case (t, f) =>
-        t -> scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
-      }.toMap
+      try
+        futures.map { case (t, f) =>
+          t -> scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        }.toMap
+      catch {
+        case t: Throwable =>
+          // fatal escape: cancel queued work and interrupt in-flight
+          // tables so nothing keeps committing watermarks in the
+          // background after the caller has already seen the cycle fail
+          pool.shutdownNow()
+          throw t
+      }
     } finally { pool.shutdown(); () }
   }
 

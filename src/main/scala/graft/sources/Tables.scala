@@ -73,10 +73,21 @@ object Tables {
     * Cast-at-source keeps every downstream plan monomorphic — one choke
     * point instead of per-operator branching. */
   def normalizeTimestamps(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
-    ntz.foldLeft(df)((d, c) =>
-      d.withColumn(c, org.apache.spark.sql.functions.col(c).cast(TimestampType)))
+    import org.apache.spark.sql.types._
+    // recursive: an NTZ field nested in a struct/array/map must not slip
+    // past the choke point (Cast handles nested type rewrites natively)
+    def dentz(dt: DataType): DataType = dt match {
+      case TimestampNTZType => TimestampType
+      case s: StructType => StructType(s.fields.map(f => f.copy(dataType = dentz(f.dataType))))
+      case a: ArrayType => a.copy(elementType = dentz(a.elementType))
+      case m: MapType => m.copy(keyType = dentz(m.keyType), valueType = dentz(m.valueType))
+      case other => other
+    }
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      val target = dentz(f.dataType)
+      if (target == f.dataType) d
+      else d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name).cast(target))
+    }
   }
 
   /** S2: enumerate tables available in a fixture directory (the engine's

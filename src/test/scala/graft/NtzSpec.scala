@@ -65,6 +65,36 @@ class NtzSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Cdc.asTimestamp("2024-01-01") }
   }
 
+  test("asTimestamp derives the LocalDateTime zone from the session, not hardcoded UTC") {
+    val ldt = java.time.LocalDateTime.of(2024, 1, 1, 12, 0, 0)
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // noon NTZ rendered under UTC-5 is 17:00 UTC — a hardcoded-UTC
+      // conversion would return 12:00 UTC (silently shifted watermarks)
+      assert(Cdc.asTimestamp(ldt).toInstant == java.time.Instant.parse("2024-01-01T17:00:00Z"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+    assert(Cdc.asTimestamp(ldt).toInstant == java.time.Instant.parse("2024-01-01T12:00:00Z"))
+  }
+
+  test("normalizeTimestamps recurses into struct/array/map-nested NTZ") {
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, ts("2024-01-01 00:00:00")))
+      .toDF("id", "t")
+      .select(col("id"),
+        struct(col("t").cast("timestamp_ntz").as("inner"),
+          array(col("t").cast("timestamp_ntz")).as("arr")).as("s"),
+        map(lit("k"), col("t").cast("timestamp_ntz")).as("m"))
+    val out = Tables.normalizeTimestamps(df)
+    val sTyp = out.schema("s").dataType.asInstanceOf[StructType]
+    assert(sTyp("inner").dataType == TimestampType)
+    assert(sTyp("arr").dataType.asInstanceOf[ArrayType].elementType == TimestampType)
+    assert(out.schema("m").dataType.asInstanceOf[MapType].valueType == TimestampType)
+    // values survive the nested cast (UTC session: reinterpretation, not shift)
+    val row = out.select(col("s.inner")).collect()(0)
+    assert(Cdc.asTimestamp(row.get(0)) == ts("2024-01-01 00:00:00"))
+  }
+
   test("full sync cycle over an NTZ source writes a non-empty sink and advances the watermark") {
     val scratch = Files.createTempDirectory("graft_ntz_cycle").toString
     val src = s"$scratch/src"
