@@ -808,24 +808,18 @@ object SparkEntry {
     * index-weighted checksum — determines the vector content exactly (the
     * float stage is this, scaled by 1/√l2sq; its unit-norm invariant is
     * the `nrm` column, and the scale curve keeps q90 measured). */
-  private def q90(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        Embeddings.embedRawCol(col("text")).as("acc"))
-    val nnz = size(filter(col("acc"), a => a =!= 0)).cast("long")
-    val l2sq = aggregate(transform(col("acc"), a => a.cast("long") * a.cast("long")), lit(0L), _ + _)
-    val chk = aggregate(
-      zip_with(col("acc"), sequence(lit(1L), lit(Embeddings.Dim.toLong)), (a, i) => a.cast("long") * i),
-      lit(0L), _ + _)
-    docs.select(
-      col("doc_id"),
-      lit(Embeddings.Dim.toLong).as("dim"),
-      nnz.as("nnz"),
-      l2sq.as("l2sq"),
-      chk.as("chk"),
-      round(VectorOps.norm(Embeddings.embedCol(col("text"))), 4).as("nrm"))
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.plans.ArrayExprs.sticky(Embeddings.embedAuditCol(col("text"))).as("_a"))
+      .select(
+        col("doc_id"),
+        lit(Embeddings.Dim.toLong).as("dim"),
+        col("_a._1").as("nnz"),
+        col("_a._2").as("l2sq"),
+        col("_a._3").as("chk"),
+        round(col("_a._4").cast("double"), 4).as("nrm"))
       .orderBy(col("doc_id"))
-  }
 
   /** F8+§3.3: text-query similarity search, ORACLE-HASH-CHECKED: top-10 by
     * cosine computed EXACTLY from the integer accumulators (dot and norms

@@ -117,6 +117,36 @@ object Embeddings {
 
   def embedRawCol(text: Column): Column = embedRawUdf(text)
 
+  /** One-pass audit surface for q90: the integer-accumulator fingerprint
+    * (nnz, Σacc², 1-based-index-weighted checksum — together they pin the
+    * vector content exactly) PLUS the float stage's actual norm (computed
+    * exactly as [[embed]] produces it). Computed INSIDE the UDF in the
+    * same single text scan: per-row interpreted higher-order array
+    * functions over 384 elements cost more than the embedding itself. */
+  val embedAuditUdf: UserDefinedFunction = udf { (s: String) =>
+    val acc = embedRaw(s)
+    var nnz = 0L; var l2sq = 0L; var chk = 0L
+    var ss = 0.0
+    var j = 0
+    while (j < acc.length) {
+      val a = acc(j)
+      if (a != 0) nnz += 1
+      l2sq += a.toLong * a
+      chk += (j + 1).toLong * a
+      ss += a.toDouble * a
+      j += 1
+    }
+    var fs = 0.0
+    if (ss > 0) {
+      val inv = (1.0 / math.sqrt(ss)).toFloat
+      j = 0
+      while (j < acc.length) { val f = acc(j) * inv; fs += f.toDouble * f; j += 1 }
+    }
+    (nnz, l2sq, chk, math.sqrt(fs).toFloat)
+  }
+
+  def embedAuditCol(text: Column): Column = embedAuditUdf(text)
+
   /** F8: embed a literal query string into a literal vector column. */
   def embedQueryCol(query: String): Column =
     lit(embed(query)).cast("array<float>")

@@ -56,10 +56,12 @@ object Cdc {
       throw new IllegalArgumentException(s"not a timestamp value: $other (${other.getClass.getName})")
   }
 
-  /** The active session's SQL timezone (UTC fallback when no session is
-    * active — the engine's own entry points always pin UTC anyway). */
+  /** The active session's SQL timezone (getActiveSession is THREAD-local —
+    * fall back to the JVM-wide default session before assuming UTC; the
+    * engine's own entry points always pin UTC anyway). */
   private def sessionZone: java.time.ZoneId =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(s => java.time.ZoneId.of(s.conf.get("spark.sql.session.timeZone", "UTC")))
       .getOrElse(java.time.ZoneOffset.UTC)
   val watermarkSchema: StructType = StructType(Seq(
