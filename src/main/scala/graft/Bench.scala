@@ -122,17 +122,26 @@ object Bench {
   }
 
   /** Fixed machine-speed probe: a pure-CPU whole-stage-codegen aggregate
-    * over a literal range — ZERO dependence on repo code or fixture data,
-    * so its cost only moves with machine conditions. min of 3 (even the
-    * min inflates when the box is genuinely loaded, which is the signal).
-    * The all-time floor persists in bench_calibration_floor.txt; it is
-    * NEVER rotated because the probe never changes. */
+    * over a literal range PLUS a fixed shuffle+exchange stage — the CPU
+    * half sees core contention, the exchange half sees the memory/IO-side
+    * pressure that has inflated whole rounds uniformly while leaving pure
+    * arithmetic untouched (measured r10: +12% total with the CPU probe
+    * FASTER). ZERO dependence on repo code or fixture data, so its cost
+    * only moves with machine conditions. min of 3 (even the min inflates
+    * when the box is genuinely loaded, which is the signal). The all-time
+    * floor persists in bench_calibration_floor.txt; it is NEVER rotated
+    * because the probe never changes. */
   private def calibrate(spark: SparkSession): (Double, Double) = {
     val sec = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       // per-term modulus keeps the ANSI sum < 4e17 (no long overflow)
-      spark.range(0L, 400000000L, 1, 32)
+      spark.range(0L, 300000000L, 1, 32)
         .selectExpr("sum((id * 2654435761) % 1000000007)").collect()
+      // exchange probe: 4M rows through a hash shuffle + agg
+      spark.range(0L, 4000000L, 1, 32)
+        .selectExpr("(id % 65536) AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.expr("sum(v)"))
+        .selectExpr("sum(k)").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
     val floorFile = new java.io.File("bench_calibration_floor.txt")
