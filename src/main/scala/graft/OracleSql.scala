@@ -1232,5 +1232,43 @@ object OracleSql {
              FROM l2 LEFT JOIN dt USING (doc_id))
       SELECT doc_id, dot,
         ${qz6("dot::double / sqrt((l2d * l2q)::double)")} AS score
-      FROM sc, ql2 ORDER BY score DESC, doc_id LIMIT 10""")
+      FROM sc, ql2 ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // multimodal resize plan, content-verified: the synthetic media dims
+    // are deterministic formulas of the id (PNG/WAV/MP4 encode→decode
+    // round-trips them exactly), and the corrupt-video stub dims mirror
+    // java.util.Arrays.hashCode over the ASCII text bytes (31-polynomial,
+    // 32-bit wrap — same emulation discipline as the murmur mirror). The
+    // scale/target math is one IEEE double division + ceil on both sides.
+    "q92_multimodal" -> """
+      WITH d AS (SELECT doc_id, text,
+        CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+        FROM documents WHERE doc_id < 500),
+      jh AS (SELECT doc_id,
+        list_reduce(list_prepend(1::BIGINT,
+          list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT)),
+          (h, b) -> ((31 * h + b) & 4294967295)) AS hu
+        FROM d WHERE modality = 'video' AND doc_id % 9 = 2),
+      stub AS (SELECT doc_id,
+        ((((CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END % 1920) + 1920) % 1920) + 1)::int AS sw,
+        (((hu >> 16) % 1080) + 1)::int AS sh
+        FROM jh),
+      dims AS (SELECT d.doc_id, d.modality,
+        CASE d.modality
+          WHEN 'image' THEN (32 + d.doc_id % 32)::int
+          WHEN 'audio' THEN 8000
+          ELSE CASE WHEN d.doc_id % 9 = 2 THEN stub.sw ELSE (320 + d.doc_id % 1600)::int END
+        END AS width,
+        CASE d.modality
+          WHEN 'image' THEN (24 + d.doc_id % 24)::int
+          WHEN 'audio' THEN (800 + d.doc_id % 400)::int
+          ELSE CASE WHEN d.doc_id % 9 = 2 THEN stub.sh ELSE (240 + d.doc_id % 840)::int END
+        END AS height,
+        (d.modality != 'video' OR d.doc_id % 9 != 2) AS decoded
+        FROM d LEFT JOIN stub ON d.doc_id = stub.doc_id)
+      SELECT doc_id AS media_id, modality, width, height, decoded,
+        least(512 / greatest(width, height)::double, 1.0) AS scale,
+        ceil(width * least(512 / greatest(width, height)::double, 1.0))::int AS target_w,
+        ceil(height * least(512 / greatest(width, height)::double, 1.0))::int AS target_h
+      FROM dims ORDER BY media_id""")
 }
