@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Wipe stale JUnit XML before each test run: a report for a since-deleted
+// suite (a scratch probe once left TEST-graft.TmpDialectProbe.xml behind)
+// otherwise pollutes naive report aggregation forever — after this, the
+// report directory always equals the suite that just ran.
+Test / testOptions += Tests.Setup { () =>
+  val dir = file("target/test-reports")
+  if (dir.isDirectory) IO.listFiles(dir).foreach(f => IO.delete(f))
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

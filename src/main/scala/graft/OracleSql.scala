@@ -1181,6 +1181,14 @@ object OracleSql {
     // ids. The JSON build mirrors JsonRows.toJsonCol byte-for-byte
     // (column order, ISO-µs timestamps, shortest-round-trip doubles,
     // string escaping) — verified exact over the full events table.
+    // String-escape parity: backslash first, then quote, then the five
+    // JSON short control escapes (\b \t \n \f \r — chr() literals, applied
+    // AFTER the backslash pass so their introduced backslashes survive).
+    // Remaining gap, loud by construction: any OTHER control char (<0x20)
+    // Spark renders \u00XX and this mirror leaves raw — error() on it
+    // rather than hash-diverge. `value::varchar` additionally relies on
+    // DuckDB double formatting matching Spark's shortest-round-trip
+    // rendering (exact on every fixture double to date).
     "q93_cdc_cycle" -> """
       WITH docs AS (
         SELECT '{"event_id":' || event_id::varchar
@@ -1188,7 +1196,14 @@ object OracleSql {
           || ',"user_id":' || user_id::varchar
           || ',"event_type":"' || event_type || '"'
           || ',"value":' || value::varchar
-          || ',"props":"' || replace(replace(props, '\', '\\'), '"', '\"') || '"}' AS doc,
+          || ',"props":"' ||
+             CASE WHEN regexp_matches(props, '[\x00-\x07\x0b\x0e-\x1f]')
+                  THEN error('q93 oracle: props contains a control char outside the \b\t\n\f\r escape set for event_id=' || event_id::varchar)
+                  ELSE replace(replace(replace(replace(replace(replace(replace(
+                         props, '\', '\\'), '"', '\"'),
+                         chr(8), '\b'), chr(9), '\t'), chr(10), '\n'),
+                         chr(12), '\f'), chr(13), '\r') END
+          || '"}' AS doc,
           row_number() OVER (ORDER BY event_id) AS rn
         FROM events),
       chunks AS (
@@ -1248,7 +1263,10 @@ object OracleSql {
         list_reduce(list_prepend(1::BIGINT,
           list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT)),
           (h, b) -> ((31 * h + b) & 4294967295)) AS hu
-        FROM d WHERE modality = 'video' AND doc_id % 9 = 2),
+        FROM (SELECT doc_id,
+                CASE WHEN strlen(text) = length(text) THEN text
+                     ELSE error('q92 oracle requires pure-ASCII text (JVM stub hashes signed UTF-8 bytes, this mirror hashes code points — they agree only on ASCII); non-ASCII doc_id=' || doc_id::varchar) END AS text
+              FROM d WHERE modality = 'video' AND doc_id % 9 = 2)),
       stub AS (SELECT doc_id,
         ((((CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END % 1920) + 1920) % 1920) + 1)::int AS sw,
         (((hu >> 16) % 1080) + 1)::int AS sh
@@ -1271,4 +1289,67 @@ object OracleSql {
         ceil(width * least(512 / greatest(width, height)::double, 1.0))::int AS target_w,
         ceil(height * least(512 / greatest(width, height)::double, 1.0))::int AS target_h
       FROM dims ORDER BY media_id""")
+
+  /** IVF ANN read-path mirror (q94/q96) — a TEMPLATE over the trained
+    * centroid matrix, instantiated by SparkEntry.oracleSql after the
+    * engine query has run (the centroids are index STATE, like q91's
+    * query text — driver-size k×dim floats, inlined as exact
+    * shortest-round-trip double literals; a float cast to double and its
+    * Double.toString re-parse are the identical IEEE value, so the SQL
+    * sees bit-for-bit the numbers the engine's `lit(c).cast("array
+    * <float>")` sees). Given those centroids the mirror independently
+    * recomputes the ENTIRE read path the engine claims: (1) every corpus
+    * vector's nearest-centroid assignment (strict-left-fold double
+    * cosine, ties → lowest cid — mirror of SimilaritySearch
+    * .nearestCentroid's sorted-struct argmax), (2) the nprobe clusters
+    * nearest the probe (mirror of rankClusters), (3) candidate
+    * restriction to exactly those clusters (what partition pruning does
+    * on disk), and (4) exact cosine top-k with the engine's
+    * (score DESC, id) tie-break. k-means TRAINING itself stays
+    * spec-verified (SimilaritySpec) — the oracle pins everything the
+    * index READ does with the trained state, the same bar q91 sets for
+    * the embedding read path.
+    *
+    * `corpus` must yield (id, embedding); `probe` must yield one row
+    * (pe). */
+  def ivfSearchMirror(
+      centroids: Array[Array[Float]],
+      corpus: String,
+      probe: String,
+      nprobe: Int,
+      k: Int): String = {
+    val rows = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toDouble.toString).mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n        ")
+    val cs = "CASE WHEN na * nb = 0 THEN 0.0 ELSE dp / (na * nb) END"
+    s"""
+      WITH cents(cid, ce) AS (VALUES $rows),
+      corpus AS ($corpus),
+      probe AS ($probe),
+      pcs AS (SELECT c.cid,
+          ${dotExpr("c.ce", "p.pe")} AS dp,
+          sqrt(${normSq("c.ce")}) AS na,
+          sqrt(${normSq("p.pe")}) AS nb
+        FROM cents c CROSS JOIN probe p),
+      pc AS (SELECT cid FROM (
+          SELECT cid, row_number() OVER (ORDER BY ($cs) DESC, cid ASC) AS rn
+          FROM pcs) WHERE rn <= $nprobe),
+      sc AS (SELECT e.id, e.embedding, c.cid,
+          ${dotExpr("e.embedding", "c.ce")} AS dp,
+          sqrt(${normSq("e.embedding")}) AS na,
+          sqrt(${normSq("c.ce")}) AS nb
+        FROM corpus e CROSS JOIN cents c),
+      asg AS (SELECT id, embedding, cid FROM (
+          SELECT id, embedding, cid,
+            row_number() OVER (PARTITION BY id ORDER BY ($cs) DESC, cid ASC) AS rn
+          FROM sc) WHERE rn = 1),
+      cand AS (SELECT a.id, a.embedding FROM asg a JOIN pc USING (cid)),
+      res AS (SELECT id,
+          ${dotExpr("embedding", "p.pe")} AS dp,
+          sqrt(${normSq("embedding")}) AS na,
+          sqrt(${normSq("p.pe")}) AS nb
+        FROM cand CROSS JOIN probe p)
+      SELECT id, round($cs, 6) AS score
+      FROM res ORDER BY score DESC, id LIMIT $k"""
+  }
 }

@@ -54,6 +54,9 @@ object ServeMain {
     * optional query. Returns the query's result plan (un-collected) so
     * callers/tests can inspect it; [[main]] prints it. */
   def run(spark: SparkSession, cfg: Config): Option[DataFrame] = {
+    if (cfg.query.isDefined && cfg.maxCycles == Int.MaxValue)
+      System.err.println(
+        "[serve] WARN --query with an unbounded poll loop never reaches the query; pass --cycles n to bound the loop")
     val engine = new Engine(spark, cfg.sourceDir, cfg.stateDir, cfg.sinkDir)
     engine.initializeIndex() // create-if-absent, app.py:14
     engine.runPolling(cfg.intervalSeconds, cfg.maxCycles)

@@ -879,8 +879,10 @@ object SparkEntry {
     val layout = Cdc.SinkLayout(buckets = 8, simBits = Cdc.SimBits)
     Cdc.syncCycle(s, dir, s"$scratch/state", s"$scratch/sink",
       deterministicChunks = true, layout = layout)
+    // SAME layout as cycle 1: cycle 2 is a no-op delta today, but a call
+    // that CAN write must never write under a mismatched bucket layout
     Cdc.syncCycle(s, dir, s"$scratch/state", s"$scratch/sink",
-      deterministicChunks = true) // no-op delta
+      deterministicChunks = true, layout = layout)
     Cdc.readVectorSink(s, s"$scratch/sink").select(col("id"), col("source"), col("text"))
       .orderBy(col("id"))
   }
@@ -1500,18 +1502,45 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Sketch family (rows-only: HLL/KLL sketches are engine-specific, no
-    * cross-engine oracle): approx distinct + approx percentiles, with the
-    * exact values alongside for sanity (hash-checked separately as q79). */
-  private def q95(s: SparkSession, dir: String): DataFrame =
+  /** Sketch family (no cross-engine oracle EXISTS: HLL/KLL internals are
+    * engine-specific; q79 hash-checks the exact twin) — but the result is
+    * still CHECKED, inside the query itself: every row carries its
+    * error-bound verdicts, and a violated bound does not render `false`,
+    * it raise_error()s — so the rows-only Verify/Bench run IS a gate, not
+    * just numbers. Bounds are the documented guarantees with slack:
+    *  - `ok_distinct`: approx_count_distinct's default rsd is 5%
+    *    (HyperLogLog++); the check allows 3×rsd = 15% relative error.
+    *  - `ok_median`: percentile_approx(accuracy=1000) guarantees rank
+    *    error ≤ n/accuracy; the check brackets the estimate between the
+    *    EXACT percentiles at 0.5 ± 2/accuracy (2× slack for the ±1-row
+    *    boundary). Both estimators are deterministic for a fixed input,
+    *    so a bound that passes cannot flake. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val eps = 2.0 / 1000 // 2× percentile_approx's 1/accuracy rank bound
+    def checked(ok: Column, msg: Column): Column =
+      when(ok, lit(true)).otherwise(raise_error(msg))
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+        expr(s"percentile(l_extendedprice, ${0.5 - eps})").as("_med_lo"),
+        expr(s"percentile(l_extendedprice, ${0.5 + eps})").as("_med_hi"),
         count(lit(1)).as("n"))
+      .withColumn("ok_distinct", checked(
+        abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * 0.15,
+        concat(lit("q95 sketch bound violated: approx_count_distinct "),
+          col("approx_parts"), lit(" vs exact "), col("exact_parts"))))
+      .withColumn("ok_median", checked(
+        col("approx_median_price").between(col("_med_lo"), col("_med_hi")),
+        concat(lit("q95 sketch bound violated: approx median "),
+          col("approx_median_price"), lit(" outside ["),
+          col("_med_lo"), lit(", "), col("_med_hi"), lit("]"))))
+      .drop("_med_lo", "_med_hi")
       .orderBy(col("l_returnflag"))
+  }
 
   /** IVF ANN through the PERSISTED index (rows-only: trained centroids
     * aren't ANSI-SQL-expressible): build the cluster-partitioned index in
@@ -1523,10 +1552,21 @@ object SparkEntry {
   private def q94(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val idx = ivfScratchIndex(e, dir)
+    ivfOracleCents.computeIfAbsent("q94_ivf_ann", _ => IvfIndex.centroids(s, idx))
     val probe = e.where(col("vec_id") === 0).select("embedding")
       .collect()(0).getSeq[Float](0).toArray
     IvfIndex.search(s, idx, probe, k = 10, nprobe = 2)
   }
+
+  /** Trained centroid matrices captured when q94/q96 run (k×dim floats —
+    * the same driver-size state the search itself loads), consumed by
+    * [[oracleSql]] to instantiate the DuckDB read-path mirrors
+    * ([[OracleSql.ivfSearchMirror]]). Verify runs every query before
+    * dumping oracle_sql.json, so the entries are always populated there;
+    * an oracleSql call before the queries ran simply omits the two rows
+    * (→ the pre-r11 rows-only check, never a wrong hash). */
+  private val ivfOracleCents =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
   /** q94's scratch IVF index: built ONCE per (JVM, fixture dir) into a
     * deterministic temp path and reused by every repeat, so the benched
@@ -1571,6 +1611,7 @@ object SparkEntry {
   private def q96(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val idx = ivfAppendScratchIndex(e, dir)
+    ivfOracleCents.computeIfAbsent("q96_ivf_append", _ => IvfIndex.centroids(s, idx))
     val probe = e.orderBy(desc("vec_id")).limit(1).select("embedding")
       .collect()(0).getSeq[Float](0).toArray
     IvfIndex.search(s, idx, probe, k = 10, nprobe = 2)
@@ -1699,5 +1740,36 @@ object SparkEntry {
     "q95_sketches" -> (q95 _),
     "q96_ivf_append" -> (q96 _))
 
-  def oracleSql: Map[String, String] = OracleSql.all
+  def oracleSql: Map[String, String] = OracleSql.all ++ ivfOracleEntries
+
+  /** The IVF mirrors, instantiated with the centroids the engine queries
+    * captured this JVM (see [[ivfOracleCents]]). Corpus/probe SQL restates
+    * what the engine queries DERIVE from the fixture — q94 indexes the
+    * whole embeddings table and probes vec_id 0; q96 indexes the lower
+    * half, appends the upper half at id+1000000, and probes the max-id
+    * vector (whose appended twin must surface at cosine 1.0, proving the
+    * pruned scan reads appended files). */
+  private def ivfOracleEntries: Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    Option(ivfOracleCents.get("q94_ivf_ann")).foreach { c =>
+      out += "q94_ivf_ann" -> OracleSql.ivfSearchMirror(
+        c,
+        corpus = "SELECT vec_id AS id, embedding FROM embeddings",
+        probe = "SELECT embedding AS pe FROM embeddings WHERE vec_id = 0",
+        nprobe = 2, k = 10)
+    }
+    Option(ivfOracleCents.get("q96_ivf_append")).foreach { c =>
+      out += "q96_ivf_append" -> OracleSql.ivfSearchMirror(
+        c,
+        corpus = """SELECT vec_id AS id, embedding FROM embeddings
+          WHERE vec_id <= (SELECT max(vec_id) FROM embeddings) // 2
+          UNION ALL
+          SELECT vec_id + 1000000 AS id, embedding FROM embeddings
+          WHERE vec_id > (SELECT max(vec_id) FROM embeddings) // 2""",
+        probe = """SELECT embedding AS pe FROM embeddings
+          WHERE vec_id = (SELECT max(vec_id) FROM embeddings)""",
+        nprobe = 2, k = 10)
+    }
+    out.result()
+  }
 }

@@ -298,6 +298,16 @@ object Dedup {
     // an executor loss mid-loop re-reads files instead of killing the job.
     var labels = Materialize.truncate(ids.select(col(idCol).as("id"), col(idCol).as("label")))
     var prevCkpt = labels // superseded checkpoint blocks are freed each round
+    // GRAFT_CC_PROFILE=1: per-round phase timings on stderr (diagnostic
+    // for the CC queries' fixed-cost-per-job profile; zero cost when off)
+    val prof = sys.env.get("GRAFT_CC_PROFILE").contains("1")
+    def timed[A](label: String, round: Int)(f: => A): A =
+      if (!prof) f else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"[cc] round=$round $label%-10s ${(System.nanoTime() - t0) / 1e9}%6.3fs")
+        r
+      }
     try {
       var changed = 1L
       var i = 0
@@ -311,22 +321,22 @@ object Dedup {
         // here halves the checkpoint file writes per round; its lineage
         // roots in the previous round's reliable snapshot, so recompute
         // after a lost partition is deterministic
-        val hooked = Materialize.shared(
+        val hooked = timed("hook", i)(Materialize.shared(
           labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
             .select(labels("id"),
               least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
-              labels("label").as("_old")))
+              labels("label").as("_old"))))
         // 2. pointer jump: label := label(label) — halves chain depth each
         //    round, so convergence is O(log n) even for path-shaped
         //    components (plain propagation needs O(diameter) rounds and
         //    could exhaust maxIter on long chains)
         val lookup = hooked.select(col("id").as("_lid"), col("label").as("_llabel"))
-        val newLabels = Materialize.truncate(
+        val newLabels = timed("jump+ckpt", i)(Materialize.truncate(
           hooked.join(lookup, hooked("label") === lookup("_lid"), "left_outer")
             .select(hooked("id"),
               least(hooked("label"), coalesce(col("_llabel"), hooked("label"))).as("label"),
-              col("_old")))
-        changed = newLabels.where(col("label") =!= col("_old")).count()
+              col("_old"))))
+        changed = timed("changed", i)(newLabels.where(col("label") =!= col("_old")).count())
         // newLabels is materialized — the storage it was built from is dead
         Materialize.free(prevCkpt)
         Materialize.release(hooked)
