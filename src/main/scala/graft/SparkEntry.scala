@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Embeddings, JsonRows, PortableHash, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Cdc, Chunker, Dedup, IvfIndex, SimilaritySearch}
+import graft.operators.{Cdc, Chunker, Dedup, IvfIndex, Materialize, SimilaritySearch}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -939,10 +939,17 @@ object SparkEntry {
     // at true scale the giant-component hazard is handled by star
     // contraction). 500 docs keeps components meaningful.
     val docs = t(s, dir, "documents").where(col("doc_id") < 500)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingleN = 1, threshold = 0.9, lengthBucket = 16)
-    Dedup.dedupClusters(docs, "doc_id", pairs)
-      .orderBy(col("doc_id"))
+    // the doc_id cap bounds the WHOLE query's input, so the query runs at
+    // the width its measured input justifies (width follows data, capped
+    // at the session width — identical plan shape at scale); the eager
+    // work (pair generation inside dedupClusters' edge materialization +
+    // the CC loop) all executes inside this region
+    Materialize.withLoopWidth(s, docs.count(), Materialize.TextRowsPerPartition) {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 1, threshold = 0.9, lengthBucket = 16)
+      Dedup.dedupClusters(docs, "doc_id", pairs)
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** Dedup clustering over the FULL corpus via star contraction — the
@@ -957,6 +964,11 @@ object SparkEntry {
     * mirrored oracle.) */
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // NOT width-narrowed like q45/q74: this is the full-corpus scale path,
+    // and its minhash pair generation carries real CPU work that the
+    // session width parallelizes (A/B: whole-query narrowing regressed
+    // this query 1.9s -> 2.9s at sf0.1); only the star-contraction loop
+    // inside dedupClustersStar narrows, from its own measured edge count
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleN = 3, k = 16, bands = 4, threshold = 0.9)
     Dedup.dedupClustersStar(docs, "doc_id", pairs)
@@ -1321,15 +1333,18 @@ object SparkEntry {
     * hash-partition on). */
   private def q74(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").where(col("doc_id") < 500)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingleN = 1, threshold = 0.9, lengthBucket = 16)
-    val clusters = Dedup.dedupClusters(docs, "doc_id", pairs)
-    val scored = docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
-    val w = Window.partitionBy(col("canonical")).orderBy(desc("quality"), col("doc_id"))
-    clusters.join(scored, Seq("doc_id"))
-      .withColumn("rk", row_number().over(w))
-      .select(col("doc_id"), col("canonical"), col("quality"), (col("rk") === 1).as("keep"))
-      .orderBy(col("doc_id"))
+    // width follows the doc_id-bounded input, as in q45 (see there)
+    Materialize.withLoopWidth(s, docs.count(), Materialize.TextRowsPerPartition) {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 1, threshold = 0.9, lengthBucket = 16)
+      val clusters = Dedup.dedupClusters(docs, "doc_id", pairs)
+      val scored = docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("canonical")).orderBy(desc("quality"), col("doc_id"))
+      clusters.join(scored, Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("canonical"), col("quality"), (col("rk") === 1).as("keep"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** Corpus-adaptive boilerplate pruning (the token-level analog of

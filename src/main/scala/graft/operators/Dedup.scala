@@ -291,13 +291,15 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
-    // Materialize.truncate (not cache) each round: iterative DataFrames
-    // grow a nested logical plan per iteration, and Catalyst re-analyzes
-    // the whole tree every round — plan truncation keeps planning O(1) per
-    // round. The snapshot is a RELIABLE checkpoint (scratch-dir files), so
-    // an executor loss mid-loop re-reads files instead of killing the job.
-    var labels = Materialize.truncate(ids.select(col(idCol).as("id"), col(idCol).as("label")))
-    var prevCkpt = labels // superseded checkpoint blocks are freed each round
+    // Materialize the edge cache at FULL session width — pair generation
+    // is the scale-heavy half of the query. Only the label loop below runs
+    // at the data-derived width (withLoopWidth): its per-round relations
+    // are O(ids + edges) narrow long columns, and the measured cost of the
+    // loop at small scale is TASK SCHEDULING, not data (see the scaladoc
+    // on withLoopWidth). The two counts are the width evidence and double
+    // as the cache materializer.
+    val nEdges = edges.count()
+    val nIds = ids.count()
     // GRAFT_CC_PROFILE=1: per-round phase timings on stderr (diagnostic
     // for the CC queries' fixed-cost-per-job profile; zero cost when off)
     val prof = sys.env.get("GRAFT_CC_PROFILE").contains("1")
@@ -308,7 +310,14 @@ object Dedup {
         System.err.println(f"[cc] round=$round $label%-10s ${(System.nanoTime() - t0) / 1e9}%6.3fs")
         r
       }
-    try {
+    try Materialize.withLoopWidth(ids.sparkSession, nIds + nEdges) {
+      // Materialize.truncate (not cache) each round: iterative DataFrames
+      // grow a nested logical plan per iteration, and Catalyst re-analyzes
+      // the whole tree every round — plan truncation keeps planning O(1) per
+      // round. The snapshot is a RELIABLE checkpoint (scratch-dir files), so
+      // an executor loss mid-loop re-reads files instead of killing the job.
+      var labels = Materialize.truncate(ids.select(col(idCol).as("id"), col(idCol).as("label")))
+      var prevCkpt = labels // superseded checkpoint blocks are freed each round
       var changed = 1L
       var i = 0
       while (changed > 0 && i < maxIter) {
@@ -378,8 +387,14 @@ object Dedup {
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct())
+    // edge materialization (pair generation) ran at full session width;
+    // the contraction loop's per-round relations are bounded by O(edges),
+    // so it runs at the data-derived width (see withLoopWidth scaladoc) —
+    // the count is the width evidence, read from checkpoint files (cheap)
+    val nEdges = edges.count()
     var converged = false
     var i = 0
+    Materialize.withLoopWidth(ids.sparkSession, 2L * nEdges) {
     while (!converged && i < maxIter) {
       // large-star over the undirected view
       val nbrs = edges.select(col("u"), col("v"))
@@ -423,6 +438,7 @@ object Dedup {
       Materialize.free(edges)
       edges = small
       i += 1
+    }
     }
     if (!converged)
       System.err.println(

@@ -83,6 +83,53 @@ object Materialize {
       case _ => ()
     }
 
+  /** Rows a single shuffle partition of a narrow (few-long-columns)
+    * iterative relation should hold: ~64 MB at ~16-24 B/row — the same
+    * size target AQE coalescing uses. */
+  val LoopRowsPerPartition: Long = 4000000L
+
+  /** Rows per partition for ~1 KB text/document rows (same ~64 MB target
+    * as [[LoopRowsPerPartition]], heavier rows): callers narrowing a whole
+    * document-bounded query (not just a label loop) pass this. */
+  val TextRowsPerPartition: Long = 50000L
+
+  /** Run an iterative fixpoint loop with `spark.sql.shuffle.partitions`
+    * narrowed to the width the loop's ACTUAL row volume justifies
+    * (`rows / LoopRowsPerPartition`, clamped to [1, session width]),
+    * restoring the session value after. Why: the r10→r11 drift diagnosis
+    * (BASELINE.md, CcProbe) measured the CC queries' cost as TASK COUNT,
+    * not data — ~1,300 tasks across ~68 AQE stage-jobs to move 500
+    * labels, because every exchange in the loop inherits the session's
+    * core-count width and AQE's `parallelismFirst=true` default never
+    * coalesces below it. Deriving the width from measured rows fixes the
+    * small end without touching the big end: at 100 TB the quotient
+    * exceeds the session cap and the loop runs exactly as wide as before.
+    * Caveat: session conf is engine-wide state — concurrent queries on
+    * the same session during the loop would plan at the narrowed width
+    * (the engine's mains are serial; document before adding parallelism). */
+  def withLoopWidth[A](spark: SparkSession, rows: Long,
+                       rowsPerPartition: Long = LoopRowsPerPartition)(body: => A): A = {
+    val conf = spark.conf
+    val session = conf.get("spark.sql.shuffle.partitions").toInt
+    val w = math.max(1L, math.min(session.toLong, rows / rowsPerPartition + 1)).toInt
+    if (w >= session) body
+    else {
+      // AQE off while narrowed: with every exchange already at the minimal
+      // width there is nothing left to coalesce or skew-split, and AQE's
+      // per-stage materialization turns each tiny query into ~15 scheduled
+      // jobs (measured: the stage-job count, not the tasks, was half the
+      // remaining CC fixed cost). At full width (the at-scale branch
+      // above) AQE stays on — skew-join splitting matters there.
+      val aqe = conf.get("spark.sql.adaptive.enabled")
+      conf.set("spark.sql.shuffle.partitions", w.toString)
+      conf.set("spark.sql.adaptive.enabled", "false")
+      try body finally {
+        conf.set("spark.sql.shuffle.partitions", session.toString)
+        conf.set("spark.sql.adaptive.enabled", aqe)
+      }
+    }
+  }
+
   /** Session-scoped reliable-checkpoint scratch dir, created on first use
     * and deleted on JVM exit. On a real cluster this conf points at a
     * durable shared filesystem; the engine's behavior is identical. */
