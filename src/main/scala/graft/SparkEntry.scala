@@ -944,7 +944,7 @@ object SparkEntry {
     // at the session width — identical plan shape at scale); the eager
     // work (pair generation inside dedupClusters' edge materialization +
     // the CC loop) all executes inside this region
-    Materialize.withLoopWidth(s, docs.count(), Materialize.TextRowsPerPartition) {
+    Materialize.withLoopWidth(s, docs.count()) {
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleN = 1, threshold = 0.9, lengthBucket = 16)
       Dedup.dedupClusters(docs, "doc_id", pairs)
@@ -1334,7 +1334,7 @@ object SparkEntry {
   private def q74(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").where(col("doc_id") < 500)
     // width follows the doc_id-bounded input, as in q45 (see there)
-    Materialize.withLoopWidth(s, docs.count(), Materialize.TextRowsPerPartition) {
+    Materialize.withLoopWidth(s, docs.count()) {
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleN = 1, threshold = 0.9, lengthBucket = 16)
       val clusters = Dedup.dedupClusters(docs, "doc_id", pairs)

@@ -83,15 +83,15 @@ object Materialize {
       case _ => ()
     }
 
-  /** Rows a single shuffle partition of a narrow (few-long-columns)
-    * iterative relation should hold: ~64 MB at ~16-24 B/row — the same
-    * size target AQE coalescing uses. */
-  val LoopRowsPerPartition: Long = 4000000L
-
-  /** Rows per partition for ~1 KB text/document rows (same ~64 MB target
-    * as [[LoopRowsPerPartition]], heavier rows): callers narrowing a whole
-    * document-bounded query (not just a label loop) pass this. */
-  val TextRowsPerPartition: Long = 50000L
+  /** Rows a single task of an iterative-loop round should process. NOT a
+    * byte target: the loop rounds bear per-row CPU (distinct, min-agg,
+    * join probes), so the optimum balances per-task overhead (~ms)
+    * against lost cores. Measured on the 32-core harness (q53 star loop,
+    * 75k edges, sx125): width 1 → 12.5 s, 4 → 10.4 s, 8–16 → 5.2–6.9 s,
+    * session default → 6.9 s; at the bottom (≤ ~10k rows total) width 1
+    * wins because task+stage scheduling dominates. ~12.5k rows/task puts
+    * both measured regimes on their winning side. */
+  val LoopRowsPerPartition: Long = 12500L
 
   /** Run an iterative fixpoint loop with `spark.sql.shuffle.partitions`
     * narrowed to the width the loop's ACTUAL row volume justifies
@@ -107,12 +107,17 @@ object Materialize {
     * Caveat: session conf is engine-wide state — concurrent queries on
     * the same session during the loop would plan at the narrowed width
     * (the engine's mains are serial; document before adding parallelism). */
-  def withLoopWidth[A](spark: SparkSession, rows: Long,
-                       rowsPerPartition: Long = LoopRowsPerPartition)(body: => A): A = {
+  def withLoopWidth[A](spark: SparkSession, rows: Long)(body: => A): A = {
     val conf = spark.conf
     val session = conf.get("spark.sql.shuffle.partitions").toInt
-    val w = math.max(1L, math.min(session.toLong, rows / rowsPerPartition + 1)).toInt
-    if (w >= session) body
+    // GRAFT_LOOP_WIDTH=N: A/B hook forcing the narrowed width (the sweep
+    // behind the LoopRowsPerPartition constant)
+    val w0 = math.max(1L, math.min(session.toLong, rows / LoopRowsPerPartition + 1)).toInt
+    val w = sys.env.get("GRAFT_LOOP_WIDTH").map(_.toInt).getOrElse(w0)
+    // GRAFT_NO_NARROW=1: A/B kill switch — run the body at the session
+    // width exactly as before this mechanism existed (used by the ladder
+    // re-measurements to separate narrowing effects from machine drift)
+    if (w >= session || sys.env.get("GRAFT_NO_NARROW").contains("1")) body
     else {
       // AQE off while narrowed: with every exchange already at the minimal
       // width there is nothing left to coalesce or skew-split, and AQE's
