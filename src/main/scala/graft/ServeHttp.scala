@@ -1,0 +1,105 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Minimal HTTP surface over a running [[Engine]] — the literal analog of
+  * the reference's Flask app object (`app.py:5-18`). The reference
+  * registers ZERO routes (its only live behaviors are the scheduler thread
+  * and the latent query path), so any listening endpoint is already a
+  * superset; these four routes expose exactly the engine surfaces the
+  * process owns, nothing speculative:
+  *
+  *  - `GET /health`     — `{"healthy":…,"consecutive_failures":…}` (the
+  *    circuit-breaker state the poll loop maintains)
+  *  - `GET /stats`      — sink index stats rows (`Engine.indexStats`)
+  *  - `GET /watermarks` — per-table CDC watermarks (`Engine.watermarks`)
+  *  - `GET /query?q=text[&k=10][&nprobe=0]` — top-k similarity rows
+  *    (`Engine.searchSimilar`; `nprobe>0` = ANN bucket pruning)
+  *
+  * Responses are JSON arrays of row objects (`Dataset.toJSON`); every
+  * route's row count is bounded by construction (≤ bucket count, ≤ table
+  * count, ≤ k), so the collect is driver-safe. Requests serialize on the
+  * dispatcher thread (`setExecutor(null)`) — the same single-threaded
+  * model as the reference's Flask dev server, and it keeps concurrent
+  * Spark actions off the session while a poll cycle runs. */
+final class ServeHttp(engine: Engine) {
+
+  @volatile private var server: HttpServer = null
+
+  /** Start listening; `port` 0 binds an ephemeral port. Returns the bound
+    * port. */
+  def start(port: Int): Int = {
+    require(server == null, "already started")
+    val s = HttpServer.create(new InetSocketAddress(port), 0)
+    s.createContext("/health", (ex: HttpExchange) => respond(ex) { _ =>
+      s"""{"healthy":${engine.healthy},"consecutive_failures":${engine.consecutiveFailures}}"""
+    })
+    s.createContext("/stats", (ex: HttpExchange) => respond(ex) { _ =>
+      rowsJson(engine.indexStats())
+    })
+    s.createContext("/watermarks", (ex: HttpExchange) => respond(ex) { _ =>
+      rowsJson(engine.watermarks())
+    })
+    s.createContext("/query", (ex: HttpExchange) => respond(ex) { params =>
+      val q = params.getOrElse("q",
+        throw new IllegalArgumentException("missing required param: q"))
+      val k = params.get("k").map(_.toInt).getOrElse(10)
+      val nprobe = params.get("nprobe").map(_.toInt).getOrElse(0)
+      rowsJson(engine.searchSimilar(q, k, nprobe = nprobe))
+    })
+    s.setExecutor(null)
+    s.start()
+    server = s
+    s.getAddress.getPort
+  }
+
+  def stop(): Unit = {
+    val s = server
+    server = null
+    if (s != null) s.stop(0)
+  }
+
+  /** JSON array of the result's rows; callers only pass bounded-row
+    * relations (scaladoc above). */
+  private def rowsJson(df: org.apache.spark.sql.DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+
+  private def respond(ex: HttpExchange)(body: Map[String, String] => String): Unit = {
+    val (code, json) =
+      try (200, body(queryParams(ex)))
+      catch {
+        case e: IllegalArgumentException => (400, errJson(e))
+        case e: Exception => (500, errJson(e))
+      }
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  private def errJson(e: Exception): String =
+    s"""{"error":${escape(String.valueOf(e.getMessage))}}"""
+
+  private def escape(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def queryParams(ex: HttpExchange): Map[String, String] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split('&').filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(
+          java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k) => Some(java.net.URLDecoder.decode(k, "UTF-8") -> "")
+        case _ => None
+      }
+    }.toMap
+  }
+}

@@ -18,6 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   [--query <text>]     after polling, print top-k for this text query
   *   [--k <n>]            result count, default 10
   *   [--nprobe <n>]       >0 = ANN bucket pruning; 0 = exact scan (default)
+  *   [--http <port>]      serve /health /stats /watermarks /query while polling (0 = ephemeral)
   * }}}
   */
 object ServeMain {
@@ -30,11 +31,12 @@ object ServeMain {
       maxCycles: Int = Int.MaxValue,
       query: Option[String] = None,
       k: Int = 10,
-      nprobe: Int = 0)
+      nprobe: Int = 0,
+      httpPort: Option[Int] = None)
 
   def parse(args: Array[String]): Config = {
     require(args.length >= 3,
-      "usage: ServeMain <sourceDir> <stateDir> <sinkDir> [--interval s] [--cycles n] [--query text] [--k n] [--nprobe n]")
+      "usage: ServeMain <sourceDir> <stateDir> <sinkDir> [--interval s] [--cycles n] [--query text] [--k n] [--nprobe n] [--http port]")
     var cfg = Config(args(0), args(1), args(2))
     var i = 3
     while (i < args.length) {
@@ -44,6 +46,7 @@ object ServeMain {
         case "--query"    => cfg = cfg.copy(query = Some(args(i + 1))); i += 2
         case "--k"        => cfg = cfg.copy(k = args(i + 1).toInt); i += 2
         case "--nprobe"   => cfg = cfg.copy(nprobe = args(i + 1).toInt); i += 2
+        case "--http"     => cfg = cfg.copy(httpPort = Some(args(i + 1).toInt)); i += 2
         case other => throw new IllegalArgumentException(s"unknown flag: $other")
       }
     }
@@ -59,8 +62,19 @@ object ServeMain {
         "[serve] WARN --query with an unbounded poll loop never reaches the query; pass --cycles n to bound the loop")
     val engine = new Engine(spark, cfg.sourceDir, cfg.stateDir, cfg.sinkDir)
     engine.initializeIndex() // create-if-absent, app.py:14
-    engine.runPolling(cfg.intervalSeconds, cfg.maxCycles)
-    cfg.query.map(q => engine.searchSimilar(q, cfg.k, nprobe = cfg.nprobe))
+    // --http: listen while polling (app.py's app object, with routes the
+    // reference never registered — see ServeHttp). Bounded runs stop the
+    // server when the poll loop returns; unbounded runs serve until kill.
+    val http = cfg.httpPort.map { p =>
+      val api = new ServeHttp(engine)
+      val port = api.start(p)
+      println(s"[serve] http listening on port $port (/health /stats /watermarks /query)")
+      api
+    }
+    try {
+      engine.runPolling(cfg.intervalSeconds, cfg.maxCycles)
+      cfg.query.map(q => engine.searchSimilar(q, cfg.k, nprobe = cfg.nprobe))
+    } finally http.foreach(_.stop())
   }
 
   def main(args: Array[String]): Unit = {

@@ -1540,9 +1540,13 @@ object SparkEntry {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-        expr(s"percentile(l_extendedprice, ${0.5 - eps})").as("_med_lo"),
-        expr(s"percentile(l_extendedprice, ${0.5 + eps})").as("_med_hi"),
+        // ONE exact-percentile agg for both bracket ends: each percentile()
+        // call buffers every group value independently, so two scalar calls
+        // doubled the exact side's memory and merge cost
+        expr(s"percentile(l_extendedprice, array(${0.5 - eps}, ${0.5 + eps}))").as("_med_bracket"),
         count(lit(1)).as("n"))
+      .withColumn("_med_lo", element_at(col("_med_bracket"), 1))
+      .withColumn("_med_hi", element_at(col("_med_bracket"), 2))
       .withColumn("ok_distinct", checked(
         abs(col("approx_parts") - col("exact_parts")).cast("double") <=
           col("exact_parts").cast("double") * 0.15,
@@ -1553,7 +1557,7 @@ object SparkEntry {
         concat(lit("q95 sketch bound violated: approx median "),
           col("approx_median_price"), lit(" outside ["),
           col("_med_lo"), lit(", "), col("_med_hi"), lit("]"))))
-      .drop("_med_lo", "_med_hi")
+      .drop("_med_lo", "_med_hi", "_med_bracket")
       .orderBy(col("l_returnflag"))
   }
 
