@@ -567,14 +567,27 @@ object Cdc {
     // outer None = "look it up" (standalone call); Some(wm) = the cycle
     // already read the store once for all tables
     val wm = knownWatermark.getOrElse(getWatermark(spark, stateDir, tableName))
-    val delta = Cdc.deltaScan(src, changeCol, wm).cache()
+    // P6 empty-delta skip: no sink write, no watermark advance
+    // (service_layer/service.py:65, :76-77). The agg runs uncached — one
+    // pushdown scan; its row count then picks the session the REST of the
+    // sync runs on (see loopWidthSession below), so the delta cache is
+    // built once, against that session.
+    val agg = Cdc.deltaScan(src, changeCol, wm)
+      .agg(count(lit(1)).as("n"), max(col(changeCol)).as("mx")).collect()(0)
+    val n = agg.getLong(0)
+    if (n == 0L) return 0L
+    val newWm = asTimestamp(agg.get(1))
+    // Width follows the measured delta: a small-delta cycle (the steady
+    // CDC state) is job-count-dense — chunk, embed, sink RMW, swap — and
+    // its cost at small scale is stage scheduling, not data (BASELINE.md
+    // round-11 diagnosis). The CLONED session keeps the narrowing off the
+    // shared session conf, because the cycle runs tables concurrently.
+    // At scale the delta justifies full width and s2 eq spark.
+    val s2 = Materialize.loopWidthSession(spark, n)
+    val delta =
+      (if (s2 eq spark) Cdc.deltaScan(src, changeCol, wm)
+       else Cdc.deltaScan(Tables.table(s2, sourceDir, tableName), changeCol, wm)).cache()
     try {
-      // P6 empty-delta skip: no sink write, no watermark advance
-      // (service_layer/service.py:65, :76-77).
-      val agg = delta.agg(count(lit(1)).as("n"), max(col(changeCol)).as("mx")).collect()(0)
-      val n = agg.getLong(0)
-      if (n == 0L) return 0L
-      val newWm = asTimestamp(agg.get(1))
       val chunks =
         if (deterministicChunks)
           Chunker.chunkRowsAsJson(delta, col(effOrderCol), tableName, chunkSize)
@@ -593,7 +606,7 @@ object Cdc {
         // sink swap + watermark commit
         vectors.count()
         commitLock.synchronized {
-          upsertVectors(spark, sinkDir, vectors, namespace)
+          upsertVectors(s2, sinkDir, vectors, namespace)
           // S7 commit AFTER the sink write — reference order, T3.
           updateWatermark(spark, stateDir, tableName, newWm)
         }

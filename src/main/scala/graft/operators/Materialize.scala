@@ -135,6 +135,28 @@ object Materialize {
     }
   }
 
+  /** Thread-safe variant of [[withLoopWidth]] for callers that run
+    * CONCURRENTLY on one session (the CDC cycle's per-table pool): instead
+    * of mutating the shared session conf, returns a `newSession()` CLONE
+    * with isolated SQLConf, narrowed the same way (same width formula,
+    * AQE off when narrowed) — or the original session when `rows`
+    * justifies full width. The clone shares SparkContext, cache, and
+    * catalog; only its conf differs, so relations built FROM the clone
+    * plan at the narrow width while every other thread's session is
+    * untouched. Callers must build their relations from the returned
+    * session for the width to apply. */
+  def loopWidthSession(spark: SparkSession, rows: Long): SparkSession = {
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = math.max(1L, math.min(session.toLong, rows / LoopRowsPerPartition + 1)).toInt
+    if (w >= session || sys.env.get("GRAFT_NO_NARROW").contains("1")) spark
+    else {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", w.toString)
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2
+    }
+  }
+
   /** Session-scoped reliable-checkpoint scratch dir, created on first use
     * and deleted on JVM exit. On a real cluster this conf points at a
     * durable shared filesystem; the engine's behavior is identical. */
