@@ -182,8 +182,12 @@ object Bench {
         p.waitFor()
         if (p.exitValue() == 0) Some(out) else None
       } catch { case _: Exception => None }
-    val head = run(Seq("git", "rev-parse", "HEAD"))
-      .map(b => new String(b, "US-ASCII").trim)
+    // the MEASURED code is src/ + build.sbt, so fingerprint their git TREE
+    // hashes, not the commit hash: a doc-only commit must not rotate the
+    // fingerprint and discard the round's same-code history minima (it did,
+    // r11 — a README commit reset round_min to the raw total)
+    val head = run(Seq("git", "rev-parse", "HEAD:src", "HEAD:build.sbt"))
+      .map(b => java.util.UUID.nameUUIDFromBytes(b).toString.replace("-", ""))
     val diff = run(Seq("git", "diff", "HEAD", "--", "src", "build.sbt"))
     (head, diff) match {
       // per-run sentinel, never a shared constant: a constant would let
