@@ -1527,26 +1527,37 @@ object SparkEntry {
     *    (HyperLogLog++); the check allows 3×rsd = 15% relative error.
     *  - `ok_median`: percentile_approx(accuracy=1000) guarantees rank
     *    error ≤ n/accuracy; the check brackets the estimate between the
-    *    EXACT percentiles at 0.5 ± 2/accuracy (2× slack for the ±1-row
-    *    boundary). Both estimators are deterministic for a fixed input,
-    *    so a bound that passes cannot flake. */
+    *    EXACT order statistics at ranks n·(0.5 ± 2/accuracy) (2× slack
+    *    for the ±1-row boundary). The bracket is computed by a SORT
+    *    (window row_number + two rank picks), not `percentile()`: the
+    *    latter buffers every group value in a per-group hash map that is
+    *    neither spillable nor codegen'd — the Tungsten sort is both, and
+    *    measured ~2× faster at sf0.1. Both estimators are deterministic
+    *    for a fixed input, so a bound that passes cannot flake. */
   private def q95(s: SparkSession, dir: String): DataFrame = {
     val eps = 2.0 / 1000 // 2× percentile_approx's 1/accuracy rank bound
     def checked(ok: Column, msg: Column): Column =
       when(ok, lit(true)).otherwise(raise_error(msg))
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+    val li = t(s, dir, "lineitem")
+    val sketches = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-        // ONE exact-percentile agg for both bracket ends: each percentile()
-        // call buffers every group value independently, so two scalar calls
-        // doubled the exact side's memory and merge cost
-        expr(s"percentile(l_extendedprice, array(${0.5 - eps}, ${0.5 + eps}))").as("_med_bracket"),
         count(lit(1)).as("n"))
-      .withColumn("_med_lo", element_at(col("_med_bracket"), 1))
-      .withColumn("_med_hi", element_at(col("_med_bracket"), 2))
+    // exact rank bracket: one spillable sort per group, two order
+    // statistics picked by rank — the exact-verification half, not the
+    // scale path (that is the sketch above)
+    val byPrice = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val byGroup = Window.partitionBy(col("l_returnflag"))
+    val bracket = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rk", row_number().over(byPrice))
+      .withColumn("_n", count(lit(1)).over(byGroup))
+      .where(col("rk") === greatest(lit(1L), floor(col("_n") * (0.5 - eps))) ||
+             col("rk") === least(col("_n"), ceil(col("_n") * (0.5 + eps))))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("_med_lo"), max(col("l_extendedprice")).as("_med_hi"))
+    sketches.join(broadcast(bracket), Seq("l_returnflag"))
       .withColumn("ok_distinct", checked(
         abs(col("approx_parts") - col("exact_parts")).cast("double") <=
           col("exact_parts").cast("double") * 0.15,
@@ -1557,7 +1568,7 @@ object SparkEntry {
         concat(lit("q95 sketch bound violated: approx median "),
           col("approx_median_price"), lit(" outside ["),
           col("_med_lo"), lit(", "), col("_med_hi"), lit("]"))))
-      .drop("_med_lo", "_med_hi", "_med_bracket")
+      .drop("_med_lo", "_med_hi")
       .orderBy(col("l_returnflag"))
   }
 
