@@ -62,4 +62,47 @@ class MaterializeSpec extends AnyFunSuite {
     Materialize.free(snap)
     assert(!fs.exists(path), "free must delete the superseded snapshot's files")
   }
+
+  test("withLoopWidth narrows by measured rows, disables AQE, and restores both — also on exception") {
+    val conf = spark.conf
+    val session = conf.get("spark.sql.shuffle.partitions")
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    Materialize.withLoopWidth(spark, rows = 100) {
+      assert(conf.get("spark.sql.shuffle.partitions") == "1",
+        "100 rows must narrow to width 1")
+      assert(conf.get("spark.sql.adaptive.enabled") == "false",
+        "AQE must be off while narrowed (nothing left to coalesce)")
+    }
+    assert(conf.get("spark.sql.shuffle.partitions") == session)
+    assert(conf.get("spark.sql.adaptive.enabled") == aqe)
+    intercept[RuntimeException] {
+      Materialize.withLoopWidth(spark, rows = 100) { throw new RuntimeException("boom") }
+    }
+    assert(conf.get("spark.sql.shuffle.partitions") == session,
+      "conf must be restored even when the body throws")
+    assert(conf.get("spark.sql.adaptive.enabled") == aqe)
+    // at-scale passthrough: rows that justify >= session width change nothing
+    Materialize.withLoopWidth(spark, rows = Long.MaxValue / 2) {
+      assert(conf.get("spark.sql.shuffle.partitions") == session)
+      assert(conf.get("spark.sql.adaptive.enabled") == aqe)
+    }
+  }
+
+  test("loopWidthSession clones with isolated narrowed conf; at-scale returns the same session") {
+    val session = spark.conf.get("spark.sql.shuffle.partitions")
+    val s2 = Materialize.loopWidthSession(spark, rows = 100)
+    assert(s2 ne spark, "small rows must yield a narrowed clone")
+    assert(s2.conf.get("spark.sql.shuffle.partitions") == "1")
+    assert(s2.conf.get("spark.sql.adaptive.enabled") == "false")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == session,
+      "the clone's narrowing must never leak into the shared session")
+    assert(s2.sparkContext eq spark.sparkContext, "clone shares the SparkContext")
+    // relations built from the clone plan at its width
+    import s2.implicits._
+    val parts = (1 to 64).toDF("n").groupBy(col("n") % 4).count()
+      .rdd.getNumPartitions
+    assert(parts == 1, s"clone-built shuffle must use the narrowed width, got $parts")
+    assert(Materialize.loopWidthSession(spark, rows = Long.MaxValue / 2) eq spark,
+      "at-scale rows must return the original session untouched")
+  }
 }
