@@ -182,13 +182,14 @@ object Bench {
         p.waitFor()
         if (p.exitValue() == 0) Some(out) else None
       } catch { case _: Exception => None }
-    // the MEASURED code is src/ + build.sbt, so fingerprint their git TREE
-    // hashes, not the commit hash: a doc-only commit must not rotate the
-    // fingerprint and discard the round's same-code history minima (it did,
-    // r11 — a README commit reset round_min to the raw total)
-    val head = run(Seq("git", "rev-parse", "HEAD:src", "HEAD:build.sbt"))
+    // the MEASURED code is src/main + build.sbt, so fingerprint their git
+    // TREE hashes, not the commit hash: a doc-only or test-only commit
+    // must not rotate the fingerprint and discard the round's same-code
+    // history minima (both happened in r11 — a README commit and a
+    // spec-only commit each reset round_min to the raw total)
+    val head = run(Seq("git", "rev-parse", "HEAD:src/main", "HEAD:build.sbt"))
       .map(b => java.util.UUID.nameUUIDFromBytes(b).toString.replace("-", ""))
-    val diff = run(Seq("git", "diff", "HEAD", "--", "src", "build.sbt"))
+    val diff = run(Seq("git", "diff", "HEAD", "--", "src/main", "build.sbt"))
     (head, diff) match {
       // per-run sentinel, never a shared constant: a constant would let
       // every unfingerprinted run (git missing, CWD outside the repo) pool
