@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach the caller's stdout VERBATIM: sbt's
+// default logger wraps every forked line as "[info] {...}", which breaks
+// any downstream parser expecting the bench's bare one-line JSON headline
+// (BENCH_r{9,10,11}.json all recorded "parsed": null for exactly this).
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Wipe stale JUnit XML before each test run: a report for a since-deleted
 // suite (a scratch probe once left TEST-graft.TmpDialectProbe.xml behind)
 // otherwise pollutes naive report aggregation forever — after this, the

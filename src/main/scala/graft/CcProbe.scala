@@ -33,10 +33,15 @@ object CcProbe {
         Bench.materialize(SparkEntry.queries(q)(spark, dir)) // warm
         spark.catalog.clearCache()
         (1 to 3).foreach { i =>
+          // listener events arrive asynchronously on the bus: drain it
+          // before BOTH the reset and the read, or the counters undercount
+          // and the reset races events still in flight from the last run
+          drainListenerBus(spark)
           jobs = 0; stages = 0; tasks = 0
           val t0 = System.nanoTime()
           Bench.materialize(SparkEntry.queries(q)(spark, dir))
           val secs = (System.nanoTime() - t0) / 1e9
+          drainListenerBus(spark)
           println(f"PROBE $q%-24s run$i $secs%6.2fs jobs=$jobs stages=$stages tasks=$tasks")
           spark.catalog.clearCache()
         }
@@ -44,4 +49,17 @@ object CcProbe {
     }
     spark.stop()
   }
+
+  /** Block until every queued listener event has been delivered.
+    * `SparkContext.listenerBus` is `private[spark]`, which erases to a
+    * public accessor in bytecode — reflection reaches it without putting
+    * probe code inside Spark's package; a 200 ms settle is the fallback
+    * if either signature ever moves. */
+  private def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      ()
+    } catch { case _: Exception => Thread.sleep(200) }
 }

@@ -34,9 +34,19 @@ class Engine(
   /** S8: create the vector sink if absent. */
   def initializeIndex(): Unit = Cdc.initVectorSink(spark, sinkDir, layout)
 
+  /** Serializes this engine's sink swaps + watermark commits with any
+    * reader that wants a swap-free window: every cycle's commit section
+    * runs under it, and [[ServeHttp]] holds it around each store-reading
+    * route, so an HTTP read can never observe (or race the GC of) a
+    * mid-swap store version. Commits are small by design — chunk+embed
+    * materializes OUTSIDE the lock — so read-side contention is bounded
+    * by the swap, not the cycle. */
+  val commitLock = new Object
+
   /** One CDC sync tick over every source table. Returns rows synced. */
   def runSyncCycle(): Map[String, Long] =
-    Cdc.syncCycle(spark, sourceDir, stateDir, sinkDir, changeCol, chunkSize = chunkSize, layout = layout)
+    Cdc.syncCycle(spark, sourceDir, stateDir, sinkDir, changeCol,
+      chunkSize = chunkSize, layout = layout, commitLock = commitLock)
 
   /** Consecutive failed cycles since the last success — the health signal
     * an operator (or [[runPolling]]'s own circuit breaker) watches, so a
@@ -133,10 +143,27 @@ class Engine(
       .select(col("probe_id").as("query"), col("rank"), col("index_id").as("id"), col("score"))
   }
 
+  /** Conventional location for a namespace's persisted IVF index: an
+    * underscore-prefixed sibling INSIDE the sink directory, so the index
+    * travels with the data it indexes. Spark's file index ignores `_`- and
+    * `.`-prefixed paths, so sink reads never see it. */
+  def ivfIndexDir(namespace: String = Cdc.DefaultNamespace): String =
+    s"$sinkDir/_ivf/$namespace"
+
+  /** True when a COMPLETE index exists at [[ivfIndexDir]] — both parquet
+    * halves committed (`_SUCCESS` markers), so a crash mid-build never
+    * reads as an index. */
+  def hasIvfIndex(namespace: String = Cdc.DefaultNamespace): Boolean = {
+    val d = new java.io.File(ivfIndexDir(namespace))
+    new java.io.File(d, "data/_SUCCESS").isFile &&
+      new java.io.File(d, "centroids/_SUCCESS").isFile
+  }
+
   /** Build a persisted IVF index over one namespace of the vector sink
     * (see [[graft.operators.IvfIndex]]): centroids adapt to the corpus,
     * unlike the sink's fixed sign-bucket locality — the better read path
-    * once the namespace is large and clustered. */
+    * once the namespace is large and clustered. Build at [[ivfIndexDir]]
+    * to make it the [[ServeHttp]] `/query` default. */
   def buildIvfIndex(
       indexDir: String,
       k: Int = 16,

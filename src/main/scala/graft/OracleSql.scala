@@ -1258,7 +1258,8 @@ object OracleSql {
     "q92_multimodal" -> """
       WITH d AS (SELECT doc_id, text,
         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
-        FROM documents WHERE doc_id < 500),
+        FROM documents
+        WHERE (SELECT count(*) FROM documents) <= 500 OR doc_id % 10 = 2),
       jh AS (SELECT doc_id,
         list_reduce(list_prepend(1::BIGINT,
           list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT)),

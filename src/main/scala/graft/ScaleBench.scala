@@ -26,7 +26,10 @@ object ScaleBench {
     "q93_cdc_cycle", "q53_dedup_clusters_star", "q45_dedup_clusters",
     "q65_curation_pipeline", "q18_minhash_lsh", "q63_ngram_lm_score",
     "q69_substring_dup", "q71_bloom_decontamination", "q94_ivf_ann",
-    "q75_df_prune", "q76_epoch_shuffle", "q57_decontamination")
+    "q75_df_prune", "q76_epoch_shuffle", "q57_decontamination",
+    // r12: the two-phase exact rank bracket (RankStats) and the
+    // proportional multimodal decode slice — both newly data-tracking
+    "q95_sketches", "q92_multimodal")
   val Repeats = 2
 
   def main(args: Array[String]): Unit = {

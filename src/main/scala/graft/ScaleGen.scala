@@ -5,10 +5,10 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-curve fixture generator: writes an R×-replicated copy of a
-  * fixture dir's `documents`, `events`, and `embeddings` tables (the
-  * inputs of the heavy queries) so the same query can be timed at several
-  * scale factors and its scaling exponent measured (BASELINE.md "Scale
-  * curve").
+  * fixture dir's `documents`, `events`, `embeddings`, and `lineitem`
+  * tables (the inputs of the heavy queries) so the same query can be
+  * timed at several scale factors and its scaling exponent measured
+  * (BASELINE.md "Scale curve").
   *
   * Replication is LINEAR BY CONSTRUCTION — each replica is disjoint from
   * every other in the dimensions the heavy operators join/group on:
@@ -130,7 +130,25 @@ object ScaleGen {
       embeddings.count()
     } else 0L
 
-    println(s"""{"out":"$outDir","replicas":$reps,"documents":${docs.count()},"events":${events.count()},"embeddings":$nVecs}""")
+    // lineitem: the TPC-H fact behind the sketch family (q95/q79). Key
+    // columns get the replica stride so distinct-part counts grow exactly
+    // R×; measures (flag, price, quantity, dates) replicate unchanged, so
+    // per-flag row counts and every order statistic's RANK scale by R
+    // while the value domain stays fixed — precisely what a rank-bracket
+    // ladder row should measure.
+    requireBelow("lineitem", "l_orderkey", EventIdOffset)
+    requireBelow("lineitem", "l_partkey", DocIdOffset)
+    requireBelow("lineitem", "l_suppkey", DocIdOffset)
+    val li = Tables.table(spark, srcDir, "lineitem").withColumn("r", rcol)
+    val liCols = li.columns.filter(_ != "r").map {
+      case c @ "l_orderkey" => (col(c) + col("r").cast("long") * EventIdOffset).as(c)
+      case c @ ("l_partkey" | "l_suppkey") => (col(c) + col("r").cast("long") * DocIdOffset).as(c)
+      case c => col(c)
+    }
+    val lineitem = li.select(liCols.toIndexedSeq: _*)
+    lineitem.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+
+    println(s"""{"out":"$outDir","replicas":$reps,"documents":${docs.count()},"events":${events.count()},"embeddings":$nVecs,"lineitem":${lineitem.count()}}""")
     spark.stop()
   }
 }

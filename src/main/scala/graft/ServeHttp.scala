@@ -16,15 +16,24 @@ import java.nio.charset.StandardCharsets
   *    circuit-breaker state the poll loop maintains)
   *  - `GET /stats`      — sink index stats rows (`Engine.indexStats`)
   *  - `GET /watermarks` — per-table CDC watermarks (`Engine.watermarks`)
-  *  - `GET /query?q=text[&k=10][&nprobe=0]` — top-k similarity rows
-  *    (`Engine.searchSimilar`; `nprobe>0` = ANN bucket pruning)
+  *  - `GET /query?q=text[&k=10][&nprobe=N]` — top-k similarity rows.
+  *    Routing: with NO `nprobe` param, the scale path is the default — a
+  *    persisted IVF index at the engine's conventional location
+  *    (`Engine.ivfIndexDir`) serves the query partition-pruned when one
+  *    exists, else an exact namespace scan. An explicit `nprobe` pins the
+  *    sign-bucket path: `nprobe=0` forces the exact scan, `nprobe>0`
+  *    prunes to that many multi-probe sign buckets
+  *    (`Engine.searchSimilar`).
   *
   * Responses are JSON arrays of row objects (`Dataset.toJSON`); every
   * route's row count is bounded by construction (≤ bucket count, ≤ table
   * count, ≤ k), so the collect is driver-safe. Requests serialize on the
   * dispatcher thread (`setExecutor(null)`) — the same single-threaded
-  * model as the reference's Flask dev server, and it keeps concurrent
-  * Spark actions off the session while a poll cycle runs. */
+  * model as the reference's Flask dev server. The dispatcher runs
+  * CONCURRENTLY with the owner's poll loop (session actions are
+  * thread-safe); store-reading routes additionally hold
+  * `Engine.commitLock` for their whole read, so a request can never
+  * observe — or race the version GC of — a sink/watermark swap mid-cycle. */
 final class ServeHttp(engine: Engine) {
 
   @volatile private var server: HttpServer = null
@@ -38,17 +47,23 @@ final class ServeHttp(engine: Engine) {
       s"""{"healthy":${engine.healthy},"consecutive_failures":${engine.consecutiveFailures}}"""
     })
     s.createContext("/stats", (ex: HttpExchange) => respond(ex) { _ =>
-      rowsJson(engine.indexStats())
+      engine.commitLock.synchronized { rowsJson(engine.indexStats()) }
     })
     s.createContext("/watermarks", (ex: HttpExchange) => respond(ex) { _ =>
-      rowsJson(engine.watermarks())
+      engine.commitLock.synchronized { rowsJson(engine.watermarks()) }
     })
     s.createContext("/query", (ex: HttpExchange) => respond(ex) { params =>
       val q = params.getOrElse("q",
         throw new IllegalArgumentException("missing required param: q"))
       val k = params.get("k").map(_.toInt).getOrElse(10)
-      val nprobe = params.get("nprobe").map(_.toInt).getOrElse(0)
-      rowsJson(engine.searchSimilar(q, k, nprobe = nprobe))
+      engine.commitLock.synchronized {
+        params.get("nprobe").map(_.toInt) match {
+          case Some(nprobe) => rowsJson(engine.searchSimilar(q, k, nprobe = nprobe))
+          case None if engine.hasIvfIndex() =>
+            rowsJson(engine.searchIvf(engine.ivfIndexDir(), q, k))
+          case None => rowsJson(engine.searchSimilar(q, k, nprobe = 0))
+        }
+      }
     })
     s.setExecutor(null)
     s.start()

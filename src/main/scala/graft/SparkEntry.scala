@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Embeddings, JsonRows, PortableHash, TextOps, VectorOps}
 import graft.multimodal.Multimodal
-import graft.operators.{Cdc, Chunker, Dedup, IvfIndex, Materialize, SimilaritySearch}
+import graft.operators.{Cdc, Chunker, Dedup, IvfIndex, Materialize, RankStats, SimilaritySearch}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -852,10 +852,17 @@ object SparkEntry {
     * via the ISO-BMFF box walk), with a corrupt slice exercising the
     * labeled stub fallback. */
   private def q92(s: SparkSession, dir: String): DataFrame = {
-    // bounded: the cost being exercised is decode/featurize/resize, not
-    // the synthetic PNG/WAV ENCODING that fabricates the fixture (500 docs
-    // = the whole table at sf0.01; a fixed slice of it at larger SFs)
-    val media = Multimodal.syntheticMedia(s, t(s, dir, "documents").where(col("doc_id") < 500))
+    // SCALE-PROPORTIONAL slice: the whole corpus up to 500 docs (= all of
+    // it at the sf0.001/sf0.01 verify fixtures), else a deterministic 10%
+    // residue sample (doc_id % 10 = 2 — NOT a prefix bound: ScaleGen
+    // replica ids are striped by +10M offsets, and the offset ≡ 0 mod 10,
+    // so every replica contributes its exact share and the decode cost
+    // tracks the corpus on the ladder instead of being flat by fiat). The
+    // cost exercised is decode/featurize/resize, not the synthetic
+    // PNG/WAV ENCODING that fabricates the fixture.
+    val all = t(s, dir, "documents")
+    val sliced = if (all.count() <= 500L) all else all.where(col("doc_id") % 10 === 2)
+    val media = Multimodal.syntheticMedia(s, sliced)
     Multimodal.resizePlan(Multimodal.decodeAndFeaturize(media), maxSide = 512)
       .orderBy(col("media_id"))
   }
@@ -938,18 +945,22 @@ object SparkEntry {
     // artifact, not a scale property — real crawl dedup graphs are sparse;
     // at true scale the giant-component hazard is handled by star
     // contraction). 500 docs keeps components meaningful.
-    val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+    val bounded = t(s, dir, "documents").where(col("doc_id") < 500)
     // the doc_id cap bounds the WHOLE query's input, so the query runs at
     // the width its measured input justifies (width follows data, capped
-    // at the session width — identical plan shape at scale); the eager
-    // work (pair generation inside dedupClusters' edge materialization +
-    // the CC loop) all executes inside this region
-    Materialize.withLoopWidth(s, docs.count()) {
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleN = 1, threshold = 0.9, lengthBucket = 16)
-      Dedup.dedupClusters(docs, "doc_id", pairs)
-        .orderBy(col("doc_id"))
-    }
+    // at the session width — identical plan shape at scale). The width is
+    // applied via an isolated SESSION CLONE, never by mutating the shared
+    // conf: docs is rebuilt FROM the clone so everything downstream —
+    // pair generation, dedupClusters' edge materialization, and its
+    // nested loop narrowing — plans on the clone, and a concurrent main
+    // on `s` can never observe the narrowed width. At scale the clone
+    // branch is never taken (loopWidthSession returns `s` itself).
+    val s2 = Materialize.loopWidthSession(s, bounded.count())
+    val docs = if (s2 eq s) bounded else t(s2, dir, "documents").where(col("doc_id") < 500)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 1, threshold = 0.9, lengthBucket = 16)
+    Dedup.dedupClusters(docs, "doc_id", pairs)
+      .orderBy(col("doc_id"))
   }
 
   /** Dedup clustering over the FULL corpus via star contraction — the
@@ -1332,19 +1343,20 @@ object SparkEntry {
     * itself (the window partitions by the key the labels already
     * hash-partition on). */
   private def q74(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").where(col("doc_id") < 500)
-    // width follows the doc_id-bounded input, as in q45 (see there)
-    Materialize.withLoopWidth(s, docs.count()) {
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleN = 1, threshold = 0.9, lengthBucket = 16)
-      val clusters = Dedup.dedupClusters(docs, "doc_id", pairs)
-      val scored = docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
-      val w = Window.partitionBy(col("canonical")).orderBy(desc("quality"), col("doc_id"))
-      clusters.join(scored, Seq("doc_id"))
-        .withColumn("rk", row_number().over(w))
-        .select(col("doc_id"), col("canonical"), col("quality"), (col("rk") === 1).as("keep"))
-        .orderBy(col("doc_id"))
-    }
+    val bounded = t(s, dir, "documents").where(col("doc_id") < 500)
+    // width follows the doc_id-bounded input via an isolated session
+    // clone, as in q45 (see there)
+    val s2 = Materialize.loopWidthSession(s, bounded.count())
+    val docs = if (s2 eq s) bounded else t(s2, dir, "documents").where(col("doc_id") < 500)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 1, threshold = 0.9, lengthBucket = 16)
+    val clusters = Dedup.dedupClusters(docs, "doc_id", pairs)
+    val scored = docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy(col("canonical")).orderBy(desc("quality"), col("doc_id"))
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("canonical"), col("quality"), (col("rk") === 1).as("keep"))
+      .orderBy(col("doc_id"))
   }
 
   /** Corpus-adaptive boilerplate pruning (the token-level analog of
@@ -1528,12 +1540,15 @@ object SparkEntry {
     *  - `ok_median`: percentile_approx(accuracy=1000) guarantees rank
     *    error ≤ n/accuracy; the check brackets the estimate between the
     *    EXACT order statistics at ranks n·(0.5 ± 2/accuracy) (2× slack
-    *    for the ±1-row boundary). The bracket is computed by a SORT
-    *    (window row_number + two rank picks), not `percentile()`: the
-    *    latter buffers every group value in a per-group hash map that is
-    *    neither spillable nor codegen'd — the Tungsten sort is both, and
-    *    measured ~2× faster at sf0.1. Both estimators are deterministic
-    *    for a fixed input, so a bound that passes cannot flake. */
+    *    for the ±1-row boundary). The bracket is [[RankStats.atRanks]] —
+    *    value-blocked two-phase rank: the only sorts are tiny per-block
+    *    windows over the ≤2 blocks that contain a target rank, so the
+    *    verification half scales with the data instead of running
+    *    #groups single-task full sorts (the pre-r12 `row_number` window
+    *    at parallelism 3). Not `percentile()` either: that buffers every
+    *    group value in a per-group hash map that is neither spillable
+    *    nor codegen'd. Both estimators are deterministic for a fixed
+    *    input, so a bound that passes cannot flake. */
   private def q95(s: SparkSession, dir: String): DataFrame = {
     val eps = 2.0 / 1000 // 2× percentile_approx's 1/accuracy rank bound
     def checked(ok: Column, msg: Column): Column =
@@ -1545,16 +1560,14 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("exact_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
         count(lit(1)).as("n"))
-    // exact rank bracket: one spillable sort per group, two order
-    // statistics picked by rank — the exact-verification half, not the
-    // scale path (that is the sketch above)
-    val byPrice = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    val byGroup = Window.partitionBy(col("l_returnflag"))
-    val bracket = li.select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rk", row_number().over(byPrice))
-      .withColumn("_n", count(lit(1)).over(byGroup))
-      .where(col("rk") === greatest(lit(1L), floor(col("_n") * (0.5 - eps))) ||
-             col("rk") === least(col("_n"), ceil(col("_n") * (0.5 + eps))))
+    // exact rank bracket — the verification half; same order statistics
+    // as a global per-group sort, computed block-distributed
+    val bracket = RankStats.atRanks(
+        li.select(col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice",
+        n => Seq(
+          greatest(lit(1L), floor(n * (0.5 - eps))),
+          least(n, ceil(n * (0.5 + eps)))))
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("_med_lo"), max(col("l_extendedprice")).as("_med_hi"))
     sketches.join(broadcast(bracket), Seq("l_returnflag"))

@@ -18,7 +18,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_QUERIES=qA,qB restricts the dump (iteration aid, same
+    // contract as ScaleBench); the driver never sets it → full dump
+    val selected = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) =>
+        val want = qs.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.filter { case (k, _) => want(k) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

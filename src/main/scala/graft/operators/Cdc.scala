@@ -197,6 +197,20 @@ object Cdc {
       case None => df // first sync: full scan (service_layer/service.py:55-57)
     }
 
+  /** The delta a sync cycle actually SINKS: the closed-open-free interval
+    * (watermark, upTo] — [[deltaScan]] clamped above to the cycle's
+    * measured max. The upper clamp makes the sunk set identical to what
+    * the watermark commit covers even when the scan is re-run against a
+    * source that gained rows in between (fresh file listing on a cloned
+    * session, crash-retry, speculative re-execution): a row with
+    * changeCol > upTo is NEVER sunk this cycle, only picked up — once —
+    * by the next one. Both bounds are plain Catalyst filters → pushed to
+    * parquet row-group stats / JDBC WHERE. */
+  def boundedDeltaScan(
+      df: DataFrame, changeCol: String,
+      watermark: Option[Timestamp], upTo: Timestamp): DataFrame =
+    deltaScan(df, changeCol, watermark).where(col(changeCol) <= lit(upTo))
+
   /** T2 documented fix: configurable lateness — `>=` re-read with
     * downstream dedup-by-id absorbing the re-emitted rows. */
   def deltaScanWithLateness(
@@ -460,7 +474,8 @@ object Cdc {
       deterministicChunks: Boolean = false,
       namespace: String = DefaultNamespace,
       layout: SinkLayout = DefaultLayout,
-      parallelism: Int = 8): Map[String, TableOutcome] = {
+      parallelism: Int = 8,
+      commitLock: AnyRef = new Object): Map[String, TableOutcome] = {
     initVectorSink(spark, sinkDir, layout)
     val tables = Tables.listTables(sourceDir)
       .filter(_ != WatermarkTable) // P5 anti-filter
@@ -470,7 +485,6 @@ object Cdc {
     // table per cycle, pure fixed overhead at any scale
     val wms = readWatermarks(spark, stateDir).collect()
       .map(r => r.getAs[String]("table_name") -> asTimestamp(r.get(r.fieldIndex("last_updated")))).toMap
-    val commitLock = new Object
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(parallelism, tables.size)))
     try {
@@ -519,9 +533,11 @@ object Cdc {
       chunkSize: Int = Chunker.DefaultChunkSize,
       deterministicChunks: Boolean = false,
       namespace: String = DefaultNamespace,
-      layout: SinkLayout = DefaultLayout): Map[String, Long] = {
+      layout: SinkLayout = DefaultLayout,
+      commitLock: AnyRef = new Object): Map[String, Long] = {
     val outcomes = syncCycleOutcomes(spark, sourceDir, stateDir, sinkDir,
-      changeCol, orderCol, chunkSize, deterministicChunks, namespace, layout)
+      changeCol, orderCol, chunkSize, deterministicChunks, namespace, layout,
+      commitLock = commitLock)
     val failures = outcomes.collect { case (t, TableFailed(e)) => t -> e }
     if (failures.nonEmpty) throw new CdcCycleException(failures)
     outcomes.collect { case (t, TableSynced(n)) => t -> n }
@@ -584,9 +600,20 @@ object Cdc {
     // shared session conf, because the cycle runs tables concurrently.
     // At scale the delta justifies full width and s2 eq spark.
     val s2 = Materialize.loopWidthSession(spark, n)
+    // The delta is re-scanned (a fresh relation — on the cloned session
+    // even a fresh file listing), so it must be CLAMPED to the measured
+    // watermark: rows landing in the source between the two scans have
+    // changeCol > newWm and an unclamped re-scan would chunk and sink
+    // them this cycle while the watermark commits only to newWm — the
+    // next cycle would re-emit them, and under scalable chunk boundaries
+    // (a differently-partitioned re-scan) that is duplicate-content
+    // chunks with distinct ids during NORMAL polling, not just crash
+    // retries. boundedDeltaScan pins sunk rows == (wm, newWm], exactly
+    // the interval the commit covers.
     val delta =
-      (if (s2 eq spark) Cdc.deltaScan(src, changeCol, wm)
-       else Cdc.deltaScan(Tables.table(s2, sourceDir, tableName), changeCol, wm)).cache()
+      Cdc.boundedDeltaScan(
+        if (s2 eq spark) src else Tables.table(s2, sourceDir, tableName),
+        changeCol, wm, newWm).cache()
     try {
       val chunks =
         if (deterministicChunks)

@@ -147,7 +147,10 @@ object Materialize {
     * session for the width to apply. */
   def loopWidthSession(spark: SparkSession, rows: Long): SparkSession = {
     val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val w = math.max(1L, math.min(session.toLong, rows / LoopRowsPerPartition + 1)).toInt
+    val w0 = math.max(1L, math.min(session.toLong, rows / LoopRowsPerPartition + 1)).toInt
+    // same A/B hooks as withLoopWidth: GRAFT_LOOP_WIDTH forces the width
+    // (the sweep harness), GRAFT_NO_NARROW kills narrowing entirely
+    val w = sys.env.get("GRAFT_LOOP_WIDTH").map(_.toInt).getOrElse(w0)
     if (w >= session || sys.env.get("GRAFT_NO_NARROW").contains("1")) spark
     else {
       val s2 = spark.newSession()

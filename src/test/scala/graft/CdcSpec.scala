@@ -27,6 +27,28 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.deltaScan(df, "ts", None).count() == 3)
   }
 
+  test("boundedDeltaScan pins the sunk interval to (wm, upTo] — concurrent " +
+      "appends past the measured watermark never leak into the cycle") {
+    val wm = ts("2024-01-01 00:00:00")
+    val newWm = ts("2024-01-03 00:00:00")
+    // row 4 models a source append landing BETWEEN the watermark agg and
+    // the delta re-scan: changeCol > newWm, so it must be excluded this
+    // cycle (the commit only covers newWm) and picked up once by the next
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-02 00:00:00")),
+      (3L, newWm),
+      (4L, ts("2024-01-04 00:00:00"))).toDF("event_id", "ts")
+    val sunk = Cdc.boundedDeltaScan(df, "ts", Some(wm), newWm)
+    assert(sunk.select("event_id").as[Long].collect().toSet == Set(2L, 3L))
+    // the next cycle (watermark = newWm) picks up exactly the leftover
+    assert(Cdc.deltaScan(df, "ts", Some(newWm))
+      .select("event_id").as[Long].collect().toSet == Set(4L))
+    // first sync: lower bound absent, upper clamp still holds
+    assert(Cdc.boundedDeltaScan(df, "ts", None, newWm)
+      .select("event_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("deltaScanWithLateness re-reads the lateness window (T2 documented fix)") {
     val df = Seq(
       (1L, ts("2024-01-01 00:00:00")),

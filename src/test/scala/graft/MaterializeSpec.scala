@@ -105,4 +105,22 @@ class MaterializeSpec extends AnyFunSuite {
     assert(Materialize.loopWidthSession(spark, rows = Long.MaxValue / 2) eq spark,
       "at-scale rows must return the original session untouched")
   }
+
+  test("q45/q74 narrow via a session clone, never the shared conf (r12)") {
+    val width = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    for (q <- Seq("q45_dedup_clusters", "q74_keep_best")) {
+      val out = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      // the sf0.001 bounded input always justifies narrowing, so the
+      // result must be rooted on an isolated clone...
+      assert(out.sparkSession ne spark, s"$q must plan on a loop-width clone")
+      assert(out.sparkSession.conf.get("spark.sql.adaptive.enabled") == "false")
+      assert(out.count() > 0)
+      // ...and the shared session's conf must be untouched at every
+      // point — including after execution (dedupClusters' nested
+      // narrowing runs against the clone, not `spark`)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == width)
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe)
+    }
+  }
 }
