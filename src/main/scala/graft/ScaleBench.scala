@@ -51,6 +51,13 @@ object ScaleBench {
       // per-partition hash relations grow with the fixture
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256"))
+      // scan-side analog of INIT_PARTS: big fixtures read at the default
+      // 128m/partition concentrate whole partial-aggregation key spaces
+      // in few tasks (the exact-count-distinct spill knee measured at
+      // sx625 — BASELINE.md r12); a cluster operator sizes this so the
+      // per-task hash maps fit, so the decade pushes can too
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "128m"))
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", GraftSession.warehouseDir)

@@ -48,6 +48,15 @@ object ScaleGen {
 
     val rcol = explode(array((0 until reps).map(i => lit(i)): _*))
 
+    // SPARK_GRAFT_TABLES=a,b regenerates only the named tables into an
+    // existing fixture dir (e.g. backfilling lineitem under a dir whose
+    // document/event replicas already exist) — same contract style as
+    // ScaleBench/Verify's SPARK_GRAFT_QUERIES
+    val want: String => Boolean = sys.env.get("SPARK_GRAFT_TABLES") match {
+      case Some(ts) => ts.split(',').map(_.trim).filter(_.nonEmpty).toSet
+      case None => (_: String) => true
+    }
+
     val DocIdOffset = 10000000L   // per-replica id stride (documents, users, vectors)
     val EventIdOffset = 100000000L
     val FlipBits = 7              // sign-flip dims for embedding replicas (≤ 2^7 replicas)
@@ -61,10 +70,12 @@ object ScaleGen {
       require(mx < offset,
         s"$table.$idCol max $mx >= replica offset $offset: replicas would collide")
     }
-    requireBelow("documents", "doc_id", DocIdOffset)
-    requireBelow("events", "event_id", EventIdOffset)
-    requireBelow("events", "user_id", DocIdOffset)
-    requireBelow("embeddings", "vec_id", DocIdOffset)
+    if (want("documents")) requireBelow("documents", "doc_id", DocIdOffset)
+    if (want("events")) {
+      requireBelow("events", "event_id", EventIdOffset)
+      requireBelow("events", "user_id", DocIdOffset)
+    }
+    if (want("embeddings")) requireBelow("embeddings", "vec_id", DocIdOffset)
     // embeddings disjointness uses sign-flips over the leading FlipBits
     // dims (see below): distinct per-replica flip patterns exist only up
     // to 2^FlipBits replicas. Beyond that the embeddings table is SKIPPED
@@ -99,7 +110,10 @@ object ScaleGen {
       // the token suffixes lengthen the text, so n_chars is recomputed
       // from the replica's actual text rather than copied stale
       .withColumn("n_chars", length(col("text")).cast("long"))
-    docs.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+    val nDocs = if (want("documents")) {
+      docs.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+      docs.count()
+    } else -1L
 
     val events = Tables.table(spark, srcDir, "events")
       .withColumn("r", rcol)
@@ -108,7 +122,10 @@ object ScaleGen {
         col("ts"),
         (col("user_id") + col("r").cast("long") * DocIdOffset).as("user_id"),
         col("event_type"), col("value"), col("props"))
-    events.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+    val nEvents = if (want("events")) {
+      events.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+      events.count()
+    } else -1L
 
     // embeddings: replica r negates dimension i (i < FlipBits) iff bit i of
     // r is set. Sign-flipping a FIXED dim subset is an isometry — dot
@@ -116,7 +133,7 @@ object ScaleGen {
     // near-dup pair counts grow exactly R× — while the leading sign-bucket
     // bits become base XOR r, placing replicas in DISJOINT buckets (no
     // cross-replica candidate can meet in a bucket-local join).
-    val nVecs = if (withVectors) {
+    val nVecs = if (withVectors && want("embeddings")) {
       val embeddings = Tables.table(spark, srcDir, "embeddings")
         .withColumn("r", rcol)
         .select(
@@ -136,19 +153,30 @@ object ScaleGen {
     // per-flag row counts and every order statistic's RANK scale by R
     // while the value domain stays fixed — precisely what a rank-bracket
     // ladder row should measure.
-    requireBelow("lineitem", "l_orderkey", EventIdOffset)
-    requireBelow("lineitem", "l_partkey", DocIdOffset)
-    requireBelow("lineitem", "l_suppkey", DocIdOffset)
-    val li = Tables.table(spark, srcDir, "lineitem").withColumn("r", rcol)
-    val liCols = li.columns.filter(_ != "r").map {
-      case c @ "l_orderkey" => (col(c) + col("r").cast("long") * EventIdOffset).as(c)
-      case c @ ("l_partkey" | "l_suppkey") => (col(c) + col("r").cast("long") * DocIdOffset).as(c)
-      case c => col(c)
-    }
-    val lineitem = li.select(liCols.toIndexedSeq: _*)
-    lineitem.repartition(32).write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+    //
+    // Write shape: repartition the SMALL source BEFORE the explode and
+    // write straight after it — never shuffle the exploded output. The
+    // post-explode repartition the other tables use is tolerable at their
+    // volumes, but lineitem×625 is ~375M wide rows and the row shuffle
+    // wrote tens of GB before producing a single file (measured r12; the
+    // pre-explode shuffle moves ~40 MB for the identical data).
+    val nLi = if (want("lineitem")) {
+      requireBelow("lineitem", "l_orderkey", EventIdOffset)
+      requireBelow("lineitem", "l_partkey", DocIdOffset)
+      requireBelow("lineitem", "l_suppkey", DocIdOffset)
+      val li = Tables.table(spark, srcDir, "lineitem")
+        .repartition(32).withColumn("r", rcol)
+      val liCols = li.columns.filter(_ != "r").map {
+        case c @ "l_orderkey" => (col(c) + col("r").cast("long") * EventIdOffset).as(c)
+        case c @ ("l_partkey" | "l_suppkey") => (col(c) + col("r").cast("long") * DocIdOffset).as(c)
+        case c => col(c)
+      }
+      val lineitem = li.select(liCols.toIndexedSeq: _*)
+      lineitem.write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
+      lineitem.count()
+    } else -1L
 
-    println(s"""{"out":"$outDir","replicas":$reps,"documents":${docs.count()},"events":${events.count()},"embeddings":$nVecs,"lineitem":${lineitem.count()}}""")
+    println(s"""{"out":"$outDir","replicas":$reps,"documents":$nDocs,"events":$nEvents,"embeddings":$nVecs,"lineitem":$nLi}""")
     spark.stop()
   }
 }

@@ -879,6 +879,11 @@ object SparkEntry {
     * hash unchanged). */
   private def q93(s: SparkSession, dir: String): DataFrame = {
     val scratch = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    // each invocation's sink can reach GBs on the ladder fixtures — a
+    // bench JVM running repeats must not leak one per call (204 leaked
+    // dirs found on the r12 box)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(new java.io.File(scratch))))
     // layout tuned to the delta volume (~1k chunks/cycle at sf0.1): 8
     // id-buckets × 2^4 simb ≈ 128 directories — enough rewrite granularity
     // and read pruning without fragmenting into one-row parquet files (the
