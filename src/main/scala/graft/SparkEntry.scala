@@ -1448,16 +1448,28 @@ object SparkEntry {
   /** Exact twin of q95's ANSI-expressible half: the sketch query's
     * `exact_parts`/`n` sanity columns, split out so they get a full
     * hash-checked oracle row — only the `approx_*` columns remain
-    * rows-only (engine-specific sketch internals). Same scan shape as
-    * q95: one pass, two-phase agg (partial countDistinct under the
-    * exchange). */
-  private def q79(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        count(lit(1)).as("n"))
+    * rows-only (engine-specific sketch internals).
+    *
+    * Plan shape (r12): the distinct count runs as its OWN
+    * `distinct().groupBy().count()` pass and joins the plain row count,
+    * instead of `agg(countDistinct, count)` in one aggregate. Mixing a
+    * distinct with plain aggregates makes the planner EXPAND every input
+    * row into one copy per aggregate group (gid) — 2× the scan volume
+    * through the partial map and, on replica-striped fixtures where
+    * (flag, part) pairs barely repeat within a task, nearly 2× the
+    * shuffle (map-side dedup removes almost nothing). Split, the
+    * distinct shuffles the pairs once and the row count reduces
+    * map-side to 3 rows. Results identical; both joined relations are
+    * 3 rows (one per flag). */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_partkey"))
+    val parts = li.distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    val ns = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    parts.join(ns, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Cross-source corpus overlap matrix — the corpus-analytics view a
     * mixture designer reads before setting source weights: exact Jaccard
@@ -1559,12 +1571,23 @@ object SparkEntry {
     def checked(ok: Column, msg: Column): Column =
       when(ok, lit(true)).otherwise(raise_error(msg))
     val li = t(s, dir, "lineitem")
-    val sketches = li.groupBy(col("l_returnflag"))
+    // exact_parts runs as its own distinct pass and joins the sketch agg
+    // (3 rows each side): one aggregate mixing countDistinct with plain
+    // aggs would Expand every row ×2 through the partial map and the
+    // shuffle — the measured super-linear term of the sx625 decade
+    // (BASELINE.md r12; same split as q79, where the mechanism is
+    // documented). approx_count_distinct is an HLL agg, not a planner
+    // "distinct", so the sketch side stays Expand-free.
+    val sketchAgg = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
         count(lit(1)).as("n"))
+    val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    val sketches = sketchAgg.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+        col("approx_median_price"), col("n"))
     // exact rank bracket — the verification half; same order statistics
     // as a global per-group sort, computed block-distributed
     val bracket = RankStats.atRanks(
