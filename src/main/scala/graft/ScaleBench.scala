@@ -29,7 +29,11 @@ object ScaleBench {
     "q75_df_prune", "q76_epoch_shuffle", "q57_decontamination",
     // r12: the two-phase exact rank bracket (RankStats) and the
     // proportional multimodal decode slice — both newly data-tracking
-    "q95_sketches", "q92_multimodal")
+    "q95_sketches", "q92_multimodal",
+    // r13: the exact-distinct core on the ladder in its own right — its
+    // no-Expand shape and input-scaled distinct width are regression-
+    // pinned here, not just at sf0.1 (VERDICT r12 task 6)
+    "q79_sketch_exact")
   val Repeats = 2
 
   def main(args: Array[String]): Unit = {

@@ -881,9 +881,15 @@ object SparkEntry {
     val scratch = java.nio.file.Files.createTempDirectory("graft_cdc").toString
     // each invocation's sink can reach GBs on the ladder fixtures — a
     // bench JVM running repeats must not leak one per call (204 leaked
-    // dirs found on the r12 box)
-    Runtime.getRuntime.addShutdownHook(
-      new Thread(() => deleteRecursively(new java.io.File(scratch))))
+    // dirs found on the r12 box). One STATIC hook drains a registry
+    // (never one hook per call: a many-repeat bench JVM would grow the
+    // hook list unboundedly), and each new invocation eagerly deletes
+    // its predecessors, so the JVM holds at most one scratch at a time.
+    var prev = cdcScratchDirs.poll()
+    while (prev != null) {
+      deleteRecursively(new java.io.File(prev)); prev = cdcScratchDirs.poll()
+    }
+    cdcScratchDirs.add(scratch)
     // layout tuned to the delta volume (~1k chunks/cycle at sf0.1): 8
     // id-buckets × 2^4 simb ≈ 128 directories — enough rewrite granularity
     // and read pruning without fragmenting into one-row parquet files (the
@@ -1463,7 +1469,9 @@ object SparkEntry {
     * 3 rows (one per flag). */
   private def q79(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_partkey"))
-    val parts = li.distinct()
+    // isNotNull preserves countDistinct semantics (NULL is not a distinct
+    // value) — the split-out distinct().count() would otherwise count it
+    val parts = li.where(col("l_partkey").isNotNull).distinct()
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
     val ns = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     parts.join(ns, Seq("l_returnflag"))
@@ -1583,7 +1591,9 @@ object SparkEntry {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
         count(lit(1)).as("n"))
-    val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+    val exact = li.select(col("l_returnflag"), col("l_partkey"))
+      .where(col("l_partkey").isNotNull) // countDistinct ignores NULL; so must the split
+      .distinct()
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
     val sketches = sketchAgg.join(exact, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
@@ -1665,6 +1675,14 @@ object SparkEntry {
     if (children != null) children.foreach(deleteRecursively)
     f.delete(); ()
   }
+
+  /** q93 scratch dirs pending deletion: drained eagerly by the next q93
+    * call and, for the last survivor, by one static JVM shutdown hook. */
+  private val cdcScratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var d = cdcScratchDirs.poll()
+    while (d != null) { deleteRecursively(new java.io.File(d)); d = cdcScratchDirs.poll() }
+  }))
 
   /** ANN search through a persisted IVF index AFTER incremental append
     * (rows-only, like q94) — the CDC × ANN maintenance path, kept

@@ -33,9 +33,14 @@ import org.apache.spark.sql.functions._
   *
   * Preconditions: `value` is numeric, non-null, non-NaN (casts to double
   * monotonically — block ids only need monotone non-decreasing, so
-  * decimal→double tie-merging is harmless). Block balance follows the
-  * value distribution; a pathologically-skewed domain degrades toward one
-  * block = one group, never below the naive plan's parallelism.
+  * decimal→double tie-merging is harmless). The preconditions are
+  * ENFORCED in-plan: a null or NaN value would make `_blk` null, the
+  * block join would silently drop the row, and every downstream rank
+  * would shift — a wrong answer, not an error — so the scan raises
+  * loudly (`raise_error`) on the first violating row instead. Block
+  * balance follows the value distribution; a pathologically-skewed
+  * domain degrades toward one block = one group, never below the naive
+  * plan's parallelism.
   */
 object RankStats {
 
@@ -51,8 +56,17 @@ object RankStats {
       ranksOfN: Column => Seq[Column],
       parts: Int = 32): DataFrame = {
     val g = col(group)
+    val rawV = col(value)
+    // precondition guard (scaladoc): null/NaN must fail loudly, never
+    // silently shift ranks. raise_error is NullType, which coerces into
+    // the value column's type, so the when() keeps the original schema.
+    val rows = df.select(g,
+      when(rawV.isNull || isnan(rawV.cast("double")),
+        raise_error(concat(
+          lit(s"RankStats.atRanks: null/NaN in value column '$value' for group "),
+          g.cast("string"))))
+        .otherwise(rawV).as(value))
     val v = col(value)
-    val rows = df.select(g, v)
     val stats = rows.groupBy(g).agg(
       min(v).cast("double").as("_vmin"),
       max(v).cast("double").as("_vmax"),

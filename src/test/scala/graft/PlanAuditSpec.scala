@@ -199,6 +199,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!broadcastBench, s"benchmark set must not broadcast:\n$plan")
   }
 
+  test("q79/q95 exact-distinct stays Expand-free (split distinct, no multi-distinct plan)") {
+    // a countDistinct mixed into a multi-aggregate makes the planner
+    // Expand every input row ×(distinct groups) — the measured sx625
+    // super-linear term (BASELINE.md r12). The split plans must never
+    // regress to it.
+    for (q <- Seq("q79_sketch_exact", "q95_sketches")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Expand"), s"$q regressed to an Expand plan:\n$plan")
+    }
+  }
+
   test("knnJoin(broadcastProbes = false) does NOT broadcast a corpus-sized probe side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // model an above-threshold probe side

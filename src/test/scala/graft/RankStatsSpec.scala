@@ -72,6 +72,29 @@ class RankStatsSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("null value fails loudly, never silently drops the row") {
+    val df = Seq(("a", java.lang.Double.valueOf(1.0)), ("a", null: java.lang.Double))
+      .toDF("g", "v")
+    val e = intercept[Exception] {
+      RankStats.atRanks(df, "g", "v", medianBracket, parts = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("RankStats.atRanks")),
+      s"expected the precondition guard, got: $e")
+  }
+
+  test("NaN value fails loudly, never silently drops the row") {
+    val df = Seq(("a", 1.0), ("a", Double.NaN)).toDF("g", "v")
+    val e = intercept[Exception] {
+      RankStats.atRanks(df, "g", "v", medianBracket, parts = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("RankStats.atRanks")),
+      s"expected the precondition guard, got: $e")
+  }
+
   test("no single-task full-group sort: window partitions include the block id") {
     val df = (1 to 100).map(i => ("g0", i.toDouble)).toDF("g", "v")
     val plan = RankStats.atRanks(df, "g", "v", medianBracket, parts = 8)
