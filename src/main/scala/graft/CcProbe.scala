@@ -55,7 +55,7 @@ object CcProbe {
     * public accessor in bytecode — reflection reaches it without putting
     * probe code inside Spark's package; a 200 ms settle is the fallback
     * if either signature ever moves. */
-  private def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+  private[graft] def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     try {
       val sc = spark.sparkContext
       val bus = sc.getClass.getMethod("listenerBus").invoke(sc)

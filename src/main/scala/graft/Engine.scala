@@ -29,24 +29,34 @@ class Engine(
     sinkDir: String,
     changeCol: String = "ts",
     chunkSize: Int = 100, // service_layer/service.py:109
-    layout: Cdc.SinkLayout = Cdc.DefaultLayout) { // applies only when the sink is created
+    layout: Cdc.SinkLayout = Cdc.DefaultLayout, // applies only when the sink is created
+    autoRefreshIvf: Boolean = true) { // bound IVF staleness to one sync cycle
 
   /** S8: create the vector sink if absent. */
   def initializeIndex(): Unit = Cdc.initVectorSink(spark, sinkDir, layout)
 
-  /** Serializes this engine's sink swaps + watermark commits with any
-    * reader that wants a swap-free window: every cycle's commit section
-    * runs under it, and [[ServeHttp]] holds it around each store-reading
-    * route, so an HTTP read can never observe (or race the GC of) a
-    * mid-swap store version. Commits are small by design — chunk+embed
-    * materializes OUTSIDE the lock — so read-side contention is bounded
-    * by the swap, not the cycle. */
+  /** Serializes this engine's WRITERS — each table's sink commit +
+    * watermark publish runs under it, so concurrent tables' upserts
+    * read-modify-write the manifest one at a time. READERS never take
+    * it: every store (vector-sink manifest, watermark pointer, IVF
+    * pointer) publishes by atomic pointer flip and retains the previous
+    * version until the next commit's GC, so a read resolved at any
+    * instant materializes a consistent committed snapshot without
+    * blocking — or being blocked by — a commit (r12 verdict task 2). */
   val commitLock = new Object
 
-  /** One CDC sync tick over every source table. Returns rows synced. */
-  def runSyncCycle(): Map[String, Long] =
-    Cdc.syncCycle(spark, sourceDir, stateDir, sinkDir, changeCol,
+  /** One CDC sync tick over every source table. Returns rows synced.
+    * When the conventional IVF index exists and the cycle landed rows,
+    * the index is refreshed (atomic version swap, [[refreshIvfIndex]]) so
+    * the default `/query` route's staleness is bounded by the poll
+    * cadence instead of growing forever (set `autoRefreshIvf = false` to
+    * manage rebuilds manually). */
+  def runSyncCycle(): Map[String, Long] = {
+    val synced = Cdc.syncCycle(spark, sourceDir, stateDir, sinkDir, changeCol,
       chunkSize = chunkSize, layout = layout, commitLock = commitLock)
+    if (autoRefreshIvf && synced.valuesIterator.sum > 0 && hasIvfIndex()) refreshIvfIndex()
+    synced
+  }
 
   /** Consecutive failed cycles since the last success — the health signal
     * an operator (or [[runPolling]]'s own circuit breaker) watches, so a
@@ -109,7 +119,9 @@ class Engine(
       nprobe: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.col
     val probe = Embeddings.embed(query)
-    val ns = Cdc.readVectorSink(spark, sinkDir).where(col("namespace") === namespace)
+    // manifest-pruned snapshot read: only this namespace's directories
+    // are even listed, and no lock is taken (see commitLock scaladoc)
+    val ns = Cdc.readVectorSink(spark, sinkDir, Some(namespace))
     val pruned =
       if (nprobe <= 0) ns
       else {
@@ -137,7 +149,7 @@ class Engine(
     import spark.implicits._
     val simBits = Cdc.readLayout(sinkDir).simBits
     val probes = queries.map(q => (q, Embeddings.embed(q))).toDF("query", "probe_emb")
-    val ns = Cdc.readVectorSink(spark, sinkDir).where(col("namespace") === namespace)
+    val ns = Cdc.readVectorSink(spark, sinkDir, Some(namespace))
     SimilaritySearch.knnJoin(ns, probes, "id", "embedding", "query", "probe_emb",
       k, bits = simBits, broadcastProbes = true)
       .select(col("probe_id").as("query"), col("rank"), col("index_id").as("id"), col("score"))
@@ -146,24 +158,45 @@ class Engine(
   /** Conventional location for a namespace's persisted IVF index: an
     * underscore-prefixed sibling INSIDE the sink directory, so the index
     * travels with the data it indexes. Spark's file index ignores `_`- and
-    * `.`-prefixed paths, so sink reads never see it. */
+    * `.`-prefixed paths, so sink reads never see it.
+    *
+    * The directory is a VERSIONED container (`v000001`, `v000002`, …
+    * behind a `current` pointer): [[refreshIvfIndex]] builds the next
+    * version beside the live one and flips the pointer atomically, so a
+    * rebuild never races an in-flight query (the r12 in-place rebuild had
+    * a TOCTOU window between the completeness check and the data read).
+    * A pre-versioning index (centroids/data directly here) stays
+    * readable. */
   def ivfIndexDir(namespace: String = Cdc.DefaultNamespace): String =
     s"$sinkDir/_ivf/$namespace"
 
-  /** True when a COMPLETE index exists at [[ivfIndexDir]] — both parquet
-    * halves committed (`_SUCCESS` markers), so a crash mid-build never
-    * reads as an index. */
-  def hasIvfIndex(namespace: String = Cdc.DefaultNamespace): Boolean = {
-    val d = new java.io.File(ivfIndexDir(namespace))
-    new java.io.File(d, "data/_SUCCESS").isFile &&
-      new java.io.File(d, "centroids/_SUCCESS").isFile
+  /** Directory holding a complete, readable index for the namespace:
+    * the pointed version when the pointer exists (stale/crashed pointers
+    * resolve to None rather than a broken read), else the legacy
+    * unversioned layout if complete. */
+  def liveIvfDir(namespace: String = Cdc.DefaultNamespace): Option[String] = {
+    val container = new java.io.File(ivfIndexDir(namespace))
+    def complete(d: java.io.File) =
+      new java.io.File(d, "data/_SUCCESS").isFile &&
+        new java.io.File(d, "centroids/_SUCCESS").isFile
+    val ptr = new java.io.File(container, "current")
+    if (ptr.isFile) {
+      val v = new java.io.File(container, java.nio.file.Files.readString(ptr.toPath).trim)
+      if (complete(v)) Some(v.getPath) else None
+    } else if (complete(container)) Some(container.getPath)
+    else None
   }
+
+  /** True when a complete index exists for the namespace. */
+  def hasIvfIndex(namespace: String = Cdc.DefaultNamespace): Boolean =
+    liveIvfDir(namespace).isDefined
 
   /** Build a persisted IVF index over one namespace of the vector sink
     * (see [[graft.operators.IvfIndex]]): centroids adapt to the corpus,
     * unlike the sink's fixed sign-bucket locality — the better read path
-    * once the namespace is large and clustered. Build at [[ivfIndexDir]]
-    * to make it the [[ServeHttp]] `/query` default. */
+    * once the namespace is large and clustered. For the conventional
+    * serving location, use [[refreshIvfIndex]] — it versions the build
+    * and flips the `/query` default atomically. */
   def buildIvfIndex(
       indexDir: String,
       k: Int = 16,
@@ -171,19 +204,83 @@ class Engine(
       namespace: String = Cdc.DefaultNamespace,
       sampleFraction: Double = 1.0): Unit = {
     import org.apache.spark.sql.functions.col
-    val ns = Cdc.readVectorSink(spark, sinkDir)
-      .where(col("namespace") === namespace && col("embedding").isNotNull)
+    val ns = Cdc.readVectorSink(spark, sinkDir, Some(namespace))
+      .where(col("embedding").isNotNull)
       .select(col("id"), col("embedding"))
     graft.operators.IvfIndex.build(ns, "id", "embedding", indexDir, k, iters, sampleFraction)
   }
 
-  /** Text query against a persisted IVF index built by [[buildIvfIndex]]. */
-  def searchIvf(indexDir: String, query: String, k: Int = 10, nprobe: Int = 2): DataFrame =
-    graft.operators.IvfIndex.search(spark, indexDir, Embeddings.embed(query), k, nprobe)
+  /** (Re)build the conventional index from the CURRENT sink snapshot and
+    * publish it atomically: build into the next `vNNNNNN` version dir —
+    * queries keep serving the live version throughout — then flip the
+    * `current` pointer and GC every version but the new and previous one
+    * (an in-flight query one flip behind still materializes its scan;
+    * the same one-behind retention every store here uses). Build
+    * parameters persist beside the data so an [[autoRefreshIvf]] refresh
+    * reuses the live version's k/iters/sample rather than resetting to
+    * defaults. */
+  def refreshIvfIndex(
+      namespace: String = Cdc.DefaultNamespace,
+      k: Int = 16,
+      iters: Int = 3,
+      sampleFraction: Double = 1.0): Unit = {
+    val container = new java.io.File(ivfIndexDir(namespace))
+    container.mkdirs()
+    // inherit the live version's persisted build params unless overridden
+    val params = liveIvfDir(namespace)
+      .map(d => new java.io.File(d, "_build.properties")).filter(_.isFile)
+      .map { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().flatMap(_.split("=", 2) match {
+          case Array(a, b) => Some(a.trim -> b.trim); case _ => None
+        }).toMap finally src.close()
+      }.getOrElse(Map.empty)
+    val (kEff, itersEff, sampleEff) = (
+      params.get("k").map(_.toInt).getOrElse(k),
+      params.get("iters").map(_.toInt).getOrElse(iters),
+      params.get("sampleFraction").map(_.toDouble).getOrElse(sampleFraction))
+    val versions = Option(container.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{6}"))
+      .sortBy(_.getName)
+    val next = new java.io.File(container,
+      f"v${versions.lastOption.map(_.getName.stripPrefix("v").toInt).getOrElse(0) + 1}%06d")
+    buildIvfIndex(next.getPath, kEff, itersEff, namespace, sampleEff)
+    val pw = new java.io.FileWriter(new java.io.File(next, "_build.properties"))
+    try pw.write(s"k=$kEff\niters=$itersEff\nsampleFraction=$sampleEff\n") finally pw.close()
+    val prevLive = liveIvfDir(namespace).map(p => new java.io.File(p).getName)
+    val tmp = java.nio.file.Paths.get(container.getPath, "current_tmp")
+    java.nio.file.Files.writeString(tmp, next.getName)
+    java.nio.file.Files.move(tmp, new java.io.File(container, "current").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val keep = Set(next.getName) ++ prevLive
+    versions.filterNot(v => keep(v.getName)).foreach(Engine.deleteRecursively)
+    // legacy unversioned halves are shadowed by the pointer now
+    Engine.deleteRecursively(new java.io.File(container, "data"))
+    Engine.deleteRecursively(new java.io.File(container, "centroids"))
+  }
+
+  /** Text query against a persisted IVF index: `indexDir` may be a direct
+    * build ([[buildIvfIndex]]) or a versioned container
+    * ([[refreshIvfIndex]]) — a `current` pointer, when present, resolves
+    * to the live version at call time. */
+  def searchIvf(indexDir: String, query: String, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val ptr = new java.io.File(indexDir, "current")
+    val resolved =
+      if (ptr.isFile) new java.io.File(indexDir, java.nio.file.Files.readString(ptr.toPath).trim).getPath
+      else indexDir
+    graft.operators.IvfIndex.search(spark, resolved, Embeddings.embed(query), k, nprobe)
+  }
 
   /** `describe_index_stats` analog (`service_layer/service.py:97`). */
   def indexStats(): DataFrame = Cdc.sinkStats(spark, sinkDir)
 
   /** Current per-table watermarks (the reference's `watermark` table). */
   def watermarks(): DataFrame = Cdc.readWatermarks(spark, stateDir)
+}
+
+object Engine {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
 }

@@ -36,13 +36,11 @@ object ScaleBench {
     "q79_sketch_exact")
   val Repeats = 2
 
-  def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ScaleBench <dir> [<dir> ...]")
-    val Heavy = sys.env.get("SPARK_GRAFT_QUERIES") match {
-      case Some(qs) => qs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      case None => this.Heavy
-    }
-    val spark = SparkSession.builder()
+  /** The ladder session: identical confs for every decade measurement
+    * (and for [[StageProbe]], so stage tables explain ladder numbers,
+    * not some other configuration's). */
+  def session(): SparkSession =
+    SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -68,6 +66,14 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleBench <dir> [<dir> ...]")
+    val Heavy = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) => qs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      case None => this.Heavy
+    }
+    val spark = session()
     spark.sparkContext.setLogLevel("WARN")
     // one untimed warmup of every heavy query on the first (smallest) dir
     // so codegen/classloading isn't charged to the first timed run.

@@ -16,24 +16,31 @@ import java.nio.charset.StandardCharsets
   *    circuit-breaker state the poll loop maintains)
   *  - `GET /stats`      — sink index stats rows (`Engine.indexStats`)
   *  - `GET /watermarks` — per-table CDC watermarks (`Engine.watermarks`)
-  *  - `GET /query?q=text[&k=10][&nprobe=N]` — top-k similarity rows.
-  *    Routing: with NO `nprobe` param, the scale path is the default — a
-  *    persisted IVF index at the engine's conventional location
-  *    (`Engine.ivfIndexDir`) serves the query partition-pruned when one
-  *    exists, else an exact namespace scan. An explicit `nprobe` pins the
-  *    sign-bucket path: `nprobe=0` forces the exact scan, `nprobe>0`
-  *    prunes to that many multi-probe sign buckets
-  *    (`Engine.searchSimilar`).
+  *  - `GET /query?q=text[&k=10][&mode=auto|ivf|exact][&nprobe=N]` —
+  *    `{"served_by":…,"rows":[…]}`. Routing: `mode=auto` (the default)
+  *    serves from the persisted IVF index at the engine's conventional
+  *    location when one exists, else an exact namespace scan; `mode=ivf`
+  *    demands the index (400 if absent); `mode=exact` pins the exact
+  *    scan. An explicit `nprobe` overrides mode and pins the sign-bucket
+  *    sink path: `nprobe=0` the exact scan, `nprobe>0` that many
+  *    multi-probe sign buckets (`Engine.searchSimilar`). `served_by`
+  *    (`ivf` / `exact` / `simb`) makes the route taken — and therefore
+  *    the approximation and its freshness — observable to the caller:
+  *    the IVF path serves the snapshot of its last refresh, which the
+  *    poll loop re-publishes each cycle that lands rows
+  *    (`Engine.autoRefreshIvf`), so its staleness is bounded by the poll
+  *    cadence.
   *
-  * Responses are JSON arrays of row objects (`Dataset.toJSON`); every
-  * route's row count is bounded by construction (≤ bucket count, ≤ table
-  * count, ≤ k), so the collect is driver-safe. Requests serialize on the
-  * dispatcher thread (`setExecutor(null)`) — the same single-threaded
-  * model as the reference's Flask dev server. The dispatcher runs
-  * CONCURRENTLY with the owner's poll loop (session actions are
-  * thread-safe); store-reading routes additionally hold
-  * `Engine.commitLock` for their whole read, so a request can never
-  * observe — or race the version GC of — a sink/watermark swap mid-cycle. */
+  * Responses are row objects from `Dataset.toJSON`; every route's row
+  * count is bounded by construction (≤ bucket count, ≤ table count, ≤ k),
+  * so the collect is driver-safe. Requests serialize on the dispatcher
+  * thread (`setExecutor(null)`) — the same single-threaded model as the
+  * reference's Flask dev server. The dispatcher runs CONCURRENTLY with
+  * the owner's poll loop and takes NO lock: every store it reads
+  * (vector-sink manifest, watermark pointer, IVF pointer) publishes by
+  * atomic pointer flip with one-behind GC retention, so each request
+  * resolves a consistent committed snapshot without blocking — or being
+  * blocked by — a concurrent commit (ServeHttpSpec overlaps the two). */
 final class ServeHttp(engine: Engine) {
 
   @volatile private var server: HttpServer = null
@@ -47,23 +54,33 @@ final class ServeHttp(engine: Engine) {
       s"""{"healthy":${engine.healthy},"consecutive_failures":${engine.consecutiveFailures}}"""
     })
     s.createContext("/stats", (ex: HttpExchange) => respond(ex) { _ =>
-      engine.commitLock.synchronized { rowsJson(engine.indexStats()) }
+      rowsJson(engine.indexStats())
     })
     s.createContext("/watermarks", (ex: HttpExchange) => respond(ex) { _ =>
-      engine.commitLock.synchronized { rowsJson(engine.watermarks()) }
+      rowsJson(engine.watermarks())
     })
     s.createContext("/query", (ex: HttpExchange) => respond(ex) { params =>
       val q = params.getOrElse("q",
         throw new IllegalArgumentException("missing required param: q"))
       val k = params.get("k").map(_.toInt).getOrElse(10)
-      engine.commitLock.synchronized {
-        params.get("nprobe").map(_.toInt) match {
-          case Some(nprobe) => rowsJson(engine.searchSimilar(q, k, nprobe = nprobe))
-          case None if engine.hasIvfIndex() =>
-            rowsJson(engine.searchIvf(engine.ivfIndexDir(), q, k))
-          case None => rowsJson(engine.searchSimilar(q, k, nprobe = 0))
+      val mode = params.getOrElse("mode", "auto")
+      val (servedBy, rows) = params.get("nprobe").map(_.toInt) match {
+        case Some(nprobe) =>
+          (if (nprobe <= 0) "exact" else "simb",
+            rowsJson(engine.searchSimilar(q, k, nprobe = nprobe)))
+        case None => mode match {
+          case "exact" => ("exact", rowsJson(engine.searchSimilar(q, k, nprobe = 0)))
+          case "ivf" =>
+            if (!engine.hasIvfIndex())
+              throw new IllegalArgumentException("mode=ivf but no IVF index exists")
+            ("ivf", rowsJson(engine.searchIvf(engine.ivfIndexDir(), q, k)))
+          case "auto" =>
+            if (engine.hasIvfIndex()) ("ivf", rowsJson(engine.searchIvf(engine.ivfIndexDir(), q, k)))
+            else ("exact", rowsJson(engine.searchSimilar(q, k, nprobe = 0)))
+          case other => throw new IllegalArgumentException(s"unknown mode: $other")
         }
       }
+      s"""{"served_by":"$servedBy","rows":$rows}"""
     })
     s.setExecutor(null)
     s.start()

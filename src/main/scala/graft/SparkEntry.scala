@@ -1456,27 +1456,59 @@ object SparkEntry {
     * hash-checked oracle row — only the `approx_*` columns remain
     * rows-only (engine-specific sketch internals).
     *
-    * Plan shape (r12): the distinct count runs as its OWN
-    * `distinct().groupBy().count()` pass and joins the plain row count,
-    * instead of `agg(countDistinct, count)` in one aggregate. Mixing a
-    * distinct with plain aggregates makes the planner EXPAND every input
-    * row into one copy per aggregate group (gid) — 2× the scan volume
-    * through the partial map and, on replica-striped fixtures where
-    * (flag, part) pairs barely repeat within a task, nearly 2× the
-    * shuffle (map-side dedup removes almost nothing). Split, the
-    * distinct shuffles the pairs once and the row count reduces
-    * map-side to 3 rows. Results identical; both joined relations are
-    * 3 rows (one per flag). */
+    * Plan shape (r13, third iteration of the sx625 decade chase):
+    * ONE scan, two chained aggregates, no join —
+    *
+    *   pairs = groupBy(flag, partkey).count()          // the only big shuffle
+    *   out   = pairs.groupBy(flag)
+    *             .agg(count(partkey non-null) AS exact_parts,  // distinct pairs
+    *                  sum(pair count)         AS n)            // total rows
+    *
+    * `n` as the sum of per-pair counts is arithmetically the plain row
+    * count, so the r12 two-pass shape (distinct pass + count pass joined
+    * on 3 rows) collapses into one linear pipeline: the 375M-row fact
+    * scan runs ONCE instead of twice — at sx625 the two concurrent scan
+    * stages were 78 s + 80 s of the 105 s total (StageProbe r13) — and
+    * the second aggregate's input is the deduped pairs, map-side-combined
+    * to 3 rows per task before its shuffle. NULL partkeys count toward
+    * `n` but not `exact_parts` (countDistinct semantics), via the
+    * conditional count instead of a pre-filter. The r12 no-Expand
+    * property is preserved: neither aggregate mixes distinct with plain
+    * over the same input (PlanAuditSpec pins it). */
   private def q79(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_partkey"))
-    // isNotNull preserves countDistinct semantics (NULL is not a distinct
-    // value) — the split-out distinct().count() would otherwise count it
-    val parts = li.where(col("l_partkey").isNotNull).distinct()
-      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
-    val ns = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-    parts.join(ns, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("exact_parts"), col("n"))
+    li.repartition(distinctWidth(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"))
+      .groupBy(col("l_returnflag"), col("l_partkey")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("l_partkey").isNotNull, lit(1))).as("exact_parts"),
+        sum(col("_c")).as("n"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Reduce-side width for an exact-distinct shuffle over nearly-unique
+    * keys, scaled to the fact table's on-disk bytes (~24 MB of scan per
+    * partition, clamped to [session shuffle width, 1024]).
+    *
+    * Why explicit: a nearly-unique key space defeats BOTH halves of the
+    * default aggregate plan. The map-side partial agg builds a
+    * millions-of-entries hash map that eliminates ~8% of rows (measured,
+    * sx625) — pure CPU+GC; and AQE coalesces the reduce side by
+    * COMPRESSED shuffle bytes (~10 B/pair), so each reduce task gets
+    * multi-million-key hash maps whose probe cost grows super-linearly
+    * with fixture scale (the r12 "spill knee" that never actually
+    * spilled — StageProbe r13 showed it is hash-map CPU, not disk). An
+    * explicit `repartition(P, keys)` before the groupBy skips the
+    * useless partial (the exchange forwards raw rows) and pins the
+    * aggregate at width P — per-task key count stays ~constant as data
+    * grows, which is exactly what a cluster operator does by adding
+    * executors. */
+  private def distinctWidth(s: SparkSession, dir: String, table: String): Int = {
+    def size(x: java.io.File): Long =
+      if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.map(size).sum else x.length()
+    val bytes = size(new java.io.File(dir, table + ".parquet"))
+    val base = s.sessionState.conf.numShufflePartitions
+    math.max(base, math.min(1024, (bytes / (24L << 20)).toInt))
   }
 
   /** Cross-source corpus overlap matrix — the corpus-analytics view a

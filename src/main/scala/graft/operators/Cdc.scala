@@ -223,37 +223,187 @@ object Cdc {
     }
 
   // --- vector sink (S8/S9) ------------------------------------------------
+  //
+  // MVCC layout (r13): the sink is a set of IMMUTABLE generation roots
+  // (`vectors` = the legacy/first root, `vectors_gNNNNNN` thereafter),
+  // each holding (namespace, bucket, simb)-partitioned parquet for the
+  // buckets written in that generation, behind a MANIFEST that maps every
+  // live (namespace, bucket) to the root holding its current content.
+  // The manifest is an immutable numbered file published by one atomic
+  // pointer rename — the same Delta/Iceberg-style commit the watermark
+  // store uses ([[atomicOverwrite]]), at (namespace, bucket) granularity.
+  //
+  // Why not the pre-r13 in-place bucket swap (stage → rename live aside →
+  // rename staged in): renames invalidate every path a concurrent reader
+  // resolved, so reads had to serialize with commits on Engine.commitLock
+  // — a slow similarity scan blocked every table's commit for its whole
+  // duration (r12 verdict, wrong #2). Here NOTHING under a published root
+  // is ever renamed or rewritten; a commit writes a fresh root and flips
+  // the pointer. Readers resolve the manifest once and are immune to any
+  // concurrent commit; GC retains every root/bucket referenced by the
+  // CURRENT and PREVIOUS manifests, so a reader at most one commit behind
+  // still materializes its scan (the watermark store's exact contract).
+  // Crash safety falls out: the pointer always names a complete manifest,
+  // a crash mid-write leaves an orphan root the next commit's GC sweeps,
+  // and there is NO mid-swap state and NO roll-forward recovery at all.
+  // On an object store the renameless data path is the only one that
+  // works (S3 has no rename); the pointer flip maps to a conditional put.
 
-  /** S8: create-if-absent (`service_layer/service.py:82-100`): an empty
-    * (namespace, bucket, simb)-partitioned parquet dir with the fixed
-    * schema, plus the persisted layout choice. An existing sink keeps its
-    * original layout — `layout` only applies to a fresh sink. */
-  def initVectorSink(spark: SparkSession, sinkDir: String, layout: SinkLayout = DefaultLayout): Unit = {
-    val path = s"$sinkDir/vectors"
-    recoverVectorSink(sinkDir) // write-entry point: finish any crashed swap
-    if (!new java.io.File(path).exists()) {
-      new java.io.File(sinkDir).mkdirs()
-      writeLayout(sinkDir, layout)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorSinkSchema)
-        .write.partitionBy("namespace", "bucket", "simb").mode(SaveMode.Overwrite).parquet(path)
+  /** One live (namespace, bucket) → generation-root mapping. */
+  private[graft] final case class SinkEntry(root: String, namespace: String, bucket: Int)
+
+  /** Union width bound: a commit that would leave more than this many
+    * live generation roots folds the OLDEST roots' buckets into its own
+    * write (incremental compaction). Bounds the per-read plan width and
+    * the file count at ≤ MaxLiveRoots × touched-buckets regardless of
+    * commit count; the fold is amortized — each cycle compacts at most
+    * the excess, never the whole sink. */
+  private[graft] val MaxLiveRoots = 12
+
+  private def manifestPointer(sinkDir: String) = new java.io.File(s"$sinkDir/vectors_manifest.current")
+  private val ManifestPrefix = "vectors_manifest_v"
+
+  private def manifestVersionFiles(sinkDir: String): Seq[(Long, java.io.File)] =
+    Option(new java.io.File(sinkDir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith(ManifestPrefix) && !f.getName.endsWith(".tmp"))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix(ManifestPrefix).toLong).toOption.map(_ -> f))
+      .sortBy(_._1)
+
+  /** The pointed manifest's entries; None when the sink predates the
+    * manifest (legacy direct-root layout) or does not exist. */
+  private[graft] def readManifest(sinkDir: String): Option[Seq[SinkEntry]] = {
+    val ptr = manifestPointer(sinkDir)
+    if (!ptr.exists()) None
+    else {
+      val name = java.nio.file.Files.readString(ptr.toPath).trim
+      val src = scala.io.Source.fromFile(new java.io.File(sinkDir, name))
+      try Some(src.getLines().filter(l => l.nonEmpty && !l.startsWith("#")).toVector.map { l =>
+        val Array(root, ns, b) = l.split("\t", 3)
+        SinkEntry(root, ns, b.toInt)
+      }) finally src.close()
     }
   }
 
-  /** Explicit schema: partition columns come from directory names, data
-    * columns from the files; an empty (just-initialized) sink reads as an
-    * empty relation instead of failing schema inference. */
-  /** Readers deliberately do NOT run swap recovery: a reader healing a
-    * sink while a live writer is mid-swap would race the writer's renames
-    * and could destroy a bucket's only copy. A crashed swap leaves the
-    * live tree readable and loss-free (each bucket is atomically either
-    * its old or its new whole-directory state); the swap completes at the
-    * next WRITE ([[upsertVectors]]/[[initVectorSink]]) or an explicit
-    * [[recoverVectorSink]]. */
-  def readVectorSink(spark: SparkSession, sinkDir: String): DataFrame = {
-    val path = s"$sinkDir/vectors"
-    if (new java.io.File(path).exists()) spark.read.schema(vectorSinkSchema).parquet(path)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorSinkSchema)
+  /** Publish `entries` as the new live manifest: write an immutable
+    * numbered file, then one atomic pointer rename. Crash before the
+    * rename leaves an orphan file (swept here on the next publish — an
+    * orphan must never be mistaken for the previous LIVE manifest by the
+    * GC's one-behind retention); crash after leaves the new manifest
+    * live. Single writer at a time (the sink's standing contract). */
+  private def publishManifest(sinkDir: String, entries: Seq[SinkEntry]): Unit = {
+    val versions = manifestVersionFiles(sinkDir)
+    val pointed: Option[Long] = {
+      val ptr = manifestPointer(sinkDir)
+      if (!ptr.exists()) None
+      else scala.util.Try(java.nio.file.Files.readString(ptr.toPath).trim
+        .stripPrefix(ManifestPrefix).toLong).toOption
+    }
+    // sweep never-pointed orphans from crashed publishes
+    versions.filter { case (v, _) => pointed.exists(v > _) }.foreach(_._2.delete())
+    val next = math.max(versions.map(_._1).foldLeft(0L)(math.max), pointed.getOrElse(0L)) + 1
+    val file = new java.io.File(sinkDir, f"$ManifestPrefix$next%06d")
+    val tmp = new java.io.File(sinkDir, file.getName + ".tmp")
+    val w = new java.io.FileWriter(tmp)
+    try {
+      w.write("#graft-vector-manifest v1\n")
+      entries.sortBy(e => (e.root, e.namespace, e.bucket))
+        .foreach(e => w.write(s"${e.root}\t${e.namespace}\t${e.bucket}\n"))
+    } finally w.close()
+    if (!tmp.renameTo(file))
+      throw new java.io.IOException(s"cannot publish sink manifest $file")
+    val ptmp = java.nio.file.Paths.get(manifestPointer(sinkDir).getPath + "_tmp")
+    java.nio.file.Files.writeString(ptmp, file.getName)
+    java.nio.file.Files.move(ptmp, manifestPointer(sinkDir).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    fsync(manifestPointer(sinkDir))
+    fsync(new java.io.File(sinkDir))
   }
+
+  /** Adopt a sink into the manifest layout (no-op once adopted): a legacy
+    * direct-root sink's existing bucket directories become manifest
+    * entries pointing at the `vectors` root, untouched bytes; an absent
+    * sink becomes an empty manifest. Write-path entry point only —
+    * readers never mutate. */
+  private def ensureManifest(sinkDir: String): Unit =
+    if (!manifestPointer(sinkDir).exists()) {
+      new java.io.File(sinkDir).mkdirs()
+      val legacyRoot = new java.io.File(s"$sinkDir/vectors")
+      val entries =
+        if (legacyRoot.isDirectory) {
+          requireSimbLayout(sinkDir) // 2-level pre-simb data stays unreadable
+          scanRootEntries(sinkDir, "vectors")
+        } else Seq.empty
+      publishManifest(sinkDir, entries)
+    }
+
+  /** The (namespace, bucket) partition dirs physically present under one
+    * generation root. */
+  private def scanRootEntries(sinkDir: String, root: String): Seq[SinkEntry] = {
+    val rootDir = new java.io.File(sinkDir, root)
+    for {
+      ns <- Option(rootDir.listFiles()).toSeq.flatten.toSeq
+      if ns.isDirectory && ns.getName.startsWith("namespace=")
+      b <- Option(ns.listFiles()).toSeq.flatten
+      if b.isDirectory && b.getName.startsWith("bucket=")
+    } yield SinkEntry(root, ns.getName.stripPrefix("namespace="),
+      b.getName.stripPrefix("bucket=").toInt)
+  }
+
+  private def emptySink(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vectorSinkSchema)
+
+  /** Scan of the given manifest entries: one pruned parquet read per
+    * generation root (basePath recovers the namespace/bucket/simb
+    * partition columns), unioned. The listing touches ONLY the named
+    * bucket directories — manifest-driven driver-side pruning, the same
+    * file-skipping a table format's metadata gives — and the union width
+    * is bounded by [[MaxLiveRoots]]. */
+  private def readEntries(spark: SparkSession, sinkDir: String, entries: Seq[SinkEntry]): DataFrame =
+    if (entries.isEmpty) emptySink(spark)
+    else entries.groupBy(_.root).toSeq.sortBy(_._1).map { case (root, es) =>
+      spark.read
+        .option("basePath", s"$sinkDir/$root")
+        .schema(vectorSinkSchema)
+        .parquet(es.map(e => s"$sinkDir/$root/namespace=${e.namespace}/bucket=${e.bucket}")
+          .sorted: _*)
+    }.reduce(_.unionByName(_))
+
+  /** S8: create-if-absent (`service_layer/service.py:82-100`): persist the
+    * layout choice and publish an empty manifest. An existing sink keeps
+    * its original layout — `layout` only applies to a fresh sink. */
+  def initVectorSink(spark: SparkSession, sinkDir: String, layout: SinkLayout = DefaultLayout): Unit =
+    if (!manifestPointer(sinkDir).exists()) {
+      new java.io.File(sinkDir).mkdirs()
+      if (!new java.io.File(s"$sinkDir/vectors").exists() && !layoutFile(sinkDir).exists())
+        writeLayout(sinkDir, layout)
+      ensureManifest(sinkDir)
+    }
+
+  /** Snapshot read of the live sink. Resolves the manifest pointer and
+    * the file listing eagerly at DataFrame creation, so the returned
+    * relation is a consistent COMMITTED snapshot that a concurrent
+    * commit can neither tear nor invalidate (GC keeps the previous
+    * manifest's roots — one-behind retention, as the watermark store).
+    * Readers take NO lock. `namespace` prunes manifest entries
+    * driver-side before any listing happens — at scale, a one-namespace
+    * query never lists the other namespaces' directories.
+    *
+    * Legacy fallback: a sink with data but no manifest (pre-r13 layout)
+    * reads the `vectors` root directly, same bytes, same schema. */
+  def readVectorSink(
+      spark: SparkSession,
+      sinkDir: String,
+      namespace: Option[String] = None): DataFrame =
+    readManifest(sinkDir) match {
+      case Some(entries) =>
+        readEntries(spark, sinkDir, namespace.fold(entries)(ns => entries.filter(_.namespace == ns)))
+      case None =>
+        val path = s"$sinkDir/vectors"
+        val df =
+          if (new java.io.File(path).exists()) spark.read.schema(vectorSinkSchema).parquet(path)
+          else emptySink(spark)
+        namespace.fold(df)(ns => df.where(col("namespace") === ns))
+    }
 
   /** S9: idempotent key-based upsert, Pinecone semantics ("same id
     * overwrites", `service_layer/service.py:160-166`; namespace isolation,
@@ -261,35 +411,33 @@ object Cdc {
     * rows, then union.
     *
     * Scale shape: only the buckets the incoming ids hash into are read
-    * (partition pruning on the isin filter) and only those id-bucket
-    * directories are rewritten — the rest of the sink is untouched bytes.
+    * (manifest-pruned listing) and only those buckets are rewritten —
+    * the rest of the sink is untouched bytes under its existing roots.
     * A 300 s poll that touches 1% of buckets rewrites 1% of the sink, not
-    * 100%. The rewrite replaces whole bucket directories rather than using
-    * dynamic partition overwrite: a re-upserted id whose embedding changed
-    * may move to a different `simb` sub-partition, and dynamic overwrite
-    * would leave the old (bucket, simb) file behind if no new row lands
-    * there.
+    * 100%. Whole buckets rather than per-simb dynamic overwrite: a
+    * re-upserted id whose embedding changed may move to a different
+    * `simb` sub-partition, and dynamic overwrite would leave the old
+    * (bucket, simb) file behind if no new row lands there.
     *
-    * Crash safety (the at-least-once contract requires that COMMITTED rows
-    * can never vanish): the merged buckets are first written to a stage
-    * directory while the live sink is untouched, then an intent manifest is
-    * recorded and each touched bucket directory is swapped in by two
-    * renames (live → trash, staged → live). A crash before the manifest
-    * leaves the sink exactly as it was; a crash during the swaps leaves
-    * every bucket atomically old-or-new (readable, loss-free) and is
-    * rolled FORWARD by [[recoverVectorSink]] (staged data is complete by
-    * construction once the manifest exists), which runs automatically at
-    * the start of every WRITE. In production the same contract is a
-    * Delta/Iceberg MERGE; this is the no-new-deps parquet equivalent. */
+    * Commit protocol (MVCC, see the section comment): the merged buckets
+    * are written to a FRESH generation root while every published root
+    * stays untouched, then the manifest flips in one atomic pointer
+    * rename. A crash at any point leaves the pointed manifest — and
+    * therefore the visible sink — exactly as it was (an orphan root is
+    * swept by a later commit's GC); there is no roll-forward and no
+    * mid-swap state for a reader to observe. When the live-root count
+    * would exceed [[MaxLiveRoots]], the oldest roots' buckets ride along
+    * in this write (incremental compaction). `onBeforeCommit` is the
+    * crash-injection test hook, called after the data write and before
+    * the pointer flip. Single writer at a time, as any parquet sink
+    * without external commit coordination. */
   def upsertVectors(
       spark: SparkSession,
       sinkDir: String,
       batch: DataFrame,
       namespace: String = DefaultNamespace,
-      onBeforeBucketSwap: Int => Unit = _ => ()): Unit = {
-    val path = s"$sinkDir/vectors"
-    recoverVectorSink(sinkDir) // roll forward any interrupted swap first
-    requireSimbLayout(sinkDir)
+      onBeforeCommit: () => Unit = () => ()): Unit = {
+    ensureManifest(sinkDir)
     // cache: the batch plan (chunk→embed) feeds the bucket list, the
     // anti-join key set AND the union — uncached it would execute 3×.
     // null ids are dropped: a null would land in a default partition the
@@ -306,14 +454,31 @@ object Cdc {
       // the touched-bucket list is ≤ SinkBuckets values — driver-size
       val buckets = newRows.select("bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
       if (buckets.nonEmpty) {
-        val existing = readVectorSink(spark, sinkDir)
-          .where(col("namespace") === namespace && col("bucket").isin(buckets: _*))
-        val kept = existing.join(newRows.select("id"), Seq("id"), "left_anti")
-        // stage the merged buckets OUTSIDE the live tree: the write job can
-        // fail (or the process die) at any point without touching the sink
-        val stage = stageDir(sinkDir)
-        deleteRecursively(new java.io.File(stage)) // stale stage from a crash
-        deleteRecursively(new java.io.File(trashDir(sinkDir)))
+        val manifest = readManifest(sinkDir).getOrElse(Seq.empty)
+        val touched: Set[(String, Int)] = buckets.map(b => (namespace, b)).toSet
+        // incremental compaction: fold the oldest roots in whole if this
+        // commit would otherwise leave more than MaxLiveRoots roots live
+        def genOf(root: String): Long =
+          if (root == "vectors") 1L
+          else scala.util.Try(root.stripPrefix("vectors_g").toLong).toOption.getOrElse(1L)
+        val survivorRoots = manifest
+          .filterNot(e => touched((e.namespace, e.bucket))).map(_.root).distinct
+        val compactKeys: Set[(String, Int)] =
+          if (survivorRoots.size + 1 > MaxLiveRoots) {
+            val fold = survivorRoots.sortBy(genOf)
+              .take(survivorRoots.size + 1 - MaxLiveRoots).toSet
+            manifest.filter(e => fold(e.root)).map(e => (e.namespace, e.bucket)).toSet -- touched
+          } else Set.empty
+        val rewriteKeys = touched ++ compactKeys
+        val existing =
+          readEntries(spark, sinkDir, manifest.filter(e => rewriteKeys((e.namespace, e.bucket))))
+        // compacted rows from OTHER namespaces ride along verbatim: the
+        // id anti-join overwrite applies only inside this namespace
+        val kept = existing.join(
+          newRows.select(col("id").as("_new_id")),
+          existing("id") === col("_new_id") && existing("namespace") === lit(namespace),
+          "left_anti")
+        val genRoot = nextGenRoot(sinkDir)
         // co-locate each output directory's rows in one task: without this,
         // every one of the N shuffle tasks opens a file in every (bucket,
         // simb) dir it holds a row for — tiny-file explosion at small batch
@@ -323,82 +488,65 @@ object Cdc {
           .write
           .mode(SaveMode.Overwrite)
           .partitionBy("namespace", "bucket", "simb")
-          .parquet(stage)
-        // intent manifest: written only after the staged data is complete,
-        // so recovery can always roll forward (tmp-write + atomic rename)
-        writeManifest(sinkDir, namespace, buckets)
-        buckets.zipWithIndex.foreach { case (b, i) =>
-          onBeforeBucketSwap(i) // test hook: crash injection mid-swap
-          swapBucket(sinkDir, namespace, b)
-        }
-        clearSwapState(sinkDir)
+          .parquet(s"$sinkDir/$genRoot")
+        onBeforeCommit() // test hook: crash here must leave the old snapshot
+        // rewritten keys point at the new root — by PHYSICAL walk, not by
+        // intent: a key whose merge produced zero rows writes no dir and
+        // must drop out of the manifest, never dangle
+        val newEntries = manifest.filterNot(e => rewriteKeys((e.namespace, e.bucket))) ++
+          scanRootEntries(sinkDir, genRoot)
+        publishManifest(sinkDir, newEntries)
+        gcSink(sinkDir)
       }
     } finally { newRows.unpersist(); () }
   }
 
-  private def stageDir(sinkDir: String) = s"$sinkDir/vectors_stage"
-  private def trashDir(sinkDir: String) = s"$sinkDir/vectors_trash"
-  private def manifestFile(sinkDir: String) = new java.io.File(s"$sinkDir/vectors_swap.manifest")
-
-  private def writeManifest(sinkDir: String, namespace: String, buckets: Seq[Int]): Unit = {
-    val tmp = new java.io.File(s"$sinkDir/vectors_swap.manifest_tmp")
-    val w = new java.io.FileWriter(tmp)
-    try buckets.foreach(b => w.write(s"$namespace\t$b\n")) finally w.close()
-    if (!tmp.renameTo(manifestFile(sinkDir)))
-      throw new java.io.IOException(s"cannot publish swap manifest in $sinkDir")
+  /** Next unused generation-root name: one past the highest existing
+    * `vectors_g*` DIRECTORY (not manifest — a crashed commit's orphan
+    * root must never be reused while it awaits GC). */
+  private def nextGenRoot(sinkDir: String): String = {
+    val maxExisting = Option(new java.io.File(sinkDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("vectors_g"))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("vectors_g").toLong).toOption)
+      .foldLeft(1L)(math.max)
+    f"vectors_g${maxExisting + 1}%06d"
   }
 
-  /** Swap one staged bucket directory into the live sink: live → trash,
-    * staged → live. Idempotent — safe to re-run on a half-swapped bucket
-    * (recovery path): once the staged dir is gone the bucket is final. */
-  private def swapBucket(sinkDir: String, namespace: String, bucket: Int): Unit = {
-    val rel = s"namespace=$namespace/bucket=$bucket"
-    val live = new java.io.File(s"$sinkDir/vectors/$rel")
-    val staged = new java.io.File(s"${stageDir(sinkDir)}/$rel")
-    val trash = new java.io.File(s"${trashDir(sinkDir)}/$rel")
-    if (staged.exists()) {
-      if (live.exists()) {
-        trash.getParentFile.mkdirs()
-        deleteRecursively(trash)
-        if (!live.renameTo(trash))
-          throw new java.io.IOException(s"cannot move $live aside for swap")
-      }
-      live.getParentFile.mkdirs()
-      if (!staged.renameTo(live))
-        throw new java.io.IOException(s"cannot publish staged bucket $staged")
+  /** Retire storage unreachable from the current AND previous manifests:
+    * bucket dirs first, then empty namespace dirs / roots / manifest
+    * files. One-behind retention is what lets readers run lock-free
+    * (scaladoc on [[readVectorSink]]); anything older is unreferenced by
+    * construction — including crashed commits' orphan roots. */
+  private def gcSink(sinkDir: String): Unit = {
+    val versions = manifestVersionFiles(sinkDir)
+    val keepFiles = versions.takeRight(2)
+    val keep: Set[(String, String, Int)] = keepFiles.flatMap { case (_, f) =>
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().filter(l => l.nonEmpty && !l.startsWith("#")).toVector.map { l =>
+        val Array(root, ns, b) = l.split("\t", 3)
+        (root, ns, b.toInt)
+      } finally src.close()
+    }.toSet
+    val roots = Option(new java.io.File(sinkDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory &&
+        (f.getName == "vectors" || f.getName.startsWith("vectors_g")))
+    roots.foreach { root =>
+      Option(root.listFiles()).toSeq.flatten
+        .filter(ns => ns.isDirectory && ns.getName.startsWith("namespace=")).foreach { ns =>
+          Option(ns.listFiles()).toSeq.flatten
+            .filter(b => b.isDirectory && b.getName.startsWith("bucket=")).foreach { b =>
+              val key = (root.getName, ns.getName.stripPrefix("namespace="),
+                b.getName.stripPrefix("bucket=").toInt)
+              if (!keep(key)) deleteRecursively(b)
+            }
+          if (Option(ns.listFiles()).exists(_.isEmpty)) { ns.delete(); () }
+        }
+      // root-level _SUCCESS etc. may remain; only delete a root whose
+      // namespace dirs are all gone
+      if (Option(root.listFiles()).toSeq.flatten.forall(f => !f.isDirectory))
+        deleteRecursively(root)
     }
-  }
-
-  /** Roll an interrupted bucket swap forward. No-op unless a swap manifest
-    * exists (written only after the staged rewrite completed, so the staged
-    * side is always the complete post-upsert state — re-applying every
-    * listed bucket finishes the upsert; already-swapped buckets are
-    * idempotent no-ops). Runs at every WRITE entry (upsert/init), so a
-    * crashed writer's sink heals before the next write; like every
-    * parquet-directory sink without a transaction log, the sink assumes a
-    * SINGLE writer at a time (concurrent writers need Delta/Iceberg-style
-    * commit coordination regardless of this mechanism). */
-  def recoverVectorSink(sinkDir: String): Unit = {
-    val mf = manifestFile(sinkDir)
-    if (mf.exists()) {
-      val src = scala.io.Source.fromFile(mf)
-      val entries =
-        try src.getLines().filter(_.nonEmpty).toVector.map { line =>
-          val Array(ns, b) = line.split("\t", 2)
-          (ns, b.toInt)
-        } finally src.close()
-      System.err.println(
-        s"[cdc] recovering interrupted vector-sink swap (${entries.size} buckets) in $sinkDir")
-      entries.foreach { case (ns, b) => swapBucket(sinkDir, ns, b) }
-      clearSwapState(sinkDir)
-    }
-  }
-
-  private def clearSwapState(sinkDir: String): Unit = {
-    deleteRecursively(new java.io.File(trashDir(sinkDir)))
-    deleteRecursively(new java.io.File(stageDir(sinkDir)))
-    manifestFile(sinkDir).delete()
-    ()
+    versions.dropRight(2).foreach(_._2.delete())
   }
 
   /** Fail fast on a pre-`simb` sink layout (two-level namespace/bucket

@@ -197,13 +197,16 @@ class CdcSpec extends AnyFunSuite {
     val (touchId, touchBucket) = byBucket.head
     val otherBucket = byBucket.values.find(_ != touchBucket).get
     def bucketFiles(bk: Int): Map[String, String] = {
-      // recurse: parquet files live under simb= sub-partitions of the bucket
+      // locate the bucket through the manifest (MVCC: its generation root
+      // is part of its identity — an untouched bucket must not even MOVE)
+      val entry = Cdc.readManifest(sink).get
+        .find(e => e.namespace == "task1" && e.bucket == bk).get
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
-      val dir = new java.io.File(s"$sink/vectors/namespace=task1/bucket=$bk")
+      val dir = new java.io.File(s"$sink/${entry.root}/namespace=task1/bucket=$bk")
       walk(dir).filter(_.getName.endsWith(".parquet")).map { f =>
         val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-        f.getPath.stripPrefix(dir.getPath) -> java.util.Base64.getEncoder.encodeToString(
+        f.getPath.stripPrefix(sink) -> java.util.Base64.getEncoder.encodeToString(
           java.security.MessageDigest.getInstance("MD5").digest(bytes))
       }.toMap
     }
@@ -212,7 +215,8 @@ class CdcSpec extends AnyFunSuite {
     // upsert touching only touchBucket
     val b2 = Seq((touchId, Array(9f), "t", "v2")).toDF("id", "embedding", "source", "text")
     Cdc.upsertVectors(spark, sink, b2)
-    assert(bucketFiles(otherBucket) == before, "untouched bucket files must be byte-identical")
+    assert(bucketFiles(otherBucket) == before,
+      "untouched bucket must keep identical bytes at identical paths")
     val texts = Cdc.readVectorSink(spark, sink).where(col("id") === touchId)
       .select("text").collect().map(_.getString(0))
     assert(texts.toSeq == Seq("v2"))
@@ -232,7 +236,7 @@ class CdcSpec extends AnyFunSuite {
     assert(rows(0).getAs[Int]("simb") == 0)
   }
 
-  test("crash mid-swap loses no committed rows: manifest rolls the upsert forward") {
+  test("crash before the manifest flip leaves the committed snapshot; retry converges; orphan swept") {
     val sink = Files.createTempDirectory("graft_sink_crash").toString
     Cdc.initVectorSink(spark, sink)
     // commit a first batch spread over several buckets
@@ -243,37 +247,38 @@ class CdcSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(committed.size == 40)
 
-    // second batch touches several buckets; die after the FIRST bucket swap
+    // second batch touches several buckets; die AFTER the data write but
+    // BEFORE the atomic manifest pointer flip
     val b2 = ids.take(10).map(id => (id, Array(2f), "t", s"v2-$id")).toDF("id", "embedding", "source", "text")
     val boom = intercept[RuntimeException] {
       Cdc.upsertVectors(spark, sink, b2,
-        onBeforeBucketSwap = i => if (i == 1) throw new RuntimeException("injected crash"))
+        onBeforeCommit = () => throw new RuntimeException("injected crash"))
     }
     assert(boom.getMessage == "injected crash")
 
-    // a plain READ after the crash must lose nothing — each bucket is
-    // atomically its old or new whole-directory state (readers do NOT run
-    // recovery: that would race a live writer's renames)
+    // MVCC: a crashed commit is INVISIBLE — the read is bit-for-bit the
+    // previous snapshot, never a mid-swap mix (the pre-r13 bucket-swap
+    // design could only promise per-bucket old-or-new here)
     val midway = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(midway.keySet == committed.keySet, "committed ids lost by mid-swap crash")
-    midway.foreach { case (id, text) =>
-      assert(text == s"v1-$id" || text == s"v2-$id", s"$id has corrupt text $text")
-    }
+    assert(midway == committed, "crashed (unpublished) commit leaked into a read")
+    val orphanRoots = new java.io.File(sink).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("vectors_g")).map(_.getName).toSet
 
-    // the next WRITE rolls the crashed swap forward first, then applies
-    // itself — re-running the same upsert (what a crashed CDC cycle does)
+    // re-running the same upsert (what a crashed CDC cycle does)
     // converges the sink to the full batch-2 state
     Cdc.upsertVectors(spark, sink, b2)
     val after = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(after.keySet == committed.keySet)
-    ids.take(10).foreach(id => assert(after(id) == s"v2-$id", s"$id not rolled forward"))
+    ids.take(10).foreach(id => assert(after(id) == s"v2-$id", s"$id not overwritten on retry"))
     ids.drop(10).foreach(id => assert(after(id) == s"v1-$id"))
-    // swap scratch state is fully cleared
-    assert(!new java.io.File(s"$sink/vectors_stage").exists())
-    assert(!new java.io.File(s"$sink/vectors_trash").exists())
-    assert(!new java.io.File(s"$sink/vectors_swap.manifest").exists())
+    // the crashed attempt's orphan generation root was GC-swept by the
+    // successful commit (it was never referenced by any manifest)
+    val live = Cdc.readManifest(sink).get.map(_.root).toSet
+    orphanRoots.diff(live).foreach { orphan =>
+      assert(!new java.io.File(sink, orphan).exists(), s"orphan root $orphan survived GC")
+    }
   }
 
   test("crash during the staged write leaves the live sink untouched") {
@@ -288,7 +293,31 @@ class CdcSpec extends AnyFunSuite {
     val rows = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(rows == Map("a#1" -> "v1"))
-    assert(!new java.io.File(s"$sink/vectors_swap.manifest").exists())
+  }
+
+  test("MVCC snapshot isolation: a read resolved mid-commit or pre-commit sees the old snapshot") {
+    val sink = Files.createTempDirectory("graft_sink_mvcc").toString
+    Cdc.initVectorSink(spark, sink)
+    val ids = (1 to 30).map(i => s"t#$i")
+    def gen(tag: String) =
+      ids.map(id => (id, Array(1f), "t", s"$tag-$id")).toDF("id", "embedding", "source", "text")
+    def textsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("text").collect().map(_.getString(0).takeWhile(_ != '-')).toSet
+    Cdc.upsertVectors(spark, sink, gen("g1"))
+
+    // (a) a reader that resolves DURING an in-flight commit (after the
+    // data write, before the pointer flip) sees exactly the old snapshot
+    var midCommit: Set[String] = null
+    Cdc.upsertVectors(spark, sink, gen("g2"),
+      onBeforeCommit = () => midCommit = textsOf(Cdc.readVectorSink(spark, sink)))
+    assert(midCommit == Set("g1"), s"mid-commit read tore: $midCommit")
+
+    // (b) a reader that RESOLVED before a commit still materializes its
+    // snapshot after it (one-behind GC retention) — and it is the OLD one
+    val pinned = Cdc.readVectorSink(spark, sink) // resolves manifest + listing now
+    Cdc.upsertVectors(spark, sink, gen("g3"))
+    assert(textsOf(pinned) == Set("g2"), "pinned reader must see its resolved snapshot")
+    assert(textsOf(Cdc.readVectorSink(spark, sink)) == Set("g3"))
   }
 
   test("pre-simb sink layout fails fast with a reinitialize error") {

@@ -98,7 +98,9 @@ class EngineSpec extends AnyFunSuite {
     // ... and actually read fewer files than the sink holds
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
-    val totalFiles = walk(new java.io.File(s"$sink/vectors")).count(_.getName.endsWith(".parquet"))
+    val totalFiles = Option(new java.io.File(sink).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && (f.getName == "vectors" || f.getName.startsWith("vectors_g")))
+      .flatMap(walk).count(_.getName.endsWith(".parquet"))
     val scanned = result.queryExecution.executedPlan.collectWithSubqueries {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metrics("numFiles").value
     }.sum

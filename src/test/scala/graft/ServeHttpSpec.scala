@@ -69,7 +69,7 @@ class ServeHttpSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
-  test("/query defaults to the persisted IVF index when one exists; explicit nprobe pins the sink path") {
+  test("/query IVF routing: served_by observable, staleness bounded by auto-refresh, mode pins paths") {
     val scratch = Files.createTempDirectory("graft_http_ivf").toString
     val src = s"$scratch/src"
     new java.io.File(src).mkdirs()
@@ -77,42 +77,88 @@ class ServeHttpSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "payload")
       .write.parquet(s"$src/events.parquet")
 
-    val engine = new Engine(spark, src, s"$scratch/state", s"$scratch/sink")
+    // autoRefreshIvf = false first: the STALE-index scenario must be
+    // detectable from the response, not silent (r12 ADVICE medium)
+    val engine = new Engine(spark, src, s"$scratch/state", s"$scratch/sink",
+      autoRefreshIvf = false)
     engine.initializeIndex()
     engine.runSyncCycle()
     assert(!engine.hasIvfIndex(), "no index yet → default must be the exact scan")
-    engine.buildIvfIndex(engine.ivfIndexDir(), k = 4, iters = 2)
-    assert(engine.hasIvfIndex(), "conventional-location build must be discoverable")
-
-    // vectors upserted AFTER the index build exist only in the sink — a
-    // routing probe: the IVF path (index files only) cannot return them,
-    // the exact sink scan must
-    (81 to 82).map(i => (i.toLong, Timestamp.valueOf(s"2024-01-02 00:00:0${i - 80}"), "zebra unique marker"))
-      .toDF("event_id", "ts", "payload")
-      .write.mode("append").parquet(s"$src/events.parquet")
-    engine.runSyncCycle()
 
     val api = new ServeHttp(engine)
     val port = api.start(0)
     try {
       val base = s"http://127.0.0.1:$port"
-      // explicit nprobe=0 → exact sink scan → the post-index vector wins
-      val (ec, exact) = get(s"$base/query?q=zebra+unique+marker&k=1&nprobe=0")
-      assert(ec == 200)
-      assert(exact.contains("zebra") || exact.contains("events#"), exact)
-      val exactTop = exact
-      // default (no nprobe) → routed through the persisted index, whose
-      // pruned cluster scan reads only index files: the post-index vector
-      // CANNOT appear (SimilaritySpec plan-asserts the partition pruning)
+      // no index: auto mode says so; mode=ivf demands one loudly
+      val (nc, noIdx) = get(s"$base/query?q=alpha-42&k=2")
+      assert(nc == 200 && noIdx.contains("\"served_by\":\"exact\""), noIdx)
+      val (mc, mErr) = get(s"$base/query?q=alpha-42&k=2&mode=ivf")
+      assert(mc == 400 && mErr.contains("no IVF index"), mErr)
+
+      engine.refreshIvfIndex(k = 4, iters = 2)
+      assert(engine.hasIvfIndex(), "refresh must publish a discoverable index")
+
+      // vectors upserted AFTER the build exist only in the sink; with
+      // auto-refresh off the IVF route cannot see them — but the caller
+      // can TELL, because served_by names the index path
+      (81 to 82).map(i => (i.toLong, Timestamp.valueOf(s"2024-01-02 00:00:0${i - 80}"), "zebra unique marker"))
+        .toDF("event_id", "ts", "payload")
+        .write.mode("append").parquet(s"$src/events.parquet")
+      engine.runSyncCycle()
+
+      val (ec, exact) = get(s"$base/query?q=zebra+unique+marker&k=1&mode=exact")
+      assert(ec == 200 && exact.contains("\"served_by\":\"exact\""), exact)
       val (dc, viaIvf) = get(s"$base/query?q=zebra+unique+marker&k=80")
-      assert(dc == 200)
-      val exactIds = idsOf(exactTop)
+      assert(dc == 200 && viaIvf.contains("\"served_by\":\"ivf\""), viaIvf)
+      val exactIds = idsOf(exact)
       val ivfIds = idsOf(viaIvf)
-      assert(exactIds.nonEmpty)
+      assert(exactIds.nonEmpty && ivfIds.nonEmpty)
       assert(exactIds.forall(id => !ivfIds.contains(id)),
-        s"post-index-build ids must be invisible to the IVF default route: $exactIds vs $ivfIds")
-      // sanity: the IVF route still serves the indexed corpus
-      assert(ivfIds.nonEmpty)
+        s"stale IVF cannot see post-build ids (and says so via served_by): $exactIds vs $ivfIds")
+
+      // an atomic refresh bounds the staleness: the same route now serves
+      // the post-build vector — this is what runSyncCycle does every
+      // cycle under autoRefreshIvf = true (the default)
+      engine.refreshIvfIndex()
+      val (rc, fresh) = get(s"$base/query?q=zebra+unique+marker&k=80")
+      assert(rc == 200 && fresh.contains("\"served_by\":\"ivf\""), fresh)
+      assert(exactIds.subsetOf(idsOf(fresh)),
+        s"refreshed index must serve the new rows: $exactIds vs ${idsOf(fresh)}")
+
+      // explicit nprobe still pins the sign-bucket sink path
+      val (sc2, viaSimb) = get(s"$base/query?q=zebra+unique+marker&k=5&nprobe=2")
+      assert(sc2 == 200 && viaSimb.contains("\"served_by\":\"simb\""), viaSimb)
+    } finally api.stop()
+  }
+
+  test("store-reading routes take no lock: all respond while a commit holds Engine.commitLock") {
+    val scratch = Files.createTempDirectory("graft_http_lockfree").toString
+    val src = s"$scratch/src"
+    new java.io.File(src).mkdirs()
+    (1 to 40).map(i => (i.toLong, Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"), s"pay-$i"))
+      .toDF("event_id", "ts", "payload")
+      .write.parquet(s"$src/events.parquet")
+    val engine = new Engine(spark, src, s"$scratch/state", s"$scratch/sink")
+    engine.initializeIndex()
+    engine.runSyncCycle()
+    val api = new ServeHttp(engine)
+    val port = api.start(0)
+    try {
+      val base = s"http://127.0.0.1:$port"
+      // hold the writers' lock — exactly what a table's commit section
+      // does for its whole duration — and require every read route to
+      // complete anyway (pre-r13 they would deadlock-wait here)
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val holder = new Thread(() => engine.commitLock.synchronized {
+        done.await()
+      })
+      holder.start()
+      try {
+        for (route <- Seq("/stats", "/watermarks", "/query?q=pay-7&k=2")) {
+          val (code, body) = get(s"$base$route")
+          assert(code == 200, s"$route blocked or failed under commitLock: $body")
+        }
+      } finally { done.countDown(); holder.join() }
     } finally api.stop()
   }
 
