@@ -1507,7 +1507,10 @@ object SparkEntry {
     def size(x: java.io.File): Long =
       if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.map(size).sum else x.length()
     val bytes = size(new java.io.File(dir, table + ".parquet"))
-    val base = s.sessionState.conf.numShufflePartitions
+    // the RAW conf, not numShufflePartitions: under AQE the latter
+    // reports coalescePartitions.initialPartitionNum (256 on the
+    // ladder), which would floor the width at 256 even at sf0.1
+    val base = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     math.max(base, math.min(1024, (bytes / (24L << 20)).toInt))
   }
 
@@ -1625,7 +1628,8 @@ object SparkEntry {
         count(lit(1)).as("n"))
     val exact = li.select(col("l_returnflag"), col("l_partkey"))
       .where(col("l_partkey").isNotNull) // countDistinct ignores NULL; so must the split
-      .distinct()
+      .repartition(distinctWidth(s, dir, "lineitem"), col("l_returnflag"), col("l_partkey"))
+      .distinct() // width pinned as in q79: no map-side partial, constant per-task keys
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
     val sketches = sketchAgg.join(exact, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),

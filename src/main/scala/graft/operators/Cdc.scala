@@ -606,7 +606,7 @@ object Cdc {
     * footer/metadata load, delta count/max, chunk+embed materialization —
     * overlaps freely, while the sink upsert + watermark commit serialize
     * under a per-cycle mutex, because both are read-modify-write protocols
-    * on shared state (single stage/manifest dir; watermark store swap).
+    * on shared state (the sink manifest; the watermark version pointer).
     * Optimistic-parallel compute with a serialized commit tail is the same
     * shape every table format (Delta/Iceberg) uses for concurrent writers;
     * cycle latency becomes max-of-tables' compute + sum of (small) commits
@@ -742,7 +742,7 @@ object Cdc {
     if (n == 0L) return 0L
     val newWm = asTimestamp(agg.get(1))
     // Width follows the measured delta: a small-delta cycle (the steady
-    // CDC state) is job-count-dense — chunk, embed, sink RMW, swap — and
+    // CDC state) is job-count-dense — chunk, embed, sink RMW, commit — and
     // its cost at small scale is stage scheduling, not data (BASELINE.md
     // round-11 diagnosis). The CLONED session keeps the narrowing off the
     // shared session conf, because the cycle runs tables concurrently.
@@ -777,8 +777,9 @@ object Cdc {
         col("text")).cache()
       try {
         // materialize chunk+embed OUTSIDE the commit lock, so concurrent
-        // tables overlap their compute and only serialize the (small)
-        // sink swap + watermark commit
+        // tables overlap their compute and only serialize the sink
+        // upsert + watermark commit (writer-writer serialization only —
+        // readers are MVCC-snapshot-isolated and take no lock)
         vectors.count()
         commitLock.synchronized {
           upsertVectors(s2, sinkDir, vectors, namespace)

@@ -295,6 +295,34 @@ class CdcSpec extends AnyFunSuite {
     assert(rows == Map("a#1" -> "v1"))
   }
 
+  test("incremental compaction bounds live generation roots at MaxLiveRoots") {
+    val sink = Files.createTempDirectory("graft_sink_compact").toString
+    Cdc.initVectorSink(spark, sink)
+    // 2×MaxLiveRoots single-id commits: every commit adds a root, so
+    // without compaction the root count would grow without bound (and
+    // with it every read's union width and the sink's file count)
+    val n = Cdc.MaxLiveRoots * 2
+    (1 to n).foreach { i =>
+      val b = Seq((s"t#$i", Array(i.toFloat), "t", s"v$i")).toDF("id", "embedding", "source", "text")
+      Cdc.upsertVectors(spark, sink, b)
+      val roots = Cdc.readManifest(sink).get.map(_.root).distinct
+      assert(roots.size <= Cdc.MaxLiveRoots,
+        s"commit $i left ${roots.size} live roots: $roots")
+    }
+    // no row was lost to the folds, and every id reads its latest value
+    val rows = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == (1 to n).map(i => s"t#$i" -> s"v$i").toMap)
+    // physically retired roots are gone from disk: GC keeps the roots of
+    // the current and previous manifests, and current = (prev − folded)
+    // ∪ {new}, so at most MaxLiveRoots + 1 root dirs may exist
+    val onDisk = new java.io.File(sink).listFiles()
+      .filter(f => f.isDirectory && (f.getName == "vectors" || f.getName.startsWith("vectors_g")))
+      .map(_.getName).toSet
+    assert(onDisk.size <= Cdc.MaxLiveRoots + 1,
+      s"retired roots not GC'd: ${onDisk.size} on disk: $onDisk")
+  }
+
   test("MVCC snapshot isolation: a read resolved mid-commit or pre-commit sees the old snapshot") {
     val sink = Files.createTempDirectory("graft_sink_mvcc").toString
     Cdc.initVectorSink(spark, sink)

@@ -211,6 +211,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q79 exact-distinct shuffles at a pinned explicit width with no map-side partial agg") {
+    // the scale shape (BASELINE r13): one REPARTITION_BY_NUM exchange of
+    // the raw pairs — a nearly-unique key space makes a map-side partial
+    // hash map pure CPU/GC waste, and AQE's byte-based coalescing reads
+    // ~10 B/pair compressed and under-provisions the reduce side. AQE
+    // must neither coalesce nor re-widen the pinned exchange.
+    val plan = SparkEntry.queries("q79_sketch_exact")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"q79's distinct must shuffle via an explicit pinned-width repartition:\n$plan")
+    val beforeExchange = plan.substring(plan.indexOf("REPARTITION_BY_NUM"))
+    assert(!beforeExchange.contains("HashAggregate"),
+      s"no partial aggregate may run below the pinned exchange:\n$plan")
+  }
+
   test("knnJoin(broadcastProbes = false) does NOT broadcast a corpus-sized probe side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // model an above-threshold probe side
