@@ -436,24 +436,100 @@ object Cdc {
       sinkDir: String,
       batch: DataFrame,
       namespace: String = DefaultNamespace,
-      onBeforeCommit: () => Unit = () => ()): Unit = {
+      onBeforeCommit: () => Unit = () => ()): Unit =
+    stageUpsert(spark, sinkDir, batch, namespace)
+      .foreach(commitStagedUpsert(spark, sinkDir, _, onBeforeCommit))
+
+  /** A prepared upsert batch: the deduped, bucket/simb-annotated rows
+    * persisted to a scratch parquet dir UNDER the sink root (invisible to
+    * readers — reads are manifest-driven, and the `_`-prefixed name is
+    * additionally hidden from Spark's file listings). */
+  final case class StagedUpsert private[operators] (
+      stageDir: String, namespace: String, buckets: Seq[Int])
+
+  /** Phase 1 of the upsert (the expensive half, safe OUTSIDE any writer
+    * lock): dedup + bucket the batch and persist it beside the sink.
+    * Returns None for an effectively-empty batch (nothing to commit).
+    *
+    * File staging, not `.cache()`, on purpose: a batch row carries a
+    * multi-KB text plus a 384-float vector, and building 10k-row columnar
+    * cache batches out of those allocates hundreds of MB per column
+    * builder with doubling growth — at 125k chunks/cycle the JVM spent
+    * more wall-clock in GC than in compute (BASELINE.md r13 measurement).
+    * A staged file scans as many times as needed with column PRUNING
+    * (the bucket list reads one int column, the anti-join one string) and
+    * constant memory — the only shape that survives executors whose
+    * memory does not scale with the batch. */
+  def stageUpsert(
+      spark: SparkSession,
+      sinkDir: String,
+      batch: DataFrame,
+      namespace: String = DefaultNamespace): Option[StagedUpsert] = {
     ensureManifest(sinkDir)
-    // cache: the batch plan (chunk→embed) feeds the bucket list, the
-    // anti-join key set AND the union — uncached it would execute 3×.
     // null ids are dropped: a null would land in a default partition the
     // bucket pruning could never overwrite consistently.
     val layout = readLayout(sinkDir)
-    val newRows = batch.select("id", "embedding", "source", "text")
+    val stageDir = s"$sinkDir/_stage_${java.util.UUID.randomUUID().toString.take(8)}"
+    // ONE exchange does both the dedup and the sink layout: rows are
+    // shuffled straight to their output partition and deduped THERE.
+    // Correct because the partition key is id-determined — bucket is a
+    // hash of id, and the engine's ids are content hashes (equal id ⇒
+    // equal text ⇒ equal embedding ⇒ equal simb) — so batch duplicates
+    // can never straddle partitions. CONTRACT: a caller-built batch
+    // carrying the same id with DIFFERENT content in one call is
+    // undefined (as in the reference sink's API); across calls, ids
+    // overwrite as ever. The staging is written pre-partitioned in the
+    // generation-root layout, which is what makes the commit's
+    // empty-overlap rename fast path possible.
+    //
+    // The dedup is a row_number window over (namespace, bucket, simb, id):
+    // the incoming HashPartitioning on (namespace, bucket, simb) — a
+    // SUBSET of the window keys — already satisfies its clustered
+    // distribution, so this plans as a partition-local external SORT with
+    // NO second exchange (and no whole-partition hash map of multi-KB
+    // rows, which is what a partial-aggregate dedup would build).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("namespace"), col("bucket"), col("simb"), col("id"))
+      .orderBy(col("id"))
+    batch.select("id", "embedding", "source", "text")
       .where(col("id").isNotNull)
-      .dropDuplicates("id")
       .withColumn("namespace", lit(namespace))
       .withColumn("bucket", bucketOf(col("id"), layout.buckets))
       .withColumn("simb", simBucketOf(col("embedding"), layout.simBits))
-      .cache()
+      .repartition(col("namespace"), col("bucket"), col("simb"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+      .write.partitionBy("namespace", "bucket", "simb").parquet(stageDir)
+    // the touched-bucket list is ≤ SinkBuckets values — driver-size, and
+    // the partitioned staging exposes it as directory names: a listing,
+    // not a scan
+    val buckets = Option(new java.io.File(stageDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("namespace="))
+      .flatMap(ns => Option(ns.listFiles()).toSeq.flatten)
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(_.getName.stripPrefix("bucket=").toInt).distinct.sorted
+    if (buckets.isEmpty) { deleteRecursively(new java.io.File(stageDir)); None }
+    else Some(StagedUpsert(stageDir, namespace, buckets))
+  }
+
+  /** Phase 2 (the read-modify-write commit — serialize with other WRITERS;
+    * readers are snapshot-isolated and take no lock): merge the staged
+    * rows into a fresh generation root and flip the manifest pointer.
+    * Deletes the staging on the way out, success or not. */
+  def commitStagedUpsert(
+      spark: SparkSession,
+      sinkDir: String,
+      staged: StagedUpsert,
+      onBeforeCommit: () => Unit = () => ()): Unit = {
+    val namespace = staged.namespace
+    // same declared schema as readEntries: partition columns come back
+    // typed by the schema, never by directory-name inference
+    val newRows = spark.read
+      .option("basePath", staged.stageDir)
+      .schema(vectorSinkSchema)
+      .parquet(staged.stageDir)
+    val buckets = staged.buckets
     try {
-      // the touched-bucket list is ≤ SinkBuckets values — driver-size
-      val buckets = newRows.select("bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
-      if (buckets.nonEmpty) {
         val manifest = readManifest(sinkDir).getOrElse(Seq.empty)
         val touched: Set[(String, Int)] = buckets.map(b => (namespace, b)).toSet
         // incremental compaction: fold the oldest roots in whole if this
@@ -470,8 +546,28 @@ object Cdc {
             manifest.filter(e => fold(e.root)).map(e => (e.namespace, e.bucket)).toSet -- touched
           } else Set.empty
         val rewriteKeys = touched ++ compactKeys
-        val existing =
-          readEntries(spark, sinkDir, manifest.filter(e => rewriteKeys((e.namespace, e.bucket))))
+        val overlapping = manifest.filter(e => rewriteKeys((e.namespace, e.bucket)))
+        if (overlapping.isEmpty) {
+          // Fast path — the staged batch touches no published bucket (a
+          // fresh sink, a first sync, or any append-dominant workload —
+          // the common bulk-load shape at scale): there is nothing to
+          // merge, and the staging is ALREADY in generation-root layout,
+          // so the "write" is one directory rename. No scan, no shuffle,
+          // no second copy of the batch on disk. Decided from the
+          // MANIFEST, not a Spark job: no overlapping entries means the
+          // merge's kept side has no input files, so it is empty by
+          // construction.
+          val genRoot = nextGenRoot(sinkDir)
+          val ok = new java.io.File(staged.stageDir)
+            .renameTo(new java.io.File(s"$sinkDir/$genRoot"))
+          if (!ok) throw new java.io.IOException(
+            s"rename ${staged.stageDir} -> $sinkDir/$genRoot failed")
+          onBeforeCommit() // test hook: crash here must leave the old snapshot
+          publishManifest(sinkDir, manifest ++ scanRootEntries(sinkDir, genRoot))
+          gcSink(sinkDir)
+          return
+        }
+        val existing = readEntries(spark, sinkDir, overlapping)
         // compacted rows from OTHER namespaces ride along verbatim: the
         // id anti-join overwrite applies only inside this namespace
         val kept = existing.join(
@@ -497,8 +593,7 @@ object Cdc {
           scanRootEntries(sinkDir, genRoot)
         publishManifest(sinkDir, newEntries)
         gcSink(sinkDir)
-      }
-    } finally { newRows.unpersist(); () }
+    } finally { deleteRecursively(new java.io.File(staged.stageDir)); () }
   }
 
   /** Next unused generation-root name: one past the highest existing
@@ -758,11 +853,21 @@ object Cdc {
     // chunks with distinct ids during NORMAL polling, not just crash
     // retries. boundedDeltaScan pins sunk rows == (wm, newWm], exactly
     // the interval the commit covers.
+    // NOT cached, deliberately: the clamp makes every re-scan read the
+    // same rows, both chunkers are deterministic given those rows (the
+    // numeric-key numbering maps values, not partitions; the sampled-range
+    // path snapshots via Materialize.truncate), and a pushdown-pruned
+    // parquet re-scan is CHEAPER than a columnar cache of the delta —
+    // measured at sx125: caching the 12.5M-row delta cost the cycle ~90 s
+    // of build + cache-scan overhead vs ~5 s of extra parquet reads
+    // (BASELINE.md r13). At real scale a delta cache is a straight
+    // memory/disk tax an executor fleet cannot afford; the source file
+    // scan is the shape that survives.
     val delta =
       Cdc.boundedDeltaScan(
         if (s2 eq spark) src else Tables.table(s2, sourceDir, tableName),
-        changeCol, wm, newWm).cache()
-    try {
+        changeCol, wm, newWm)
+    locally {
       val chunks =
         if (deterministicChunks)
           Chunker.chunkRowsAsJson(delta, col(effOrderCol), tableName, chunkSize)
@@ -774,21 +879,21 @@ object Cdc {
         col("id"),
         Embeddings.embedCol(col("text")).as("embedding"),
         col("source"),
-        col("text")).cache()
-      try {
-        // materialize chunk+embed OUTSIDE the commit lock, so concurrent
-        // tables overlap their compute and only serialize the sink
-        // upsert + watermark commit (writer-writer serialization only —
-        // readers are MVCC-snapshot-isolated and take no lock)
-        vectors.count()
-        commitLock.synchronized {
-          upsertVectors(s2, sinkDir, vectors, namespace)
-          // S7 commit AFTER the sink write — reference order, T3.
-          updateWatermark(spark, stateDir, tableName, newWm)
-        }
-      } finally vectors.unpersist()
+        col("text"))
+      // stage chunk+embed OUTSIDE the commit lock, so concurrent tables
+      // overlap their compute and only serialize the sink RMW + watermark
+      // commit (writer-writer serialization only — readers are
+      // MVCC-snapshot-isolated and take no lock). The staging write IS the
+      // materialization; see stageUpsert for why a file, never a cache.
+      val staged = stageUpsert(s2, sinkDir, vectors, namespace)
+      commitLock.synchronized {
+        // commit deletes the staging, success or not
+        staged.foreach(commitStagedUpsert(s2, sinkDir, _))
+        // S7 commit AFTER the sink write — reference order, T3.
+        updateWatermark(spark, stateDir, tableName, newWm)
+      }
       n
-    } finally delta.unpersist()
+    }
   }
 
   /** Crash-safe overwrite of a small state directory: versioned data dirs
