@@ -35,6 +35,16 @@ object GraftSession {
       // their RDDs; the shutdown hook on the scratch dir is the backstop
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // Mid-width shuffles (the explicit input-scaled distinct widths, a
+      // few hundred partitions) pay 5× the per-row CPU under the sort
+      // shuffle writer vs the bypass writer (q79 @ sx625 StageProbe:
+      // 1103 s vs 220 s CPU for the same 375M-row / 3.1 GB write;
+      // per-row CPU is flat across decades under a fixed writer). 512
+      // keeps those exchanges on the bypass writer; beyond it the sort
+      // writer takes over with measured-constant per-row cost. Memory
+      // bound: tasks-per-JVM × 512 × 32 KB file buffers ≈ 0.5 GB at 32
+      // cores — the same arithmetic a cluster operator does per executor.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

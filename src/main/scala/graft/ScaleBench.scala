@@ -60,6 +60,14 @@ object ScaleBench {
       // per-task hash maps fit, so the decade pushes can too
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "128m"))
+      // Ladder decades cross spark.shuffle.sort.bypassMergeThreshold's
+      // default (200) as the input-scaled distinct widths grow — the
+      // sort writer costs 5× the bypass writer's per-row CPU on these
+      // mid-width shuffles (q79 sx625 StageProbe A/B, BASELINE.md r13);
+      // with a fixed writer the per-row CPU is decade-flat. Same value
+      // and rationale as GraftSession; env-overridable for A/Bs.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESH", "512"))
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", GraftSession.warehouseDir)
