@@ -321,31 +321,42 @@ object Dedup {
       var changed = 1L
       var i = 0
       while (changed > 0 && i < maxIter) {
+        // Each round is ONE Spark job (the eager checkpoint): the measured
+        // cost of the loop at small scale is JOB SCHEDULING, not data
+        // (CcProbe; the pre-r13 3-job round — hook persist+count, jump
+        // checkpoint, changed count — spent ~2/3 of its wall time on the
+        // two jobs this shape deletes).
         // 1. hook: pull the min label across edges
         val neighborMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        // shared (not truncate): referenced twice below (both sides of the
-        // jump join), but it lives only within this round — newLabels'
-        // truncation is what breaks the plan across rounds, so caching
-        // here halves the checkpoint file writes per round; its lineage
-        // roots in the previous round's reliable snapshot, so recompute
-        // after a lost partition is deterministic
-        val hooked = timed("hook", i)(Materialize.shared(
-          labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
-            .select(labels("id"),
-              least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
-              labels("label").as("_old"))))
+        // LAZY persist (not Materialize.shared, whose eager count is its
+        // own job): the checkpoint job below materializes it the first
+        // time a side of the jump self-join scans it. Labels are
+        // deterministic hash/min derivations of the previous round's
+        // reliable snapshot, so a concurrent double-compute race between
+        // the two scan stages — or a recompute after a lost partition —
+        // yields identical rows.
+        val hooked = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+          .select(labels("id"),
+            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
+            labels("label").as("_old"))
+        hooked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // 2. pointer jump: label := label(label) — halves chain depth each
         //    round, so convergence is O(log n) even for path-shaped
         //    components (plain propagation needs O(diameter) rounds and
         //    could exhaust maxIter on long chains)
+        // 3. convergence metric rides the SAME job: an observed aggregate
+        //    on the checkpoint write replaces the separate count job
+        //    (verified to fire on eager checkpoints — MaterializeSpec).
         val lookup = hooked.select(col("id").as("_lid"), col("label").as("_llabel"))
-        val newLabels = timed("jump+ckpt", i)(Materialize.truncate(
+        val obs = new org.apache.spark.sql.Observation(s"cc_changed_$i")
+        val newLabels = timed("round", i)(Materialize.truncate(
           hooked.join(lookup, hooked("label") === lookup("_lid"), "left_outer")
             .select(hooked("id"),
               least(hooked("label"), coalesce(col("_llabel"), hooked("label"))).as("label"),
-              col("_old"))))
-        changed = timed("changed", i)(newLabels.where(col("label") =!= col("_old")).count())
+              col("_old"))
+            .observe(obs, count(when(col("label") =!= col("_old"), 1)).as("changed"))))
+        changed = obs.get("changed").asInstanceOf[Long]
         // newLabels is materialized — the storage it was built from is dead
         Materialize.free(prevCkpt)
         Materialize.release(hooked)
@@ -401,13 +412,16 @@ object Dedup {
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      // shared (not truncate): read by smins and small within this round
-      // only — small's truncation breaks the plan across rounds, and
-      // large's lineage roots in the previous round's reliable snapshot
-      val large = Materialize.shared(nbrs.join(mins, "u")
+      // LAZY persist (read by smins and small within this round only —
+      // small's truncation breaks the plan across rounds): the small-star
+      // checkpoint job materializes it on first scan, so the round pays no
+      // separate persist+count job. Deterministic derivation of the
+      // previous round's reliable snapshot → recompute/race-safe.
+      val large = nbrs.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // (larger neighbor → m); m < u < v, no self-loop
-        .distinct())
+        .distinct()
+      large.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // small-star on the (u > v) orientation: parents and self to min parent
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val small = Materialize.truncate(large.join(smins, "u")
@@ -419,21 +433,25 @@ object Dedup {
       // Convergence = the edge set is a forest of depth-1 stars, which
       // requires BOTH (checked on THIS round's materialized output, so no
       // redundant confirming round is paid):
-      //  (a) FUNCTION: every child has exactly one parent — one tiny agg
+      //  (a) FUNCTION: every child has exactly one parent — a tiny agg
       //      (count == countDistinct(u)). A child with TWO parents bridges
       //      two stars of one component and needs another round to merge
       //      them (DedupSpec "two-parent bridge" pins the case: checking
       //      only (b) would split that component);
-      //  (b) NO CHAIN: no node is both child and parent — one semi-join
-      //      over the distinct node sets, only run when (a) holds.
+      //  (b) NO CHAIN: no node is both child and parent — a semi-join
+      //      over the node sets.
       // Star states are exact fixpoints of large-star∘small-star, and both
       // steps preserve connectivity, so a function+no-chain state means
-      // every component is fully contracted.
-      val shape = small.agg(count(lit(1)), countDistinct(col("u"))).collect()(0)
-      converged = shape.getLong(0) == shape.getLong(1) &&
-        small.select(col("v"))
+      // every component is fully contracted. Both checks run in ONE job
+      // (cross-joined 1-row aggregates) over the narrow checkpoint files —
+      // job scheduling, not data, is the loop's measured cost at small
+      // scale, so the round is exactly two jobs: the checkpoint + this.
+      val shape = small.agg(count(lit(1)).as("n"), countDistinct(col("u")).as("d"))
+        .crossJoin(small.select(col("v"))
           .join(small.select(col("u").as("v")), Seq("v"), "left_semi")
-          .isEmpty
+          .agg(count(lit(1)).as("chain")))
+        .collect()(0)
+      converged = shape.getLong(0) == shape.getLong(1) && shape.getLong(2) == 0L
       Materialize.release(large)
       Materialize.free(edges)
       edges = small

@@ -47,6 +47,22 @@ class MaterializeSpec extends AnyFunSuite {
     assert(df.agg(sum(col("n"))).collect()(0).getLong(0) == (6 to 15).sum.toLong)
   }
 
+  test("observed metrics fire on an eager truncate (single-job CC rounds rely on this)") {
+    // dedupClusters collapses each round to ONE job by riding its
+    // convergence count on the checkpoint write via Dataset.observe —
+    // this pins the Spark contract that the eager checkpoint action
+    // delivers the observation (if it ever stopped, obs.get would hang
+    // the loop rather than miscount, but pin it loudly here anyway)
+    val obs = new org.apache.spark.sql.Observation("materialize_spec_obs")
+    val df = (1 to 1000).toDF("x")
+      .observe(obs, count(when(col("x") > 500, 1)).as("c"))
+    val snap = Materialize.truncate(df)
+    assert(obs.get("c").asInstanceOf[Long] == 500L,
+      "observation must be delivered by the eager checkpoint action")
+    assert(snap.count() == 1000)
+    Materialize.free(snap)
+  }
+
   test("truncate writes reliable files under the scratch dir; free deletes them") {
     val df = (1 to 1000).toDF("n")
     val snap = Materialize.truncate(df)
