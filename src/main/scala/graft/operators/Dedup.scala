@@ -296,10 +296,12 @@ object Dedup {
     // at the data-derived width (withLoopWidth): its per-round relations
     // are O(ids + edges) narrow long columns, and the measured cost of the
     // loop at small scale is TASK SCHEDULING, not data (see the scaladoc
-    // on withLoopWidth). The two counts are the width evidence and double
-    // as the cache materializer.
-    val nEdges = edges.count()
-    val nIds = ids.count()
+    // on withLoopWidth). The width evidence is ONE job (cross-joined 1-row
+    // aggregates) that doubles as the edge-cache materializer.
+    val sizes = edges.agg(count(lit(1)).as("ne"))
+      .crossJoin(ids.agg(count(lit(1)).as("ni"))).collect()(0)
+    val nEdges = sizes.getLong(0)
+    val nIds = sizes.getLong(1)
     // GRAFT_CC_PROFILE=1: per-round phase timings on stderr (diagnostic
     // for the CC queries' fixed-cost-per-job profile; zero cost when off)
     val prof = sys.env.get("GRAFT_CC_PROFILE").contains("1")
@@ -310,7 +312,7 @@ object Dedup {
         System.err.println(f"[cc] round=$round $label%-10s ${(System.nanoTime() - t0) / 1e9}%6.3fs")
         r
       }
-    try Materialize.withLoopWidth(ids.sparkSession, nIds + nEdges) {
+    try Materialize.withLoopWidthInfo(ids.sparkSession, nIds + nEdges) { narrowed =>
       // Materialize.truncate (not cache) each round: iterative DataFrames
       // grow a nested logical plan per iteration, and Catalyst re-analyzes
       // the whole tree every round — plan truncation keeps planning O(1) per
@@ -329,18 +331,20 @@ object Dedup {
         // 1. hook: pull the min label across edges
         val neighborMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        // LAZY persist (not Materialize.shared, whose eager count is its
-        // own job): the checkpoint job below materializes it the first
-        // time a side of the jump self-join scans it. Labels are
+        // roundCache: LAZY persist when narrowed (the checkpoint job below
+        // materializes it; a double-compute race between the jump join's
+        // two scan stages is cheaper than an extra job at this scale),
+        // EAGER at full width (the hook join is the round's heavy shuffle —
+        // at 100 TB it must run exactly once, not race). Labels are
         // deterministic hash/min derivations of the previous round's
-        // reliable snapshot, so a concurrent double-compute race between
-        // the two scan stages — or a recompute after a lost partition —
-        // yields identical rows.
-        val hooked = labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
-          .select(labels("id"),
-            least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
-            labels("label").as("_old"))
-        hooked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // reliable snapshot, so either policy — and recompute after a lost
+        // partition — yields identical rows.
+        val hooked = Materialize.roundCache(
+          labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+            .select(labels("id"),
+              least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
+              labels("label").as("_old")),
+          narrowed)
         // 2. pointer jump: label := label(label) — halves chain depth each
         //    round, so convergence is O(log n) even for path-shaped
         //    components (plain propagation needs O(diameter) rounds and
@@ -405,23 +409,24 @@ object Dedup {
     val nEdges = edges.count()
     var converged = false
     var i = 0
-    Materialize.withLoopWidth(ids.sparkSession, 2L * nEdges) {
+    Materialize.withLoopWidthInfo(ids.sparkSession, 2L * nEdges) { narrowed =>
     while (!converged && i < maxIter) {
       // large-star over the undirected view
       val nbrs = edges.select(col("u"), col("v"))
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      // LAZY persist (read by smins and small within this round only —
-      // small's truncation breaks the plan across rounds): the small-star
-      // checkpoint job materializes it on first scan, so the round pays no
-      // separate persist+count job. Deterministic derivation of the
-      // previous round's reliable snapshot → recompute/race-safe.
-      val large = nbrs.join(mins, "u")
+      // roundCache (read by smins and small within this round only —
+      // small's truncation breaks the plan across rounds): lazy when
+      // narrowed — the small-star checkpoint job materializes it on first
+      // scan, no separate persist+count job — eager at full width, where
+      // the large-star join/distinct is the round's heavy shuffle.
+      // Deterministic derivation of the previous round's reliable
+      // snapshot → recompute/race-safe either way.
+      val large = Materialize.roundCache(nbrs.join(mins, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // (larger neighbor → m); m < u < v, no self-loop
-        .distinct()
-      large.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .distinct(), narrowed)
       // small-star on the (u > v) orientation: parents and self to min parent
       val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val small = Materialize.truncate(large.join(smins, "u")

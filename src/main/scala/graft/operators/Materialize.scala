@@ -54,6 +54,16 @@ object Materialize {
     * plan reads it again (blocking=false: don't stall the caller). */
   def release(df: DataFrame): Unit = { df.unpersist(false); () }
 
+  /** Per-round loop cache with the policy the loop width dictates (see
+    * [[withLoopWidthInfo]]): LAZY persist when narrowed — the round's
+    * single job materializes it, and a duplicate-compute race between two
+    * consumer stages costs less than the extra job — EAGER ([[shared]])
+    * at full width, where the relation carries real shuffle/CPU work that
+    * must run exactly once. Only for deterministic relations (both
+    * consumers and any recompute see identical rows either way). */
+  def roundCache(df: DataFrame, narrowed: Boolean): DataFrame =
+    if (narrowed) { df.persist(StorageLevel.MEMORY_AND_DISK); df } else shared(df)
+
   /** Reliable checkpoint: truncates the logical plan / lineage for
     * iterative loops and captures non-deterministic plans, while remaining
     * recoverable — the files live in [[checkpointDir]], not in executor
@@ -107,7 +117,18 @@ object Materialize {
     * Caveat: session conf is engine-wide state — concurrent queries on
     * the same session during the loop would plan at the narrowed width
     * (the engine's mains are serial; document before adding parallelism). */
-  def withLoopWidth[A](spark: SparkSession, rows: Long)(body: => A): A = {
+  def withLoopWidth[A](spark: SparkSession, rows: Long)(body: => A): A =
+    withLoopWidthInfo(spark, rows)(_ => body)
+
+  /** [[withLoopWidth]], passing the narrowing DECISION to the body. Loop
+    * bodies use it to pick their per-round cache policy: when narrowed
+    * (small scale) the round cost is job scheduling, so caches persist
+    * LAZILY and materialize inside the round's single job — a duplicate-
+    * compute race between two consumer stages is cheaper than an extra
+    * job. At full width (the at-scale branch) the relations carry real
+    * shuffle/CPU work, so caches materialize EAGERLY — one extra tiny job
+    * guarantees the heavy plan runs exactly once. */
+  def withLoopWidthInfo[A](spark: SparkSession, rows: Long)(body: Boolean => A): A = {
     val conf = spark.conf
     val session = conf.get("spark.sql.shuffle.partitions").toInt
     // GRAFT_LOOP_WIDTH=N: A/B hook forcing the narrowed width (the sweep
@@ -117,7 +138,7 @@ object Materialize {
     // GRAFT_NO_NARROW=1: A/B kill switch — run the body at the session
     // width exactly as before this mechanism existed (used by the ladder
     // re-measurements to separate narrowing effects from machine drift)
-    if (w >= session || sys.env.get("GRAFT_NO_NARROW").contains("1")) body
+    if (w >= session || sys.env.get("GRAFT_NO_NARROW").contains("1")) body(false)
     else {
       // AQE off while narrowed: with every exchange already at the minimal
       // width there is nothing left to coalesce or skew-split, and AQE's
@@ -128,7 +149,7 @@ object Materialize {
       val aqe = conf.get("spark.sql.adaptive.enabled")
       conf.set("spark.sql.shuffle.partitions", w.toString)
       conf.set("spark.sql.adaptive.enabled", "false")
-      try body finally {
+      try body(true) finally {
         conf.set("spark.sql.shuffle.partitions", session.toString)
         conf.set("spark.sql.adaptive.enabled", aqe)
       }
