@@ -447,16 +447,31 @@ object Dedup {
       //      over the node sets.
       // Star states are exact fixpoints of large-star∘small-star, and both
       // steps preserve connectivity, so a function+no-chain state means
-      // every component is fully contracted. Both checks run in ONE job
-      // (cross-joined 1-row aggregates) over the narrow checkpoint files —
-      // job scheduling, not data, is the loop's measured cost at small
-      // scale, so the round is exactly two jobs: the checkpoint + this.
-      val shape = small.agg(count(lit(1)).as("n"), countDistinct(col("u")).as("d"))
-        .crossJoin(small.select(col("v"))
-          .join(small.select(col("u").as("v")), Seq("v"), "left_semi")
-          .agg(count(lit(1)).as("chain")))
-        .collect()(0)
-      converged = shape.getLong(0) == shape.getLong(1) && shape.getLong(2) == 0L
+      // every component is fully contracted. Check-execution policy follows
+      // the loop width, like the caches:
+      //  - narrowed (small scale): both checks fuse into ONE job (cross-
+      //    joined 1-row aggregates) — job scheduling, not data, is the
+      //    measured cost, so the round is exactly two jobs;
+      //  - full width (at scale): (b)'s semi-join SHUFFLES the whole edge
+      //    relation, so it must keep the short-circuit and run only once
+      //    (a) holds — near convergence, when `small` has contracted.
+      //    Fusing it unconditionally re-shuffled millions of early-round
+      //    edges per round: q53 sx125 34.9 s vs 15.9 s (r13 A/B).
+      converged =
+        if (narrowed) {
+          val shape = small.agg(count(lit(1)).as("n"), countDistinct(col("u")).as("d"))
+            .crossJoin(small.select(col("v"))
+              .join(small.select(col("u").as("v")), Seq("v"), "left_semi")
+              .agg(count(lit(1)).as("chain")))
+            .collect()(0)
+          shape.getLong(0) == shape.getLong(1) && shape.getLong(2) == 0L
+        } else {
+          val shape = small.agg(count(lit(1)), countDistinct(col("u"))).collect()(0)
+          shape.getLong(0) == shape.getLong(1) &&
+            small.select(col("v"))
+              .join(small.select(col("u").as("v")), Seq("v"), "left_semi")
+              .isEmpty
+        }
       Materialize.release(large)
       Materialize.free(edges)
       edges = small
