@@ -1772,6 +1772,21 @@ object SparkEntry {
     })
   }
 
+  /** Wrap a documents-only query with the small-input session policy
+    * ([[Materialize.inputSizedSession]]): the corpus' on-disk bytes — a
+    * driver-side listing, no job — pick between the session as-is (at
+    * scale: full width, AQE on) and an AQE-free width-4 clone (small
+    * fixtures, where AQE's per-stage jobs are most of the query's wall
+    * time). Applied in the registry, not the bodies, so every body stays
+    * width-agnostic; only queries whose sole input is `documents` wrap
+    * (a join against a big second table must never downsize). The
+    * loop-bearing dedup/CC queries are deliberately NOT wrapped — their
+    * pair generation carries real CPU the session width parallelizes
+    * (q53 A/B, r12), and their loops already narrow from measured rows. */
+  private def onDocSized(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Materialize.inputSizedSession(
+      s, graft.sources.Tables.tableBytes(dir, "documents")), dir)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_delta_scan" -> (q02 _),
@@ -1789,13 +1804,13 @@ object SparkEntry {
     "q14_window_day" -> (q14 _),
     "q15_scalar_funcs" -> (q15 _),
     "q16_chunk_docs" -> (q16 _),
-    "q17_exact_dedup" -> (q17 _),
+    "q17_exact_dedup" -> onDocSized(q17 _),
     "q18_minhash_lsh" -> (q18 _),
-    "q19_simhash" -> (q19 _),
-    "q20_ngram_jaccard" -> (q20 _),
-    "q21_langid" -> (q21 _),
-    "q22_quality_score" -> (q22 _),
-    "q23_fingerprint" -> (q23 _),
+    "q19_simhash" -> onDocSized(q19 _),
+    "q20_ngram_jaccard" -> onDocSized(q20 _),
+    "q21_langid" -> onDocSized(q21 _),
+    "q22_quality_score" -> onDocSized(q22 _),
+    "q23_fingerprint" -> onDocSized(q23 _),
     "q24_knn_bruteforce" -> (q24 _),
     "q25_knn_lsh" -> (q25 _),
     "q26_embedding_stats" -> (q26 _),
@@ -1807,9 +1822,9 @@ object SparkEntry {
     "q32_having" -> (q32 _),
     "q33_scalar_subquery" -> (q33 _),
     "q34_like_filter" -> (q34 _),
-    "q35_bpe_tokens" -> (q35 _),
-    "q36_minhash_sigs" -> (q36 _),
-    "q37_simhash_pairs" -> (q37 _),
+    "q35_bpe_tokens" -> onDocSized(q35 _),
+    "q36_minhash_sigs" -> onDocSized(q36 _),
+    "q37_simhash_pairs" -> onDocSized(q37 _),
     "q38_knn_join_batch" -> (q38 _),
     "q39_pivot" -> (q39 _),
     "q40_posexplode" -> (q40 _),
@@ -1818,45 +1833,45 @@ object SparkEntry {
     "q43_asof_join" -> (q43 _),
     "q44_sessionize" -> (q44 _),
     "q45_dedup_clusters" -> (q45 _),
-    "q46_split" -> (q46 _),
-    "q47_source_quota" -> (q47 _),
-    "q48_corpus_stats" -> (q48 _),
+    "q46_split" -> onDocSized(q46 _),
+    "q47_source_quota" -> onDocSized(q47 _),
+    "q48_corpus_stats" -> onDocSized(q48 _),
     "q49_asof_custom_exec" -> (q49 _),
     "q50_heavy_hitters" -> (q50 _),
-    "q51_bigram_lm" -> (q51 _),
-    "q52_tfidf" -> (q52 _),
+    "q51_bigram_lm" -> onDocSized(q51 _),
+    "q52_tfidf" -> onDocSized(q52 _),
     "q53_dedup_clusters_star" -> (q53 _),
     "q54_chunk_scalable" -> (q54 _),
     "q55_decimal_roundtrip" -> (q55 _),
     "q56_salted_join" -> (q56 _),
     "q57_decontamination" -> (q57 _),
     "q58_seq_packing" -> (q58 _),
-    "q59_repetition" -> (q59 _),
-    "q60_quality_topp" -> (q60 _),
-    "q61_stratified_sample" -> (q61 _),
-    "q62_pii_redaction" -> (q62 _),
-    "q63_ngram_lm_score" -> (q63 _),
-    "q64_token_packing" -> (q64 _),
-    "q65_curation_pipeline" -> (q65 _),
+    "q59_repetition" -> onDocSized(q59 _),
+    "q60_quality_topp" -> onDocSized(q60 _),
+    "q61_stratified_sample" -> onDocSized(q61 _),
+    "q62_pii_redaction" -> onDocSized(q62 _),
+    "q63_ngram_lm_score" -> onDocSized(q63 _),
+    "q64_token_packing" -> onDocSized(q64 _),
+    "q65_curation_pipeline" -> onDocSized(q65 _),
     "q66_lateness_scan" -> (q66 _),
     "q67_jdbc_dim_join" -> (q67 _),
     "q68_incremental_neardup" -> (q68 _),
     "q69_substring_dup" -> (q69 _),
-    "q70_token_mix" -> (q70 _),
-    "q71_bloom_decontamination" -> (q71 _),
+    "q70_token_mix" -> onDocSized(q70 _),
+    "q71_bloom_decontamination" -> onDocSized(q71 _),
     "q72_quantized_knn" -> (q72 _),
     "q73_cluster_neardup" -> (q73 _),
     "q74_keep_best" -> (q74 _),
     "q75_df_prune" -> (q75 _),
     "q76_epoch_shuffle" -> (q76 _),
     "q77_incremental_vector_neardup" -> (q77 _),
-    "q78_filter_funnel" -> (q78 _),
-    "q83_funnel_trace" -> (q83 _),
-    "q84_funnel_counts" -> (q84 _),
+    "q78_filter_funnel" -> onDocSized(q78 _),
+    "q83_funnel_trace" -> onDocSized(q83 _),
+    "q84_funnel_counts" -> onDocSized(q84 _),
     "q79_sketch_exact" -> (q79 _),
-    "q80_source_overlap" -> (q80 _),
-    "q81_ngram_mining" -> (q81 _),
-    "q82_ngram_containment" -> (q82 _),
+    "q80_source_overlap" -> onDocSized(q80 _),
+    "q81_ngram_mining" -> onDocSized(q81 _),
+    "q82_ngram_containment" -> onDocSized(q82 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
     "q92_multimodal" -> (q92 _),

@@ -181,6 +181,36 @@ object Materialize {
     }
   }
 
+  /** Inputs below this on-disk size take the small-query session (an
+    * 8 MiB parquet is ≲ a few hundred thousand text rows — sub-second
+    * CPU at any width ≥ 4); above it, AQE's runtime re-planning and the
+    * session width pay for themselves. */
+  val SmallQueryBytes: Long = 8L << 20
+
+  /** One-shot analog of [[loopWidthSession]] for scalar/aggregate queries
+    * over a SMALL input, sized from the table's on-disk bytes
+    * ([[graft.sources.Tables.tableBytes]] — a driver-side listing, no
+    * job). Measured on the doc-scan family at sf0.1 (594 KB corpus,
+    * CcProbe r13): AQE's per-stage materialization billed 11–17 stage-jobs
+    * per sub-second query at a ~60–175 ms/job floor; the clone (AQE off,
+    * width 4) cut q65 2.1→1.28 s, q63 1.8→1.19 s, q20 2.4→1.45 s,
+    * q71 1.9→1.40 s. At scale the threshold keeps everything as-is:
+    * ≥ 8 MiB inputs (sx25's 15 MB corpus and up) run the session
+    * untouched — full width, AQE on, skew handling intact. Width 4 (not
+    * 1) keeps per-doc CPU (tokenization ~0.3 ms/doc) parallel enough
+    * that the serial tail never dominates. Same isolation contract as
+    * [[loopWidthSession]]: a conf-isolated `newSession` clone, shared
+    * SparkContext/cache/catalog; honors GRAFT_NO_NARROW. */
+  def inputSizedSession(spark: SparkSession, bytes: Long): SparkSession = {
+    if (bytes >= SmallQueryBytes || sys.env.get("GRAFT_NO_NARROW").contains("1")) spark
+    else {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2
+    }
+  }
+
   /** Session-scoped reliable-checkpoint scratch dir, created on first use
     * and deleted on JVM exit. On a real cluster this conf points at a
     * durable shared filesystem; the engine's behavior is identical. */

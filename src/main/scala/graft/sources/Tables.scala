@@ -90,6 +90,20 @@ object Tables {
     }
   }
 
+  /** On-disk footprint of a fixture table — the same file lengths the
+    * planner's split listing reads; zero Spark jobs. Feeds
+    * [[graft.operators.Materialize.inputSizedSession]]'s small-query
+    * width decision. */
+  def tableBytes(dir: String, name: String): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten
+          .filterNot(x => x.getName.startsWith("_") || x.getName.startsWith("."))
+          .map(size).sum
+      else f.length()
+    size(new java.io.File(s"$dir/$name.parquet"))
+  }
+
   /** S2: enumerate tables available in a fixture directory (the engine's
     * `SHOW TABLES`). Listing is driver-side metadata work, like the
     * reference's catalog query — not a data scan. */

@@ -47,6 +47,22 @@ class MaterializeSpec extends AnyFunSuite {
     assert(df.agg(sum(col("n"))).collect()(0).getLong(0) == (6 to 15).sum.toLong)
   }
 
+  test("inputSizedSession: small bytes get an AQE-free width-4 clone, big bytes the session itself") {
+    val widthBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled")
+    val small = Materialize.inputSizedSession(spark, 600L << 10) // a sf0.1-sized corpus
+    assert(!(small eq spark), "sub-threshold input must get a clone")
+    assert(small.conf.get("spark.sql.shuffle.partitions") == "4")
+    assert(small.conf.get("spark.sql.adaptive.enabled") == "false")
+    // shared context/cache, isolated conf — the loopWidthSession contract
+    assert(small.sparkContext eq spark.sparkContext)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == widthBefore &&
+      spark.conf.get("spark.sql.adaptive.enabled") == aqeBefore,
+      "the original session's conf must be untouched")
+    val big = Materialize.inputSizedSession(spark, Materialize.SmallQueryBytes)
+    assert(big eq spark, "at-threshold input must run the session unchanged")
+  }
+
   test("observed metrics fire on an eager truncate (single-job CC rounds rely on this)") {
     // dedupClusters collapses each round to ONE job by riding its
     // convergence count on the checkpoint write via Dataset.observe —
