@@ -1784,25 +1784,37 @@ object SparkEntry {
     * pair generation carries real CPU the session width parallelizes
     * (q53 A/B, r12), and their loops already narrow from measured rows. */
   private def onDocSized(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    onSized("documents")(f)
+
+  /** [[onDocSized]] generalized to any input-table set: the policy reads
+    * the SUM of the named tables' on-disk bytes, so a query joining a
+    * small dim against a big fact never downsizes (lineitem alone clears
+    * the threshold at sf0.1). Excluded by design, beyond the doc rules
+    * above: the chunkers (q16/q54 — scalable chunk boundaries are
+    * partition-local, so the session's width is part of their contract),
+    * the persisted-IVF pair (q94/q96 — index layout owns the read
+    * shape), and the skew-showcase join (q56 — its plan exists to
+    * exercise full-width salting). */
+  private def onSized(tables: String*)(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Materialize.inputSizedSession(
-      s, graft.sources.Tables.tableBytes(dir, "documents")), dir)
+      s, tables.map(graft.sources.Tables.tableBytes(dir, _)).sum), dir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
-    "q02_delta_scan" -> (q02 _),
-    "q03_watermark_max" -> (q03 _),
-    "q04_point_lookup" -> (q04 _),
-    "q05_anti_join" -> (q05 _),
+    "q02_delta_scan" -> onSized("events")(q02 _),
+    "q03_watermark_max" -> onSized("events")(q03 _),
+    "q04_point_lookup" -> onSized("events")(q04 _),
+    "q05_anti_join" -> onSized("customer", "orders")(q05 _),
     "q06_semi_join" -> (q06 _),
     "q07_join_revenue" -> (q07 _),
-    "q08_window_topk" -> (q08 _),
+    "q08_window_topk" -> onSized("orders")(q08 _),
     "q09_running_sum" -> (q09 _),
-    "q10_distinct_agg" -> (q10 _),
-    "q11_setops" -> (q11 _),
-    "q12_rollup" -> (q12 _),
-    "q13_json_extract" -> (q13 _),
-    "q14_window_day" -> (q14 _),
-    "q15_scalar_funcs" -> (q15 _),
+    "q10_distinct_agg" -> onSized("orders")(q10 _),
+    "q11_setops" -> onSized("customer", "supplier")(q11 _),
+    "q12_rollup" -> onSized("customer", "nation")(q12 _),
+    "q13_json_extract" -> onSized("events")(q13 _),
+    "q14_window_day" -> onSized("events")(q14 _),
+    "q15_scalar_funcs" -> onSized("part")(q15 _),
     "q16_chunk_docs" -> (q16 _),
     "q17_exact_dedup" -> onDocSized(q17 _),
     "q18_minhash_lsh" -> (q18 _),
@@ -1811,32 +1823,32 @@ object SparkEntry {
     "q21_langid" -> onDocSized(q21 _),
     "q22_quality_score" -> onDocSized(q22 _),
     "q23_fingerprint" -> onDocSized(q23 _),
-    "q24_knn_bruteforce" -> (q24 _),
-    "q25_knn_lsh" -> (q25 _),
-    "q26_embedding_stats" -> (q26 _),
-    "q27_embedding_neardup" -> (q27 _),
-    "q28_grouping_sets" -> (q28 _),
-    "q29_topk_orders" -> (q29 _),
-    "q30_asof_watermark" -> (q30 _),
-    "q31_outer_join" -> (q31 _),
+    "q24_knn_bruteforce" -> onSized("embeddings")(q24 _),
+    "q25_knn_lsh" -> onSized("embeddings")(q25 _),
+    "q26_embedding_stats" -> onSized("embeddings")(q26 _),
+    "q27_embedding_neardup" -> onSized("embeddings")(q27 _),
+    "q28_grouping_sets" -> onSized("events")(q28 _),
+    "q29_topk_orders" -> onSized("orders")(q29 _),
+    "q30_asof_watermark" -> onSized("events")(q30 _),
+    "q31_outer_join" -> onSized("customer", "nation")(q31 _),
     "q32_having" -> (q32 _),
-    "q33_scalar_subquery" -> (q33 _),
-    "q34_like_filter" -> (q34 _),
+    "q33_scalar_subquery" -> onSized("customer")(q33 _),
+    "q34_like_filter" -> onSized("part")(q34 _),
     "q35_bpe_tokens" -> onDocSized(q35 _),
     "q36_minhash_sigs" -> onDocSized(q36 _),
     "q37_simhash_pairs" -> onDocSized(q37 _),
-    "q38_knn_join_batch" -> (q38 _),
-    "q39_pivot" -> (q39 _),
+    "q38_knn_join_batch" -> onSized("embeddings")(q38 _),
+    "q39_pivot" -> onSized("customer", "nation")(q39 _),
     "q40_posexplode" -> (q40 _),
-    "q41_percentiles" -> (q41 _),
+    "q41_percentiles" -> onSized("part")(q41 _),
     "q42_edit_distance" -> (q42 _),
-    "q43_asof_join" -> (q43 _),
-    "q44_sessionize" -> (q44 _),
+    "q43_asof_join" -> onSized("events", "orders")(q43 _),
+    "q44_sessionize" -> onSized("events")(q44 _),
     "q45_dedup_clusters" -> (q45 _),
     "q46_split" -> onDocSized(q46 _),
     "q47_source_quota" -> onDocSized(q47 _),
     "q48_corpus_stats" -> onDocSized(q48 _),
-    "q49_asof_custom_exec" -> (q49 _),
+    "q49_asof_custom_exec" -> onSized("events", "orders")(q49 _),
     "q50_heavy_hitters" -> (q50 _),
     "q51_bigram_lm" -> onDocSized(q51 _),
     "q52_tfidf" -> onDocSized(q52 _),
@@ -1853,13 +1865,13 @@ object SparkEntry {
     "q63_ngram_lm_score" -> onDocSized(q63 _),
     "q64_token_packing" -> onDocSized(q64 _),
     "q65_curation_pipeline" -> onDocSized(q65 _),
-    "q66_lateness_scan" -> (q66 _),
+    "q66_lateness_scan" -> onSized("events")(q66 _),
     "q67_jdbc_dim_join" -> (q67 _),
     "q68_incremental_neardup" -> (q68 _),
     "q69_substring_dup" -> (q69 _),
     "q70_token_mix" -> onDocSized(q70 _),
     "q71_bloom_decontamination" -> onDocSized(q71 _),
-    "q72_quantized_knn" -> (q72 _),
+    "q72_quantized_knn" -> onSized("embeddings")(q72 _),
     "q73_cluster_neardup" -> (q73 _),
     "q74_keep_best" -> (q74 _),
     "q75_df_prune" -> (q75 _),
