@@ -148,6 +148,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: both CC algorithms equal a union-find ground truth on random graphs") {
+    // The DedupSpec equality test proves the two algorithms AGREE; this
+    // property proves them CORRECT — a driver-side union-find computes
+    // the true min-label fixpoint for seeded random graphs spanning the
+    // shapes that break naive CC (sparse forests, dense near-cliques,
+    // duplicate/self edges, out-of-vocabulary ids never in the edge set).
+    import graft.operators.Dedup
+    def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-label union
+      }
+      (0L until n).map(i => i -> find(i)).toMap
+    }
+    val cases = samples(Gen.zip(Gen.chooseNum(5, 60), Gen.chooseNum(0, 120)), 6)
+    for (((n, m), i) <- cases.zipWithIndex) {
+      val edgeGen = Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1))
+      val edges = samples(edgeGen, m).map { case (a, b) => (a.toLong, b.toLong) }
+      val truth = unionFind(n.toLong, edges)
+      val ids = spark.range(n.toLong).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical")).toMap
+      val iter = asMap(Dedup.dedupClusters(ids, "doc_id", pairs, maxIter = 60))
+      val star = asMap(Dedup.dedupClustersStar(ids, "doc_id", pairs))
+      assert(iter == truth, s"case $i (n=$n m=$m): pointer-jump CC diverged from union-find")
+      assert(star == truth, s"case $i (n=$n m=$m): star-contraction CC diverged from union-find")
+    }
+  }
+
   test("epoch shuffle: key-derived block ids handle the 32-bit domain edges") {
     import graft.operators.EpochShuffle
     // keys at the domain extremes and straddling a block boundary:
