@@ -1789,12 +1789,17 @@ object SparkEntry {
   /** [[onDocSized]] generalized to any input-table set: the policy reads
     * the SUM of the named tables' on-disk bytes, so a query joining a
     * small dim against a big fact never downsizes (lineitem alone clears
-    * the threshold at sf0.1). Excluded by design, beyond the doc rules
-    * above: the chunkers (q16/q54 — scalable chunk boundaries are
-    * partition-local, so the session's width is part of their contract),
-    * the persisted-IVF pair (q94/q96 — index layout owns the read
-    * shape), and the skew-showcase join (q56 — its plan exists to
-    * exercise full-width salting). */
+    * the threshold at sf0.1). Every wrap below was CcProbe-A/B'd at
+    * sf0.1 (width 4 + AQE off vs session): all wrapped queries improved
+    * 15–50%, including the pair-generator family (q18 1.72→0.91 s — the
+    * r12 "don't narrow pair gen" finding was about width 1, not 4).
+    * Excluded by design: the chunkers (q16/q54 — scalable chunk
+    * boundaries are partition-local, so the session's width is part of
+    * their contract), the persisted-IVF pair (q94/q96 — index layout
+    * owns the read shape), the skew-showcase join (q56 — its plan
+    * exists to exercise full-width salting), the embed-UDF pair
+    * (q90/q91 — the UDF's CPU wants the session's cores), the
+    * self-narrowing CC loops (q45/q53/q74), and q50 (A/B flat). */
   private def onSized(tables: String*)(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Materialize.inputSizedSession(
       s, tables.map(graft.sources.Tables.tableBytes(dir, _)).sum), dir)
@@ -1817,7 +1822,7 @@ object SparkEntry {
     "q15_scalar_funcs" -> onSized("part")(q15 _),
     "q16_chunk_docs" -> (q16 _),
     "q17_exact_dedup" -> onDocSized(q17 _),
-    "q18_minhash_lsh" -> (q18 _),
+    "q18_minhash_lsh" -> onSized("documents")(q18 _),
     "q19_simhash" -> onDocSized(q19 _),
     "q20_ngram_jaccard" -> onDocSized(q20 _),
     "q21_langid" -> onDocSized(q21 _),
@@ -1839,9 +1844,9 @@ object SparkEntry {
     "q37_simhash_pairs" -> onDocSized(q37 _),
     "q38_knn_join_batch" -> onSized("embeddings")(q38 _),
     "q39_pivot" -> onSized("customer", "nation")(q39 _),
-    "q40_posexplode" -> (q40 _),
+    "q40_posexplode" -> onSized("documents")(q40 _),
     "q41_percentiles" -> onSized("part")(q41 _),
-    "q42_edit_distance" -> (q42 _),
+    "q42_edit_distance" -> onSized("documents")(q42 _),
     "q43_asof_join" -> onSized("events", "orders")(q43 _),
     "q44_sessionize" -> onSized("events")(q44 _),
     "q45_dedup_clusters" -> (q45 _),
@@ -1856,8 +1861,8 @@ object SparkEntry {
     "q54_chunk_scalable" -> (q54 _),
     "q55_decimal_roundtrip" -> (q55 _),
     "q56_salted_join" -> (q56 _),
-    "q57_decontamination" -> (q57 _),
-    "q58_seq_packing" -> (q58 _),
+    "q57_decontamination" -> onSized("documents")(q57 _),
+    "q58_seq_packing" -> onSized("documents")(q58 _),
     "q59_repetition" -> onDocSized(q59 _),
     "q60_quality_topp" -> onDocSized(q60 _),
     "q61_stratified_sample" -> onDocSized(q61 _),
@@ -1867,16 +1872,16 @@ object SparkEntry {
     "q65_curation_pipeline" -> onDocSized(q65 _),
     "q66_lateness_scan" -> onSized("events")(q66 _),
     "q67_jdbc_dim_join" -> (q67 _),
-    "q68_incremental_neardup" -> (q68 _),
+    "q68_incremental_neardup" -> onSized("documents")(q68 _),
     "q69_substring_dup" -> (q69 _),
     "q70_token_mix" -> onDocSized(q70 _),
     "q71_bloom_decontamination" -> onDocSized(q71 _),
     "q72_quantized_knn" -> onSized("embeddings")(q72 _),
-    "q73_cluster_neardup" -> (q73 _),
+    "q73_cluster_neardup" -> onSized("embeddings")(q73 _),
     "q74_keep_best" -> (q74 _),
-    "q75_df_prune" -> (q75 _),
-    "q76_epoch_shuffle" -> (q76 _),
-    "q77_incremental_vector_neardup" -> (q77 _),
+    "q75_df_prune" -> onSized("documents")(q75 _),
+    "q76_epoch_shuffle" -> onSized("documents")(q76 _),
+    "q77_incremental_vector_neardup" -> onSized("embeddings")(q77 _),
     "q78_filter_funnel" -> onDocSized(q78 _),
     "q83_funnel_trace" -> onDocSized(q83 _),
     "q84_funnel_counts" -> onDocSized(q84 _),
@@ -1886,7 +1891,7 @@ object SparkEntry {
     "q82_ngram_containment" -> onDocSized(q82 _),
     "q90_embed_documents" -> (q90 _),
     "q91_text_query_knn" -> (q91 _),
-    "q92_multimodal" -> (q92 _),
+    "q92_multimodal" -> onSized("documents")(q92 _),
     "q93_cdc_cycle" -> (q93 _),
     "q94_ivf_ann" -> (q94 _),
     "q95_sketches" -> (q95 _),
