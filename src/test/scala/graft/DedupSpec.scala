@@ -99,6 +99,35 @@ class DedupSpec extends AnyFunSuite {
     assert(star(0L) == ((0L, true)))
   }
 
+  test("CC full-width branch (eager round caches, short-circuit star convergence) is value-identical") {
+    // Tiny fixtures always narrow the loops (rows/12500+1 = 1 < session
+    // width), so the at-scale branch — eager roundCache, the star loop's
+    // two-phase short-circuit convergence — would otherwise only ever
+    // execute on ladder fixtures. A session clone with ONE shuffle
+    // partition makes the computed width (1) >= the session width (1),
+    // which is exactly the full-width condition, without any env hooks.
+    val s1 = spark.newSession()
+    s1.conf.set("spark.sql.shuffle.partitions", "1")
+    import org.apache.spark.sql.functions.col
+    val ids = s1.range(30).toDF("doc_id")
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), // chain
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle
+      (3L, 25L), (3L, 26L)) // two-parent bridge shape
+    val pairs = s1.createDataFrame(edges).toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical")).toMap
+    val expected = (0L until 30L).map { i =>
+      i -> (i match {
+        case x if x >= 10 && x <= 13 => 10L
+        case x if x >= 20 && x <= 22 => 20L
+        case 3 | 25 | 26 => 3L
+        case x => x
+      })
+    }.toMap
+    assert(asMap(Dedup.dedupClusters(ids, "doc_id", pairs, maxIter = 60)) == expected)
+    assert(asMap(Dedup.dedupClustersStar(ids, "doc_id", pairs)) == expected)
+  }
+
   test("star-contraction two-parent bridge: a child with two parents must not end the loop") {
     // After one contraction round this graph reaches an edge set where no
     // node is both child and parent, yet node 3 holds parents 1 AND 2 —
