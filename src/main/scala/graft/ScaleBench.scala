@@ -34,6 +34,13 @@ object ScaleBench {
     // no-Expand shape and input-scaled distinct width are regression-
     // pinned here, not just at sf0.1 (VERDICT r12 task 6)
     "q79_sketch_exact")
+  // Standing regression pins (VERDICT r13 task 5): q93's staged-MVCC
+  // cycle is watched at its REBUILT r13 shape — BASELINE.md "q93 record
+  // audited and rebuilt": 19.4 s at sx125, 25→125 segment 1.8× (sub-
+  // linear). Its sx625 point is measured single-disk-bound with a wide
+  // spread ({158…420 s}), so decade pushes there follow the min-of-N
+  // protocol (report the min, record the spread) — a single slow repeat
+  // is the disk, not a plan regression.
   val Repeats = 2
 
   /** The ladder session: identical confs for every decade measurement

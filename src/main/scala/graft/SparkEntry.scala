@@ -1799,12 +1799,47 @@ object SparkEntry {
     * owns the read shape), the skew-showcase join (q56 — its plan
     * exists to exercise full-width salting), the embed-UDF pair
     * (q90/q91 — the UDF's CPU wants the session's cores), the
-    * self-narrowing CC loops (q45/q53/q74), and q50 (A/B flat). */
-  private def onSized(tables: String*)(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
-    (s, dir) => f(Materialize.inputSizedSession(
-      s, tables.map(graft.sources.Tables.tableBytes(dir, _)).sum), dir)
+    * self-narrowing CC loops (q45/q53/q74), and q50 (A/B flat).
+    *
+    * WRAP POLICY FOR A NEW QUERY (the registry is hand-curated; this is
+    * the default so the curation doesn't drift, VERDICT r13 #6):
+    * DEFAULT-WRAP a one-shot scan/agg/join whose inputs are the doc
+    * family or the dims — anything summing under [[Materialize.SmallQueryBytes]]
+    * at sf0.1 — naming EVERY table the body reads (PlanAuditSpec asserts
+    * declared == scanned, so a forgotten table fails the build, ADVICE
+    * r13). NEVER wrap: chunkers (partition-local boundaries are part of
+    * the contract), iterative loops (they self-narrow from measured rows
+    * via loopWidthSession), persisted-index readers (the index layout
+    * owns the read shape), embed-UDF queries (per-row UDF CPU wants the
+    * session's cores), skew showcases, or anything reading a
+    * lineitem-class fact — the fact clears the byte threshold anyway,
+    * and the REJECTED width-8 lineitem tier (BASELINE.md r13) showed a
+    * byte threshold cannot distinguish cheap numeric rows from CPU-heavy
+    * text, so there is no middle tier: wrap fully or not at all. When in
+    * doubt, leave unwrapped and A/B with CcProbe before wrapping. */
+  private def onSized(tables: String*)(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame = {
+    val wrapped: (SparkSession, String) => DataFrame = (s, dir) =>
+      f(Materialize.inputSizedSession(
+        s, tables.map(graft.sources.Tables.tableBytes(dir, _)).sum), dir)
+    sizedDeclarations.put(wrapped, tables)
+    wrapped
+  }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Declared input tables of every [[onSized]]-wrapped query, keyed by
+    * the wrapped closure itself (identity — the registry maps names to
+    * these exact function values). Exists so PlanAuditSpec can assert,
+    * per wrapped query, declared tables == tables the plan actually
+    * scans: the lists are hand-maintained duplicates of each body's
+    * reads, and an un-updated wrap would silently under-count bytes and
+    * downsize a large join at scale (ADVICE r13). */
+  private[graft] val sizedDeclarations =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[AnyRef, Seq[String]]())
+
+  // lazy val (not def): the registry is immutable, and a stable map keeps
+  // the [[sizedDeclarations]] identity keys valid for the life of the JVM
+  // instead of re-wrapping ~50 closures per access
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_delta_scan" -> onSized("events")(q02 _),
     "q03_watermark_max" -> onSized("events")(q03 _),

@@ -55,7 +55,7 @@ object Materialize {
   def release(df: DataFrame): Unit = { df.unpersist(false); () }
 
   /** Per-round loop cache with the policy the loop width dictates (see
-    * [[withLoopWidthInfo]]): LAZY persist when narrowed — the round's
+    * [[loopWidthSession]]): LAZY persist when narrowed — the round's
     * single job materializes it, and a duplicate-compute race between two
     * consumer stages costs less than the extra job — EAGER ([[shared]])
     * at full width, where the relation carries real shuffle/CPU work that
@@ -103,74 +103,37 @@ object Materialize {
     * both measured regimes on their winning side. */
   val LoopRowsPerPartition: Long = 12500L
 
-  /** Run an iterative fixpoint loop with `spark.sql.shuffle.partitions`
-    * narrowed to the width the loop's ACTUAL row volume justifies
-    * (`rows / LoopRowsPerPartition`, clamped to [1, session width]),
-    * restoring the session value after. Why: the r10→r11 drift diagnosis
-    * (BASELINE.md, CcProbe) measured the CC queries' cost as TASK COUNT,
-    * not data — ~1,300 tasks across ~68 AQE stage-jobs to move 500
-    * labels, because every exchange in the loop inherits the session's
-    * core-count width and AQE's `parallelismFirst=true` default never
-    * coalesces below it. Deriving the width from measured rows fixes the
-    * small end without touching the big end: at 100 TB the quotient
-    * exceeds the session cap and the loop runs exactly as wide as before.
-    * Caveat: session conf is engine-wide state — concurrent queries on
-    * the same session during the loop would plan at the narrowed width
-    * (the engine's mains are serial; document before adding parallelism). */
-  def withLoopWidth[A](spark: SparkSession, rows: Long)(body: => A): A =
-    withLoopWidthInfo(spark, rows)(_ => body)
-
-  /** [[withLoopWidth]], passing the narrowing DECISION to the body. Loop
-    * bodies use it to pick their per-round cache policy: when narrowed
-    * (small scale) the round cost is job scheduling, so caches persist
-    * LAZILY and materialize inside the round's single job — a duplicate-
-    * compute race between two consumer stages is cheaper than an extra
-    * job. At full width (the at-scale branch) the relations carry real
-    * shuffle/CPU work, so caches materialize EAGERLY — one extra tiny job
-    * guarantees the heavy plan runs exactly once. */
-  def withLoopWidthInfo[A](spark: SparkSession, rows: Long)(body: Boolean => A): A = {
-    val conf = spark.conf
-    val session = conf.get("spark.sql.shuffle.partitions").toInt
-    // GRAFT_LOOP_WIDTH=N: A/B hook forcing the narrowed width (the sweep
-    // behind the LoopRowsPerPartition constant)
-    val w0 = math.max(1L, math.min(session.toLong, rows / LoopRowsPerPartition + 1)).toInt
-    val w = sys.env.get("GRAFT_LOOP_WIDTH").map(_.toInt).getOrElse(w0)
-    // GRAFT_NO_NARROW=1: A/B kill switch — run the body at the session
-    // width exactly as before this mechanism existed (used by the ladder
-    // re-measurements to separate narrowing effects from machine drift)
-    if (w >= session || sys.env.get("GRAFT_NO_NARROW").contains("1")) body(false)
-    else {
-      // AQE off while narrowed: with every exchange already at the minimal
-      // width there is nothing left to coalesce or skew-split, and AQE's
-      // per-stage materialization turns each tiny query into ~15 scheduled
-      // jobs (measured: the stage-job count, not the tasks, was half the
-      // remaining CC fixed cost). At full width (the at-scale branch
-      // above) AQE stays on — skew-join splitting matters there.
-      val aqe = conf.get("spark.sql.adaptive.enabled")
-      conf.set("spark.sql.shuffle.partitions", w.toString)
-      conf.set("spark.sql.adaptive.enabled", "false")
-      try body(true) finally {
-        conf.set("spark.sql.shuffle.partitions", session.toString)
-        conf.set("spark.sql.adaptive.enabled", aqe)
-      }
-    }
-  }
-
-  /** Thread-safe variant of [[withLoopWidth]] for callers that run
-    * CONCURRENTLY on one session (the CDC cycle's per-table pool): instead
-    * of mutating the shared session conf, returns a `newSession()` CLONE
-    * with isolated SQLConf, narrowed the same way (same width formula,
-    * AQE off when narrowed) — or the original session when `rows`
-    * justifies full width. The clone shares SparkContext, cache, and
-    * catalog; only its conf differs, so relations built FROM the clone
-    * plan at the narrow width while every other thread's session is
-    * untouched. Callers must build their relations from the returned
-    * session for the width to apply. */
+  /** The ONE loop-narrowing mechanism (r14 — the conf-mutating
+    * `withLoopWidth` twin is gone): a `newSession()` CLONE with isolated
+    * SQLConf, `spark.sql.shuffle.partitions` narrowed to the width the
+    * loop's ACTUAL row volume justifies (`rows / LoopRowsPerPartition`,
+    * clamped to [1, session width]) and AQE off — or the ORIGINAL session
+    * when `rows` justifies full width. Why narrow at all: the r10→r11
+    * drift diagnosis (BASELINE.md, CcProbe) measured the CC queries' cost
+    * as TASK COUNT, not data — ~1,300 tasks across ~68 AQE stage-jobs to
+    * move 500 labels, because every exchange in a loop inherits the
+    * session's core-count width and AQE's `parallelismFirst=true` default
+    * never coalesces below it (and AQE's per-stage materialization turns
+    * each tiny query into ~15 scheduled jobs). Deriving the width from
+    * measured rows fixes the small end without touching the big end: at
+    * 100 TB the quotient exceeds the session cap and the loop runs exactly
+    * as wide — and as AQE-adaptive — as the session itself.
+    *
+    * Why a clone, never `spark.conf.set` on the caller's session: session
+    * conf is engine-wide state, and the CDC cycle runs tables CONCURRENTLY
+    * on one session — a conf mutation would re-plan every other thread's
+    * queries at the narrowed width (VERDICT r13 #4). The clone shares
+    * SparkContext, cache, and catalog; only its conf differs. Callers must
+    * build (or [[rebind]]) their relations from the returned session for
+    * the width to apply — derived Datasets inherit their parent's session,
+    * so rebinding a loop's root inputs once covers every per-round plan. */
   def loopWidthSession(spark: SparkSession, rows: Long): SparkSession = {
     val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val w0 = math.max(1L, math.min(session.toLong, rows / LoopRowsPerPartition + 1)).toInt
-    // same A/B hooks as withLoopWidth: GRAFT_LOOP_WIDTH forces the width
-    // (the sweep harness), GRAFT_NO_NARROW kills narrowing entirely
+    // A/B hooks: GRAFT_LOOP_WIDTH forces the narrowed width (the sweep
+    // harness behind LoopRowsPerPartition); GRAFT_NO_NARROW=1 kills
+    // narrowing entirely — used by the ladder re-measurements to separate
+    // narrowing effects from machine drift
     val w = sys.env.get("GRAFT_LOOP_WIDTH").map(_.toInt).getOrElse(w0)
     if (w >= session || sys.env.get("GRAFT_NO_NARROW").contains("1")) spark
     else {
@@ -180,6 +143,20 @@ object Materialize {
       s2
     }
   }
+
+  /** Re-root a DataFrame's plan on another session (no-op when already
+    * there) — zero data movement: the plan is re-planned under `to`'s
+    * SQLConf, and because session clones share the SparkContext, the
+    * CacheManager, and the checkpoint files, a cached or [[truncate]]d
+    * relation resolves to the same storage it had on its home session.
+    * This is how the CC loops adopt their [[loopWidthSession]] clone:
+    * rebind the loop's root inputs once; every derived per-round plan
+    * inherits the clone automatically. The final result is rebound BACK
+    * to the caller's session, so downstream consumers plan at the width
+    * they chose — the loop's narrowing never leaks out. */
+  def rebind(df: DataFrame, to: SparkSession): DataFrame =
+    if (to eq df.sparkSession) df
+    else org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(to, df.queryExecution.analyzed)
 
   /** Inputs below this on-disk size take the small-query session (an
     * 8 MiB parquet is ≲ a few hundred thousand text rows — sub-second

@@ -44,7 +44,15 @@ object Tables {
     * (a production deployment stores the current schema in one) — so it
     * is gated on the only case that can diverge: a directory with more
     * than one data file. A single-file table has exactly one schema. */
+  /** Test hook (PlanAuditSpec's onSized audit): when set on the current
+    * thread, every [[table]] call records its table name — ground truth
+    * for "tables a query's body reads" that stays correct when a body
+    * caches or checkpoints (which cuts the lineage `Dataset.inputFiles`
+    * would need). Never set outside tests; zero cost when unset. */
+  private[graft] val readRecorder = new ThreadLocal[scala.collection.mutable.Set[String]]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    Option(readRecorder.get()).foreach(_ += name)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
     val f = new java.io.File(path)
@@ -101,7 +109,14 @@ object Tables {
           .filterNot(x => x.getName.startsWith("_") || x.getName.startsWith("."))
           .map(size).sum
       else f.length()
-    size(new java.io.File(s"$dir/$name.parquet"))
+    val root = new java.io.File(s"$dir/$name.parquet")
+    // Fail loudly on a missing/mistyped table: File.length()=0 would read
+    // as "tiny input" and silently downsize the query onto the width-4/
+    // AQE-off clone at ANY scale — violating the documented "a big input
+    // must never downsize" invariant (ADVICE r13). The query itself would
+    // fail on the missing path anyway; failing here names the real cause.
+    require(root.exists(), s"tableBytes: no such table: ${root.getPath}")
+    size(root)
   }
 
   /** S2: enumerate tables available in a fixture directory (the engine's

@@ -95,29 +95,30 @@ class MaterializeSpec extends AnyFunSuite {
     assert(!fs.exists(path), "free must delete the superseded snapshot's files")
   }
 
-  test("withLoopWidth narrows by measured rows, disables AQE, and restores both — also on exception") {
-    val conf = spark.conf
-    val session = conf.get("spark.sql.shuffle.partitions")
-    val aqe = conf.get("spark.sql.adaptive.enabled")
-    Materialize.withLoopWidth(spark, rows = 100) {
-      assert(conf.get("spark.sql.shuffle.partitions") == "1",
-        "100 rows must narrow to width 1")
-      assert(conf.get("spark.sql.adaptive.enabled") == "false",
-        "AQE must be off while narrowed (nothing left to coalesce)")
-    }
-    assert(conf.get("spark.sql.shuffle.partitions") == session)
-    assert(conf.get("spark.sql.adaptive.enabled") == aqe)
-    intercept[RuntimeException] {
-      Materialize.withLoopWidth(spark, rows = 100) { throw new RuntimeException("boom") }
-    }
-    assert(conf.get("spark.sql.shuffle.partitions") == session,
-      "conf must be restored even when the body throws")
-    assert(conf.get("spark.sql.adaptive.enabled") == aqe)
-    // at-scale passthrough: rows that justify >= session width change nothing
-    Materialize.withLoopWidth(spark, rows = Long.MaxValue / 2) {
-      assert(conf.get("spark.sql.shuffle.partitions") == session)
-      assert(conf.get("spark.sql.adaptive.enabled") == aqe)
-    }
+  test("rebind re-roots a plan on another session: clone width applies, caches and checkpoints are shared") {
+    val s2 = Materialize.loopWidthSession(spark, rows = 100)
+    assert(s2 ne spark)
+    // a cached relation rebound to the clone resolves the SAME cache entry
+    // (shared CacheManager) — no recompute, and downstream shuffles plan
+    // at the clone's narrowed width
+    val cached = Materialize.shared((1 to 64).toDF("n"))
+    try {
+      val bound = Materialize.rebind(cached, s2)
+      assert(bound.sparkSession eq s2)
+      assert(bound.queryExecution.executedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+        "rebound plan must read the home session's cache entry")
+      val parts = bound.groupBy(col("n") % 4).count().rdd.getNumPartitions
+      assert(parts == 1, s"rebound shuffle must plan at the clone's width, got $parts")
+      // a checkpointed relation rebinds at zero cost (the plan reads files)
+      val snap = Materialize.truncate((1 to 100).toDF("m"))
+      val back = Materialize.rebind(Materialize.rebind(snap, s2), spark)
+      assert(back.sparkSession eq spark)
+      assert(back.count() == 100)
+      Materialize.free(snap)
+      // no-op when already on the target session
+      assert(Materialize.rebind(cached, spark) eq cached)
+    } finally Materialize.release(cached)
   }
 
   test("loopWidthSession clones with isolated narrowed conf; at-scale returns the same session") {

@@ -241,4 +241,31 @@ class PlanAuditSpec extends AnyFunSuite {
         s"corpus-sized probe side must shuffle-join on the bucket, not broadcast:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("every onSized wrap declares exactly the tables its body scans (no silent under-count)") {
+    // The input-sized wraps (SparkEntry registry) name their query's input
+    // tables by hand; a body gaining a table read without its wrap being
+    // updated would under-count bytes and could downsize a large join at
+    // scale (ADVICE r13). Assert declared == scanned for every wrapped
+    // query, from the plan's own input files. Wrap policy — including why
+    // chunkers/loops/IVF/skew stay unwrapped — lives on onSized's scaladoc.
+    val sf = "/root/testdata/sf0.001"
+    var audited = 0
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val declared = Option(SparkEntry.sizedDeclarations.get(fn))
+      declared.foreach { tables =>
+        // ground truth = the Tables.table calls the body makes while it
+        // builds its plan (inputFiles can't see through the caching /
+        // checkpointing some bodies do)
+        val reads = scala.collection.mutable.Set[String]()
+        graft.sources.Tables.readRecorder.set(reads)
+        try fn(spark, sf) finally graft.sources.Tables.readRecorder.remove()
+        assert(reads.toSet == tables.toSet,
+          s"$name: wrap declares ${tables.sorted.mkString(",")} but the body reads " +
+            s"${reads.toSeq.sorted.mkString(",")} — update the onSized(...) table list")
+        audited += 1
+      }
+    }
+    assert(audited >= 40, s"expected the wrapped family to be audited, saw only $audited")
+  }
 }

@@ -162,6 +162,45 @@ class ServeHttpSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("/health answers while a slow /query is pinned in flight (r14: no dispatcher serialization)") {
+    val scratch = Files.createTempDirectory("graft_http_health").toString
+    val src = s"$scratch/src"
+    new java.io.File(src).mkdirs()
+    (1 to 40).map(i => (i.toLong, Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"), s"pay-$i"))
+      .toDF("event_id", "ts", "payload")
+      .write.parquet(s"$src/events.parquet")
+    val engine = new Engine(spark, src, s"$scratch/state", s"$scratch/sink")
+    engine.initializeIndex()
+    engine.runSyncCycle()
+    val api = new ServeHttp(engine)
+    val port = api.start(0)
+    try {
+      val base = s"http://127.0.0.1:$port"
+      // park a /query at its entry hook — the deterministic stand-in for
+      // a slow exact scan (pre-r14 setExecutor(null) would queue /health
+      // behind it on the single dispatcher thread for its full duration)
+      val entered = new java.util.concurrent.CountDownLatch(1)
+      val release = new java.util.concurrent.CountDownLatch(1)
+      api.onQueryStart = () => { entered.countDown(); release.await() }
+      val slow = new java.util.concurrent.atomic.AtomicReference[(Int, String)]()
+      val t = new Thread(() => slow.set(get(s"$base/query?q=pay-7&k=2")))
+      t.start()
+      try {
+        assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS),
+          "the pinned query never reached its handler")
+        api.onQueryStart = () => () // only the pinned request parks
+        val t0 = System.nanoTime()
+        val (hc, health) = get(s"$base/health")
+        val healthSecs = (System.nanoTime() - t0) / 1e9
+        assert(hc == 200 && health.contains("\"healthy\""), health)
+        assert(healthSecs < 5.0,
+          f"/health took $healthSecs%.1fs while a query was pinned — still queueing behind it")
+      } finally { release.countDown(); t.join() }
+      // the pinned query completes normally once released
+      assert(slow.get() != null && slow.get()._1 == 200, s"pinned query failed: ${slow.get()}")
+    } finally api.stop()
+  }
+
   private def idsOf(json: String): Set[String] =
     "\"id\":\"([^\"]+)\"".r.findAllMatchIn(json).map(_.group(1)).toSet
 }

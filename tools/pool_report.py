@@ -21,6 +21,13 @@ def main() -> None:
     if not rows:
         sys.exit(f"no entries for sf~{sf_sub}")
     code = sys.argv[1] if len(sys.argv) > 1 else rows[-1].get("code", "")
+    if not code:
+        # startswith("") matches EVERY run — pooling minima across code
+        # fingerprints, the exact cross-code leak this tool exists to
+        # prevent (ADVICE r13). An unfingerprinted newest entry is a bug
+        # in how it was recorded, not a pooling request.
+        sys.exit("resolved fingerprint is empty (newest entry has no 'code' "
+                 "field) — pass one explicitly")
     runs = [r for r in rows if (r.get("code") or "").startswith(code)]
     if not runs:
         sys.exit(f"no entries for fingerprint {code}")
