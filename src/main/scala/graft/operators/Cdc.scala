@@ -688,22 +688,34 @@ object Cdc {
         }
         val existing = readEntries(spark, sinkDir, overlapping)
         // compacted rows from OTHER namespaces ride along verbatim: the
-        // id anti-join overwrite applies only inside this namespace
+        // id anti-join overwrite applies only inside this namespace.
+        // The anti-join side reads ONE pruned column from the staging
+        // (id); the kept side must read full rows — they are REWRITTEN
+        // (copy-on-write is the design: reads stay merge-free).
         val kept = existing.join(
           newRows.select(col("id").as("_new_id")),
           existing("id") === col("_new_id") && existing("namespace") === lit(namespace),
           "left_anti")
         val genRoot = nextGenRoot(sinkDir)
-        // co-locate each output directory's rows in one task: without this,
-        // every one of the N shuffle tasks opens a file in every (bucket,
-        // simb) dir it holds a row for — tiny-file explosion at small batch
-        // sizes, and the wrong file granularity at large ones
-        kept.unionByName(newRows)
+        // Only the KEPT side is written by Spark; the staged batch is
+        // already in generation-root layout (stageUpsert pre-partitions
+        // it), so its files MOVE into the new root afterwards — never
+        // re-shuffled, never rewritten (r14; pre-r14 the merge unioned
+        // the batch through the repartition+write, paying a second
+        // full-width shuffle AND a second on-disk copy of every new row —
+        // half the merge's write amplification for append-heavy deltas).
+        // The repartition co-locates each output directory's rows in one
+        // task: without it, every one of the N shuffle tasks opens a file
+        // in every (bucket, simb) dir it holds a row for — tiny-file
+        // explosion at small batch sizes, and the wrong file granularity
+        // at large ones.
+        kept
           .repartition(col("namespace"), col("bucket"), col("simb"))
           .write
           .mode(SaveMode.Overwrite)
           .partitionBy("namespace", "bucket", "simb")
           .parquet(s"$sinkDir/$genRoot")
+        moveStagedFiles(staged.stageDir, s"$sinkDir/$genRoot")
         onBeforeCommit() // test hook: crash here must leave the old snapshot
         // rewritten keys point at the new root — by PHYSICAL walk, not by
         // intent: a key whose merge produced zero rows writes no dir and
@@ -713,6 +725,33 @@ object Cdc {
         publishManifest(sinkDir, newEntries)
         gcSink(sinkDir)
     } finally { deleteRecursively(new java.io.File(staged.stageDir)); () }
+  }
+
+  /** Move a staging's leaf files into a freshly-written generation root —
+    * the merge path's analog of the empty-overlap rename fast path. The
+    * staging is in generation-root layout by construction (stageUpsert
+    * pre-partitions it), so this is one POSIX rename per data file;
+    * target partition dirs are created where the kept-side write produced
+    * none (a partition whose old content was entirely overwritten, or a
+    * simb sub-partition new to this batch). Kept and staged file names
+    * are task-UUID-unique — no collisions. A crash mid-move leaves a
+    * partial UNPUBLISHED root (the manifest flip comes later): the next
+    * commit GCs it, identical to a crash mid-write. On an object store
+    * the rename maps to a server-side copy per file — O(files) metadata,
+    * never a second pass of the bytes through Spark. */
+  private def moveStagedFiles(stageDir: String, rootDir: String): Unit = {
+    def walk(src: java.io.File, rel: List[String]): Unit =
+      Option(src.listFiles()).toSeq.flatten.foreach { f =>
+        if (f.isDirectory) walk(f, rel :+ f.getName)
+        else if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+          val targetDir = new java.io.File((rootDir :: rel).mkString("/"))
+          targetDir.mkdirs()
+          val target = new java.io.File(targetDir, f.getName)
+          if (!f.renameTo(target))
+            throw new java.io.IOException(s"move ${f.getPath} -> ${target.getPath} failed")
+        }
+      }
+    walk(new java.io.File(stageDir), Nil)
   }
 
   /** Next unused generation-root name: one past the highest existing
