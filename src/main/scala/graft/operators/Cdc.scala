@@ -1087,19 +1087,11 @@ object Cdc {
     * mid-scan and must re-resolve ([[readWatermarks]]); the one-time
     * legacy-layout upgrade GCs the unversioned dir immediately and has
     * the same (one-time) caveat. Like the vector sink, the store assumes
-    * a single writer at a time. */
-  private[operators] def atomicOverwrite(
-      spark: SparkSession,
-      df: DataFrame,
-      path: String,
-      onBeforeCommit: () => Unit = () => ()): Unit =
-    atomicOverwriteWith(path,
-      vdir => df.write.mode(SaveMode.Overwrite).parquet(vdir.getPath), onBeforeCommit)
-
-  /** [[atomicOverwrite]] with the data write abstracted: `writeData`
-    * populates the fresh version dir (a Spark parquet write, or the
-    * watermark store's driver-local writer — the commit protocol is
-    * identical either way). */
+    * a single writer at a time.
+    *
+    * `writeData` populates the fresh version dir — the watermark store's
+    * driver-local parquet writer today; the protocol is writer-agnostic
+    * (a Spark `df.write.parquet(vdir)` plugs in identically). */
   private[operators] def atomicOverwriteWith(
       path: String,
       writeData: java.io.File => Unit,
