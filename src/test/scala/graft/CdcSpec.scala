@@ -215,6 +215,36 @@ class CdcSpec extends AnyFunSuite {
     assert(after.toSet == Set(("task1", "in-task1"), ("task2", "in-task2-v2")))
   }
 
+  test("merge commit MOVES staged files into the new root — new rows are never rewritten (r14)") {
+    val sink = Files.createTempDirectory("graft_sink_mv").toString
+    Cdc.initVectorSink(spark, sink)
+    // publish a first batch so the second batch's buckets OVERLAP →
+    // commit takes the merge path, not the empty-overlap rename
+    val ids = (1 to 40).map(i => s"m#$i")
+    Cdc.upsertVectors(spark, sink,
+      ids.map(id => (id, Array(1f), "t", s"v1-$id")).toDF("id", "embedding", "source", "text"))
+    val b2 = ids.take(20).map(id => (id, Array(2f), "t", s"v2-$id"))
+      .toDF("id", "embedding", "source", "text")
+    val staged = Cdc.stageUpsert(spark, sink, b2).get
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    val stagedNames = walk(new java.io.File(staged.stageDir))
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(stagedNames.nonEmpty)
+    Cdc.commitStagedUpsert(spark, sink, staged)
+    // the staged batch's physical files live under the published roots,
+    // names intact — one rename each, zero Spark rewrite of new rows
+    val rootFiles = walk(new java.io.File(sink))
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(stagedNames.subsetOf(rootFiles),
+      s"staged files must be MOVED into the root: missing ${stagedNames -- rootFiles}")
+    // and the merge is still correct: overwritten ids serve v2, rest v1
+    val out = Cdc.readVectorSink(spark, sink).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("text")).toMap
+    assert(out == ids.map(id => id ->
+      (if (ids.take(20).contains(id)) s"v2-$id" else s"v1-$id")).toMap)
+  }
+
   test("upsert rewrites only touched buckets: other bucket files stay byte-identical") {
     val sink = Files.createTempDirectory("graft_sink_bk").toString
     Cdc.initVectorSink(spark, sink)
