@@ -228,6 +228,16 @@ object Cdc {
         vdir => writeWatermarkFile(vdir, merged), onBeforeCommit)
     }
 
+  /** Probe/test seeding surface (graft.WmProbe): publish `rows` as the
+    * whole store in ONE commit — the same writer, sort, and pointer
+    * protocol as [[updateWatermark]], without the O(T^2) rewrite that T
+    * public single-key commits would pay. Not a production API: real
+    * stores are built commit by commit. */
+  private[graft] def seedWatermarkStore(stateDir: String, rows: Map[String, Timestamp]): Unit =
+    storeLock(stateDir).synchronized {
+      atomicOverwriteWith(s"$stateDir/$WatermarkTable", vdir => writeWatermarkFile(vdir, rows))
+    }
+
   /** Serializes the store's RMW per stateDir (r15, ADVICE r14): the batch
     * cycle already serializes commits under its commitLock, but STREAMING
     * tables commit from each query's own foreachBatch thread
