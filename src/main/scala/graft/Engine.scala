@@ -276,6 +276,14 @@ class Engine(
 
   /** Current per-table watermarks (the reference's `watermark` table). */
   def watermarks(): DataFrame = Cdc.readWatermarks(spark, stateDir)
+
+  /** One-time split of the watermark store into `shards` hash shards —
+    * for fleets past ~10k hot CDC tables through one store, where the
+    * single file's O(T) rewrite-per-commit runs out of budget (measured
+    * knee: ~60 ms/commit at 10k tables, ~260 ms at 100k — BASELINE.md /
+    * graft.WmProbe). Commits drop to O(T/B) and stop serializing across
+    * shards; every read surface is unchanged. */
+  def shardWatermarkStore(shards: Int): Unit = Cdc.shardWatermarkStore(stateDir, shards)
 }
 
 object Engine {

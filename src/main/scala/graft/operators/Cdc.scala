@@ -164,22 +164,28 @@ object Cdc {
 
   /** S6: point lookup of a table's watermark; None if absent
     * (`service_layer/service.py:21-33`). Driver-side — no Spark job.
-    * `spark` is unused since r14 (kept for API stability). */
+    * `spark` is unused since r14 (kept for API stability). On a sharded
+    * store only the owning shard is read — O(T/B), not O(T). */
   def getWatermark(spark: SparkSession, stateDir: String, tableName: String): Option[Timestamp] =
-    readWatermarkMap(stateDir).get(tableName)
+    readStoreMap(shardPath(stateDir, watermarkShards(stateDir), tableName)).get(tableName)
 
-  def readWatermarks(spark: SparkSession, stateDir: String): DataFrame =
-    liveVersionDir(s"$stateDir/$WatermarkTable") match {
-      case Some(dir) => spark.read.parquet(dir)
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], watermarkSchema)
-    }
+  def readWatermarks(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = storePaths(stateDir).flatMap(liveVersionDir)
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], watermarkSchema)
+    else spark.read.parquet(dirs: _*)
+  }
 
-  /** Driver-side read of the whole store: T rows via parquet-mr footers —
-    * no Spark job, no session needed. Reads both this writer's INT64-µs
-    * timestamps and legacy Spark-written files (INT64 ms/µs/ns, INT96). */
+  /** Driver-side read of the whole store (all shards): T rows via
+    * parquet-mr footers — no Spark job, no session needed. Reads both this
+    * writer's INT64-µs timestamps and legacy Spark-written files (INT64
+    * ms/µs/ns, INT96). */
   def readWatermarkMap(stateDir: String): Map[String, Timestamp] =
-    liveVersionDir(s"$stateDir/$WatermarkTable") match {
+    storePaths(stateDir).foldLeft(Map.empty[String, Timestamp])(_ ++ readStoreMap(_))
+
+  /** One shard's (or the single store's) live rows. */
+  private def readStoreMap(storePath: String): Map[String, Timestamp] =
+    liveVersionDir(storePath) match {
       case None => Map.empty
       case Some(dir) =>
         val files = Option(new java.io.File(dir).listFiles()).toSeq.flatten
@@ -212,46 +218,148 @@ object Cdc {
     * stability). Parquet has no MERGE, so: local read + max-merge +
     * versioned-directory commit ([[atomicOverwriteWith]] — at every
     * instant, including mid-crash, a complete store is readable).
-    * `onBeforeCommit` is a test hook for crash injection between the
-    * data write and the pointer publish. */
+    * On a sharded store ([[shardWatermarkStore]]) the RMW touches only the
+    * owning shard: O(T/B) bytes, and commits to different shards run
+    * CONCURRENTLY (per-shard locks). `onBeforeCommit` is a test hook for
+    * crash injection between the data write and the pointer publish. */
   def updateWatermark(
       spark: SparkSession,
       stateDir: String,
       tableName: String,
       ts: Timestamp,
-      onBeforeCommit: () => Unit = () => ()): Unit =
-    storeLock(stateDir).synchronized {
-      val current = readWatermarkMap(stateDir)
-      val winner = current.get(tableName).filter(_.after(ts)).getOrElse(ts)
-      val merged = current + (tableName -> winner)
-      atomicOverwriteWith(s"$stateDir/$WatermarkTable",
-        vdir => writeWatermarkFile(vdir, merged), onBeforeCommit)
+      onBeforeCommit: () => Unit = () => ()): Unit = {
+    // resolve → lock → re-check: a concurrent shardWatermarkStore can flip
+    // the topology between the marker read and the shard lock acquisition;
+    // re-resolving under the lock and retrying keeps the commit from
+    // landing in a store the migration already drained.
+    var committed = false
+    while (!committed) {
+      val path = shardPath(stateDir, watermarkShards(stateDir), tableName)
+      storeLock(path).synchronized {
+        if (shardPath(stateDir, watermarkShards(stateDir), tableName) == path) {
+          val current = readStoreMap(path)
+          val winner = current.get(tableName).filter(_.after(ts)).getOrElse(ts)
+          atomicOverwriteWith(path,
+            vdir => writeWatermarkFile(vdir, current + (tableName -> winner)), onBeforeCommit)
+          committed = true
+        }
+      }
     }
+  }
 
   /** Probe/test seeding surface (graft.WmProbe): publish `rows` as the
-    * whole store in ONE commit — the same writer, sort, and pointer
-    * protocol as [[updateWatermark]], without the O(T^2) rewrite that T
-    * public single-key commits would pay. Not a production API: real
-    * stores are built commit by commit. */
-  private[graft] def seedWatermarkStore(stateDir: String, rows: Map[String, Timestamp]): Unit =
-    storeLock(stateDir).synchronized {
-      atomicOverwriteWith(s"$stateDir/$WatermarkTable", vdir => writeWatermarkFile(vdir, rows))
+    * whole store in ONE commit per shard — the same writer, sort, and
+    * pointer protocol as [[updateWatermark]], without the O(T^2) rewrite
+    * that T public single-key commits would pay. Not a production API:
+    * real stores are built commit by commit. */
+  private[graft] def seedWatermarkStore(stateDir: String, rows: Map[String, Timestamp]): Unit = {
+    val b = watermarkShards(stateDir)
+    rows.groupBy { case (t, _) => shardPath(stateDir, b, t) }.foreach { case (path, shardRows) =>
+      storeLock(path).synchronized {
+        atomicOverwriteWith(path, vdir => writeWatermarkFile(vdir, shardRows))
+      }
     }
+  }
 
-  /** Serializes the store's RMW per stateDir (r15, ADVICE r14): the batch
-    * cycle already serializes commits under its commitLock, but STREAMING
-    * tables commit from each query's own foreachBatch thread
+  // --- store sharding (the measured whole-file-rewrite bound, BASELINE.md) --
+  //
+  // The driver-local RMW rewrites its whole store file per commit — measured
+  // (graft.WmProbe): ~60 ms at T=1k and 10k (per-commit constant dominates),
+  // ~260 ms at T=100k (the O(T) body term owns it). A fleet past ~10k HOT
+  // tables through one store runs out of commit budget, so the store can be
+  // split into B independent files-behind-pointers: shard = portable
+  // hash32(table_name) mod B (the SAME md5-derived hash every engine can
+  // compute — `('0x' || substr(md5(name),1,8))::bigint % B`), each shard
+  // committed by the unchanged [[atomicOverwriteWith]] protocol under its
+  // own lock. Per-commit cost drops to O(T/B) and commits to different
+  // shards stop serializing. The default store stays unsharded (B=1,
+  // byte-identical layout to r14); sharding is an explicit one-time
+  // migration ([[shardWatermarkStore]]) recorded in a `watermark.shards`
+  // marker file next to the shard stores.
+
+  /** Shard count of the store at `stateDir` (1 = unsharded legacy layout). */
+  def watermarkShards(stateDir: String): Int = {
+    val f = shardMarkerFile(stateDir)
+    if (f.exists()) java.nio.file.Files.readString(f.toPath).trim.toInt else 1
+  }
+
+  /** One-time migration: split an unsharded store into `shards` hash
+    * shards. Safe against crashes at any point: shard stores are fully
+    * written BEFORE the marker file is published (atomic rename), and
+    * readers switch from the old single store to the shards only on the
+    * marker — a crash before the flip leaves the old store live (orphaned
+    * shard stores are overwritten by a re-run), a crash after it leaves
+    * the migrated store live (the drained single store is GC'd here and
+    * harmless if it lingers). Concurrent [[updateWatermark]] commits are
+    * fenced by the single store's lock + their re-check loop. */
+  def shardWatermarkStore(stateDir: String, shards: Int): Unit = {
+    require(shards >= 2, s"shards must be >= 2, got $shards")
+    require(watermarkShards(stateDir) == 1,
+      s"store at $stateDir is already sharded (${watermarkShards(stateDir)} shards)")
+    val singlePath = s"$stateDir/$WatermarkTable"
+    storeLock(singlePath).synchronized {
+      val rows = readStoreMap(singlePath)
+      (0 until shards).foreach { i =>
+        val path = f"$stateDir/${WatermarkTable}_b$i%04d"
+        val shardRows = rows.filter { case (t, _) => shardOf(t, shards) == i }
+        atomicOverwriteWith(path, vdir => writeWatermarkFile(vdir, shardRows))
+      }
+      val marker = shardMarkerFile(stateDir)
+      marker.getParentFile.mkdirs()
+      val tmp = java.nio.file.Paths.get(marker.getPath + "_tmp")
+      java.nio.file.Files.writeString(tmp, shards.toString)
+      java.nio.file.Files.move(tmp, marker.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      fsync(marker)
+      fsync(marker.getParentFile)
+      // drain the old single store: its pointer and version dirs are dead
+      // once the marker is live
+      Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+        .filter(f => f.getName == s"$WatermarkTable.current" ||
+          f.getName.matches(java.util.regex.Pattern.quote(WatermarkTable) + "_v\\d+") ||
+          f.getName == WatermarkTable)
+        .foreach(deleteRecursively)
+    }
+  }
+
+  private def shardMarkerFile(stateDir: String) =
+    new java.io.File(s"$stateDir/$WatermarkTable.shards")
+
+  /** Driver-side twin of [[graft.functions.PortableHash.hash32]] (first 8
+    * md5 hex chars as an unsigned int) — value-identical, so any engine
+    * can locate a table's shard from the layout alone. */
+  private[graft] def shardOf(tableName: String, shards: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tableName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (h % shards).toInt
+  }
+
+  private def shardPath(stateDir: String, shards: Int, tableName: String): String =
+    if (shards <= 1) s"$stateDir/$WatermarkTable"
+    else f"$stateDir/${WatermarkTable}_b${shardOf(tableName, shards)}%04d"
+
+  private def storePaths(stateDir: String): Seq[String] = {
+    val b = watermarkShards(stateDir)
+    if (b <= 1) Seq(s"$stateDir/$WatermarkTable")
+    else (0 until b).map(i => f"$stateDir/${WatermarkTable}_b$i%04d")
+  }
+
+  /** Serializes the store's RMW per shard store (r15, ADVICE r14): the
+    * batch cycle already serializes commits under its commitLock, but
+    * STREAMING tables commit from each query's own foreachBatch thread
     * (CdcStream.pipeline) — two unlocked concurrent RMWs could both read
     * version N and race to publish v{N+1}, the losing table's update
     * silently dropped by the last pointer flip. The lock is driver-local
     * and cheap to hold: no Spark job runs under it since the r14
-    * driver-side RMW (~35 ms/commit at a 1,000-table store). Keyed by
-    * absolute path so unrelated stores never serialize; single-JVM scope
-    * matches the store's standing single-writer(-process) contract. */
+    * driver-side RMW (~35 ms/commit at a 1,000-table store). Keyed by the
+    * shard store's absolute path so unrelated stores — and different
+    * shards of one store — never serialize; single-JVM scope matches the
+    * store's standing single-writer(-process) contract. */
   private val storeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def storeLock(stateDir: String): Object =
+  private def storeLock(storePath: String): Object =
     storeLocks.computeIfAbsent(
-      new java.io.File(stateDir).getAbsolutePath, _ => new Object)
+      new java.io.File(storePath).getAbsolutePath, _ => new Object)
 
   /** The store's parquet schema as written by the driver-local writer:
     * identical logical shape to what `df.write.parquet` produced before

@@ -184,6 +184,77 @@ class CdcSpec extends AnyFunSuite {
     assert(new java.io.File(s"$state/${Cdc.WatermarkTable}.current").exists())
   }
 
+  test("sharded watermark store: migration preserves the map, commits touch only the owning shard") {
+    val state = Files.createTempDirectory("graft_wm_shard").toString
+    (1 to 8).foreach(i => Cdc.updateWatermark(spark, state, s"t$i", ts(f"2024-01-0$i%d 00:00:00")))
+    val before = Cdc.readWatermarkMap(state)
+    Cdc.shardWatermarkStore(state, 4)
+    assert(Cdc.watermarkShards(state) == 4)
+    // every read surface agrees with the pre-migration store
+    assert(Cdc.readWatermarkMap(state) == before)
+    assert(Cdc.getWatermark(spark, state, "t3").contains(ts("2024-01-03 00:00:00")))
+    val sparkRows = Cdc.readWatermarks(spark, state).collect()
+      .map(r => r.getString(0) -> Cdc.asTimestamp(r.get(1))).toMap
+    assert(sparkRows == before)
+    // the single store is drained (pointer + version dirs GC'd)
+    val leftovers = new java.io.File(state).listFiles().map(_.getName)
+      .filter(n => n == s"${Cdc.WatermarkTable}.current" || n.matches(Cdc.WatermarkTable + "_v\\d+"))
+    assert(leftovers.isEmpty, s"single store must be drained: ${leftovers.mkString(",")}")
+    // a commit lands in the OWNING shard's store only: other shards' live
+    // version dirs are untouched (O(T/B) rewrite, not O(T))
+    def liveVersions(): Map[String, Set[String]] =
+      new java.io.File(state).listFiles().map(_.getName)
+        .filter(_.matches(Cdc.WatermarkTable + "_b\\d{4}_v\\d+"))
+        .groupBy(_.take(Cdc.WatermarkTable.length + 6)).map { case (k, v) => k -> v.toSet }
+    val owner = f"${Cdc.WatermarkTable}_b${Cdc.shardOf("t1", 4)}%04d"
+    val pre = liveVersions()
+    Cdc.updateWatermark(spark, state, "t1", ts("2024-06-01 00:00:00"))
+    val post = liveVersions()
+    assert(post(owner) != pre(owner), "owning shard must publish a new version")
+    (pre.keySet - owner).foreach(k => assert(post(k) == pre(k), s"non-owning shard $k rewritten"))
+    assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-06-01 00:00:00")))
+    // re-sharding an already-sharded store is refused (one-time migration)
+    intercept[IllegalArgumentException](Cdc.shardWatermarkStore(state, 8))
+  }
+
+  test("shard assignment matches PortableHash.hash32 % B (any engine can locate a shard)") {
+    val names = Seq("events", "orders", "EVENTS_SRC", "t1", "table_000042")
+    val viaSpark = names.toDF("n")
+      .select(col("n"), pmod(graft.functions.PortableHash.hash32(col("n")), lit(4)).cast("int"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    names.foreach(n => assert(Cdc.shardOf(n, 4) == viaSpark(n), s"shard mismatch for $n"))
+  }
+
+  test("sharded store: concurrent commits across shards all land (per-shard locks)") {
+    val state = Files.createTempDirectory("graft_wm_shard_conc").toString
+    Cdc.updateWatermark(spark, state, "seed", ts("2024-01-01 00:00:00"))
+    Cdc.shardWatermarkStore(state, 4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      (1 to 24).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = Cdc.updateWatermark(spark, state, s"c$i", ts("2024-02-01 00:00:00"))
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    val m = Cdc.readWatermarkMap(state)
+    (1 to 24).foreach(i => assert(m.contains(s"c$i"), s"concurrent commit c$i lost"))
+    assert(m("seed") == ts("2024-01-01 00:00:00"))
+  }
+
+  test("sharded store: crash before a shard's pointer publish leaves the pre-write value live") {
+    val state = Files.createTempDirectory("graft_wm_shard_crash").toString
+    Cdc.updateWatermark(spark, state, "t1", ts("2024-01-02 00:00:00"))
+    Cdc.shardWatermarkStore(state, 4)
+    intercept[RuntimeException] {
+      Cdc.updateWatermark(spark, state, "t1", ts("2024-03-01 00:00:00"),
+        onBeforeCommit = () => throw new RuntimeException("injected crash before pointer publish"))
+    }
+    assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-01-02 00:00:00")))
+    Cdc.updateWatermark(spark, state, "t1", ts("2024-03-01 00:00:00"))
+    assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-03-01 00:00:00")))
+  }
+
   test("vector upsert: same id overwrites (Pinecone semantics, service.py:160-166)") {
     val sink = Files.createTempDirectory("graft_sink").toString
     Cdc.initVectorSink(spark, sink)
