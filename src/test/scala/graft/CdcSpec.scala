@@ -255,6 +255,25 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-03-01 00:00:00")))
   }
 
+  test("sync cycle runs unchanged over a sharded watermark store (delta + advance via shards)") {
+    val scratch = Files.createTempDirectory("graft_cdc_shardcycle").toString
+    val src = s"$scratch/src"
+    new java.io.File(src).mkdirs()
+    Seq((1L, ts("2024-01-01 00:00:00"), "a"), (2L, ts("2024-01-02 00:00:00"), "b"))
+      .toDF("event_id", "ts", "payload").write.parquet(s"$src/events.parquet")
+    Cdc.syncCycle(spark, src, s"$scratch/state", s"$scratch/sink")
+    Cdc.shardWatermarkStore(s"$scratch/state", 4)
+    // watermark survives the migration and keeps gating the delta
+    Seq((3L, ts("2024-01-03 00:00:00"), "c"))
+      .toDF("event_id", "ts", "payload").write.mode("append").parquet(s"$src/events.parquet")
+    val n = Cdc.syncCycle(spark, src, s"$scratch/state", s"$scratch/sink")
+    assert(n("events") == 1, s"post-migration cycle must sink exactly the delta: $n")
+    assert(Cdc.getWatermark(spark, s"$scratch/state", "events")
+      .contains(ts("2024-01-03 00:00:00")))
+    // idempotency unchanged: a third cycle is an empty-delta no-op
+    assert(Cdc.syncCycle(spark, src, s"$scratch/state", s"$scratch/sink")("events") == 0)
+  }
+
   test("vector upsert: same id overwrites (Pinecone semantics, service.py:160-166)") {
     val sink = Files.createTempDirectory("graft_sink").toString
     Cdc.initVectorSink(spark, sink)
