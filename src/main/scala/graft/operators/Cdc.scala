@@ -167,13 +167,25 @@ object Cdc {
     * `spark` is unused since r14 (kept for API stability). On a sharded
     * store only the owning shard is read — O(T/B), not O(T). */
   def getWatermark(spark: SparkSession, stateDir: String, tableName: String): Option[Timestamp] =
-    readStoreMap(shardPath(stateDir, watermarkShards(stateDir), tableName)).get(tableName)
+    withStableTopology(stateDir) { b =>
+      readStoreMap(shardPath(stateDir, b, tableName))
+    }.get(tableName)
 
+  /** The store as a DataFrame. Built from the driver-side map (T tiny
+    * rows) rather than a lazy parquet scan: a concurrent
+    * [[shardWatermarkStore]] migration deletes the drained single store's
+    * version dirs after publishing the marker, and a lazily-materialized
+    * scan that resolved the legacy layout would hit FileNotFound (or an
+    * empty store) at action time. The eager read goes through the same
+    * topology fence as every other read surface, so the returned frame is
+    * always one consistent snapshot. Row values are byte-identical to the
+    * old parquet-scan surface (CdcSpec pins this). */
   def readWatermarks(spark: SparkSession, stateDir: String): DataFrame = {
-    val dirs = storePaths(stateDir).flatMap(liveVersionDir)
-    if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], watermarkSchema)
-    else spark.read.parquet(dirs: _*)
+    val rows = readWatermarkMap(stateDir).toSeq.sortBy(_._1)
+      .map { case (t, ts) => org.apache.spark.sql.Row(t, ts) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, 4))),
+      watermarkSchema)
   }
 
   /** Driver-side read of the whole store (all shards): T rows via
@@ -181,7 +193,35 @@ object Cdc {
     * writer's INT64-µs timestamps and legacy Spark-written files (INT64
     * ms/µs/ns, INT96). */
   def readWatermarkMap(stateDir: String): Map[String, Timestamp] =
-    storePaths(stateDir).foldLeft(Map.empty[String, Timestamp])(_ ++ readStoreMap(_))
+    withStableTopology(stateDir) { b =>
+      pathsFor(stateDir, b).foldLeft(Map.empty[String, Timestamp])(_ ++ readStoreMap(_))
+    }
+
+  /** Read fence against a concurrent [[shardWatermarkStore]] (ADVICE r15):
+    * the migration publishes the `watermark.shards` marker and THEN drains
+    * the single store, so a reader that resolved the legacy topology before
+    * the flip can observe an empty/deleted single store and report every
+    * watermark absent — which in CdcStream's foreachBatch would silently
+    * re-process the full source as if it were the first sync. Mirror of the
+    * write-side resolve→act→re-check loop: run the read against the
+    * resolved topology, then re-read the marker; if it moved (or the read
+    * threw because a dir vanished mid-read), retry against the new layout.
+    * Terminates: migration is a one-time transition (1 → B), so at most one
+    * retry is ever needed. */
+  private def withStableTopology[A](stateDir: String)(body: Int => A): A = {
+    while (true) {
+      val b = watermarkShards(stateDir)
+      try {
+        val out = body(b)
+        if (watermarkShards(stateDir) == b) return out
+      } catch {
+        case e: Exception =>
+          if (watermarkShards(stateDir) == b) throw e
+        // else: topology flipped mid-read — fall through and retry
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** One shard's (or the single store's) live rows. */
   private def readStoreMap(storePath: String): Map[String, Timestamp] =
@@ -292,12 +332,23 @@ object Cdc {
     * the migrated store live (the drained single store is GC'd here and
     * harmless if it lingers). Concurrent [[updateWatermark]] commits are
     * fenced by the single store's lock + their re-check loop. */
-  def shardWatermarkStore(stateDir: String, shards: Int): Unit = {
+  def shardWatermarkStore(
+      stateDir: String, shards: Int,
+      onBeforeLock: () => Unit = () => ()): Unit = {
     require(shards >= 2, s"shards must be >= 2, got $shards")
     require(watermarkShards(stateDir) == 1,
       s"store at $stateDir is already sharded (${watermarkShards(stateDir)} shards)")
+    onBeforeLock() // test hook: widen the outer-check → lock window
     val singlePath = s"$stateDir/$WatermarkTable"
     storeLock(singlePath).synchronized {
+      // authoritative re-check UNDER the single store's lock (ADVICE r15
+      // TOCTOU): two concurrent migrations can both pass the outer require;
+      // without this the loser would re-read the now-drained single store
+      // and republish every shard as empty — silently wiping the store.
+      if (watermarkShards(stateDir) != 1)
+        throw new IllegalStateException(
+          s"store at $stateDir was sharded concurrently " +
+            s"(${watermarkShards(stateDir)} shards) — migration already done")
       val rows = readStoreMap(singlePath)
       (0 until shards).foreach { i =>
         val path = f"$stateDir/${WatermarkTable}_b$i%04d"
@@ -313,11 +364,23 @@ object Cdc {
       fsync(marker)
       fsync(marker.getParentFile)
       // drain the old single store: its pointer and version dirs are dead
-      // once the marker is live
+      // once the marker is live. Also GC any orphan shard stores with index
+      // >= this migration's B (ADVICE r15): a crashed earlier attempt with a
+      // LARGER shard count left watermark_bNNNN stores above the new B —
+      // invisible to pathsFor so reads stay correct, but their stale hash
+      // assignment could confuse an external engine locating shards from the
+      // layout alone.
+      val wm = java.util.regex.Pattern.quote(WatermarkTable)
+      def orphanShard(name: String): Boolean = {
+        val m = java.util.regex.Pattern
+          .compile(wm + "_b(\\d{4})(?:_v\\d+|\\.current(?:_tmp)?)?").matcher(name)
+        m.matches() && m.group(1).toInt >= shards
+      }
       Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
         .filter(f => f.getName == s"$WatermarkTable.current" ||
-          f.getName.matches(java.util.regex.Pattern.quote(WatermarkTable) + "_v\\d+") ||
-          f.getName == WatermarkTable)
+          f.getName.matches(wm + "_v\\d+") ||
+          f.getName == WatermarkTable ||
+          orphanShard(f.getName))
         .foreach(deleteRecursively)
     }
   }
@@ -339,11 +402,12 @@ object Cdc {
     if (shards <= 1) s"$stateDir/$WatermarkTable"
     else f"$stateDir/${WatermarkTable}_b${shardOf(tableName, shards)}%04d"
 
-  private def storePaths(stateDir: String): Seq[String] = {
-    val b = watermarkShards(stateDir)
+  private def storePaths(stateDir: String): Seq[String] =
+    pathsFor(stateDir, watermarkShards(stateDir))
+
+  private def pathsFor(stateDir: String, b: Int): Seq[String] =
     if (b <= 1) Seq(s"$stateDir/$WatermarkTable")
     else (0 until b).map(i => f"$stateDir/${WatermarkTable}_b$i%04d")
-  }
 
   /** Serializes the store's RMW per shard store (r15, ADVICE r14): the
     * batch cycle already serializes commits under its commitLock, but

@@ -255,6 +255,74 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-03-01 00:00:00")))
   }
 
+  test("concurrent double-migration cannot wipe the store (in-lock re-check, ADVICE r15)") {
+    val state = Files.createTempDirectory("graft_wm_toctou").toString
+    (1 to 6).foreach(i => Cdc.updateWatermark(spark, state, s"t$i", ts(f"2024-01-0$i%d 00:00:00")))
+    val before = Cdc.readWatermarkMap(state)
+    // thread A passes the outer unsharded check, then parks BEFORE taking
+    // the lock; the main thread completes a full migration in that window —
+    // the exact TOCTOU interleaving. A must then refuse (in-lock re-check),
+    // not re-read the drained single store and republish empty shards.
+    val aPastCheck = new java.util.concurrent.CountDownLatch(1)
+    val mainDone = new java.util.concurrent.CountDownLatch(1)
+    val aOutcome = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val a = new Thread(() =>
+      try Cdc.shardWatermarkStore(state, 8, onBeforeLock = () => {
+        aPastCheck.countDown(); mainDone.await()
+      }) catch { case e: Throwable => aOutcome.set(e) })
+    a.start()
+    aPastCheck.await()
+    Cdc.shardWatermarkStore(state, 4)
+    mainDone.countDown()
+    a.join()
+    assert(aOutcome.get().isInstanceOf[IllegalStateException],
+      s"losing migration must refuse, got ${aOutcome.get()}")
+    assert(Cdc.watermarkShards(state) == 4)
+    assert(Cdc.readWatermarkMap(state) == before, "store wiped by losing migration")
+  }
+
+  test("readers racing a live migration never observe an absent watermark (read fence, ADVICE r15)") {
+    (1 to 10).foreach { _ =>
+      val state = Files.createTempDirectory("graft_wm_readrace").toString
+      (1 to 8).foreach(i => Cdc.updateWatermark(spark, state, s"t$i", ts(f"2024-01-0$i%d 00:00:00")))
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val bad = new java.util.concurrent.atomic.AtomicReference[String]()
+      val readers = (1 to 4).map { k =>
+        new Thread(() =>
+          try while (!stop.get()) {
+            if (Cdc.getWatermark(spark, state, "t1").isEmpty)
+              bad.compareAndSet(null, "getWatermark returned None mid-migration")
+            val m = Cdc.readWatermarkMap(state)
+            if (m.size != 8)
+              bad.compareAndSet(null, s"readWatermarkMap saw ${m.size}/8 rows mid-migration")
+          } catch { case e: Throwable => bad.compareAndSet(null, s"reader threw: $e") })
+      }
+      readers.foreach(_.start())
+      Cdc.shardWatermarkStore(state, 4)
+      stop.set(true)
+      readers.foreach(_.join())
+      assert(bad.get() == null, String.valueOf(bad.get()))
+    }
+  }
+
+  test("migration GCs orphan shard stores above the new B (crashed larger-B attempt, ADVICE r15)") {
+    val state = Files.createTempDirectory("graft_wm_orphan").toString
+    Cdc.updateWatermark(spark, state, "t1", ts("2024-01-01 00:00:00"))
+    // simulate a crashed B=8 attempt that wrote shards b0006/b0007 (version
+    // dir + pointer) before dying pre-marker
+    Seq("_b0006", "_b0007").foreach { s =>
+      val v = new java.io.File(s"$state/${Cdc.WatermarkTable}${s}_v000001")
+      v.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$state/${Cdc.WatermarkTable}$s.current"), v.getName)
+    }
+    Cdc.shardWatermarkStore(state, 4)
+    val names = new java.io.File(state).listFiles().map(_.getName).toSet
+    assert(!names.exists(_.contains("_b0006")) && !names.exists(_.contains("_b0007")),
+      s"orphan shards above B=4 must be GC'd: ${names.mkString(",")}")
+    assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-01-01 00:00:00")))
+  }
+
   test("sync cycle runs unchanged over a sharded watermark store (delta + advance via shards)") {
     val scratch = Files.createTempDirectory("graft_cdc_shardcycle").toString
     val src = s"$scratch/src"
