@@ -1101,6 +1101,28 @@ object Cdc {
       namespace: String = DefaultNamespace,
       layout: SinkLayout = DefaultLayout,
       parallelism: Int = 8,
+      commitLock: AnyRef = new Object): Map[String, TableOutcome] =
+    syncCycleOutcomesOn(spark, source, ParquetWatermarkStore(stateDir), sinkDir,
+      changeCol, orderCol, chunkSize, deterministicChunks, namespace, layout,
+      parallelism, commitLock)
+
+  /** Store-generic core of the cycle (VERDICT r15 task 2): watermark state
+    * lives behind a [[WatermarkStore]] binding — the default versioned
+    * parquet store beside the sink ([[ParquetWatermarkStore]], the
+    * wrappers above) or IN a live database ([[JdbcWatermarkStore]]), which
+    * is where the reference keeps it (`service_layer/service.py:35-46`). */
+  def syncCycleOutcomesOn(
+      spark: SparkSession,
+      source: graft.sources.CdcSource,
+      store: WatermarkStore,
+      sinkDir: String,
+      changeCol: String = "ts",
+      orderCol: String = "event_id",
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      deterministicChunks: Boolean = false,
+      namespace: String = DefaultNamespace,
+      layout: SinkLayout = DefaultLayout,
+      parallelism: Int = 8,
       commitLock: AnyRef = new Object): Map[String, TableOutcome] = {
     initVectorSink(spark, sinkDir, layout)
     val tables = source.listTables()
@@ -1109,14 +1131,14 @@ object Cdc {
     // one DRIVER-side read of the watermark store for the whole cycle —
     // zero Spark jobs (readWatermarkMap; the pre-r14 Spark read+collect
     // was itself one job of pure fixed overhead per cycle)
-    val wms = readWatermarkMap(stateDir)
+    val wms = store.readAll()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(parallelism, tables.size)))
     try {
       val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
       val futures = tables.map { t =>
         t -> scala.concurrent.Future {
-          try TableSynced(syncTableFrom(spark, source, stateDir, sinkDir, t,
+          try TableSynced(syncTableOn(spark, source, store, sinkDir, t,
             changeCol, orderCol, chunkSize, deterministicChunks, namespace,
             Some(wms.get(t)), commitLock))
           catch {
@@ -1179,6 +1201,29 @@ object Cdc {
       layout: SinkLayout = DefaultLayout,
       commitLock: AnyRef = new Object): Map[String, Long] = {
     val outcomes = syncCycleOutcomesFrom(spark, source, stateDir, sinkDir,
+      changeCol, orderCol, chunkSize, deterministicChunks, namespace, layout,
+      commitLock = commitLock)
+    val failures = outcomes.collect { case (t, TableFailed(e)) => t -> e }
+    if (failures.nonEmpty) throw new CdcCycleException(failures)
+    outcomes.collect { case (t, TableSynced(n)) => t -> n }
+  }
+
+  /** [[syncCycleFrom]] with watermark state behind any [[WatermarkStore]]
+    * binding (see [[syncCycleOutcomesOn]]) — e.g. [[JdbcWatermarkStore]]
+    * to keep state in the source database like the reference. */
+  def syncCycleOn(
+      spark: SparkSession,
+      source: graft.sources.CdcSource,
+      store: WatermarkStore,
+      sinkDir: String,
+      changeCol: String = "ts",
+      orderCol: String = "event_id",
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      deterministicChunks: Boolean = false,
+      namespace: String = DefaultNamespace,
+      layout: SinkLayout = DefaultLayout,
+      commitLock: AnyRef = new Object): Map[String, Long] = {
+    val outcomes = syncCycleOutcomesOn(spark, source, store, sinkDir,
       changeCol, orderCol, chunkSize, deterministicChunks, namespace, layout,
       commitLock = commitLock)
     val failures = outcomes.collect { case (t, TableFailed(e)) => t -> e }
@@ -1253,6 +1298,25 @@ object Cdc {
       deterministicChunks: Boolean = false,
       namespace: String = DefaultNamespace,
       knownWatermark: Option[Option[Timestamp]] = None,
+      commitLock: AnyRef = new Object): Long =
+    syncTableOn(spark, source, ParquetWatermarkStore(stateDir), sinkDir,
+      tableName, changeCol, orderCol, chunkSize, deterministicChunks,
+      namespace, knownWatermark, commitLock)
+
+  /** [[syncTableFrom]] with watermark state behind any [[WatermarkStore]]
+    * binding (see [[syncCycleOutcomesOn]]). */
+  def syncTableOn(
+      spark: SparkSession,
+      source: graft.sources.CdcSource,
+      store: WatermarkStore,
+      sinkDir: String,
+      tableName: String,
+      changeCol: String,
+      orderCol: String,
+      chunkSize: Int,
+      deterministicChunks: Boolean = false,
+      namespace: String = DefaultNamespace,
+      knownWatermark: Option[Option[Timestamp]] = None,
       commitLock: AnyRef = new Object): Long = {
     val src = source.table(spark, tableName)
     // column PRESENCE checks follow the session's name resolution (JDBC
@@ -1268,7 +1332,7 @@ object Cdc {
       .filter(pk => src.columns.exists(resolves(_, pk))).getOrElse(orderCol)
     // outer None = "look it up" (standalone call); Some(wm) = the cycle
     // already read the store once for all tables
-    val wm = knownWatermark.getOrElse(getWatermark(spark, stateDir, tableName))
+    val wm = knownWatermark.getOrElse(store.get(tableName))
     // P6 empty-delta skip: no sink write, no watermark advance
     // (service_layer/service.py:65, :76-77). The agg runs uncached — one
     // pushdown scan; its row count then picks the session the REST of the
@@ -1333,7 +1397,7 @@ object Cdc {
         // commit deletes the staging, success or not
         staged.foreach(commitStagedUpsert(s2, sinkDir, _))
         // S7 commit AFTER the sink write — reference order, T3.
-        updateWatermark(spark, stateDir, tableName, newWm)
+        store.update(tableName, newWm)
       }
       n
     }

@@ -1,0 +1,192 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+/** Where the CDC cycle keeps its per-table watermarks (S6/S7), selectable
+  * per deployment (VERDICT r15 task 2).
+  *
+  * The reference keeps its watermark table IN the source database via
+  * `INSERT … ON DUPLICATE KEY UPDATE` (`service_layer/service.py:35-46`);
+  * the engine's default is the crash-safe versioned parquet store beside
+  * the sink ([[ParquetWatermarkStore]] → the [[Cdc]] store functions). A
+  * deployment that wants state where the reference keeps it binds
+  * [[JdbcWatermarkStore]] instead — same upsert semantics, transactional.
+  *
+  * Contract shared by every binding:
+  *  - `get`/`readAll` are driver-side — never a Spark job.
+  *  - `update` is an UPSERT with last-writer-wins-by-MAX merge: committing
+  *    an OLDER timestamp than the stored one is a no-op (re-runs and
+  *    crash-retries can replay earlier commits; the watermark must never
+  *    move backwards).
+  *  - `update` is atomic and crash-safe: a crash mid-commit leaves the
+  *    previous value readable, never a torn or absent row.
+  *  - `onBeforeCommit` is a crash-injection test hook that runs after the
+  *    new value is staged but before it becomes visible. */
+trait WatermarkStore {
+
+  /** S6: one table's watermark; None if the table was never synced. */
+  def get(tableName: String): Option[Timestamp]
+
+  /** The whole store — one read per cycle, shared across tables. */
+  def readAll(): Map[String, Timestamp]
+
+  /** S7: upsert with max-merge (see trait doc). */
+  def update(tableName: String, ts: Timestamp,
+      onBeforeCommit: () => Unit = () => ()): Unit
+}
+
+/** The engine's default binding: the versioned, optionally hash-sharded
+  * parquet store beside the sink ([[Cdc.updateWatermark]] and friends —
+  * crash-safe pointer commits, O(T/B) sharded RMW, readable by any
+  * parquet engine). `spark` is unused by the driver-side store since r14
+  * but kept so [[Cdc.readWatermarks]] remains reachable from here. */
+final case class ParquetWatermarkStore(stateDir: String) extends WatermarkStore {
+  def get(tableName: String): Option[Timestamp] =
+    Cdc.getWatermark(null, stateDir, tableName)
+  def readAll(): Map[String, Timestamp] = Cdc.readWatermarkMap(stateDir)
+  def update(tableName: String, ts: Timestamp,
+      onBeforeCommit: () => Unit = () => ()): Unit =
+    Cdc.updateWatermark(null, stateDir, tableName, ts, onBeforeCommit)
+}
+
+/** Watermark state in a live database — the reference's literal shape
+  * (`service_layer/service.py:35-46` keeps a `watermark` table in MySQL
+  * and upserts with `INSERT … ON DUPLICATE KEY UPDATE`).
+  *
+  * The upsert here is the PORTABLE transactional form of that statement
+  * (Derby has no native upsert; MySQL's is not standard SQL): inside one
+  * transaction, a guarded `UPDATE … WHERE last_updated < ?` implements
+  * the max-merge, a zero-row update falls through to `INSERT`, and a
+  * duplicate-key race on the insert (two first-commits for one table)
+  * retries the update — the loop terminates because after any concurrent
+  * insert lands, the update path always applies. Row-level locks from the
+  * database serialize concurrent writers ACROSS processes — a capability
+  * the parquet store's driver-local locks deliberately do not claim.
+  *
+  * Connections are short-lived per call, like every JDBC touch in this
+  * engine (the reference opens one per poll, `utils/mysql_connect.py`);
+  * a fleet deployment fronting thousands of commits per tick should sit
+  * this behind its connection pool.
+  *
+  * The store table is created on first use when absent
+  * (`controller/controller.py:23-24` ships the same CREATE TABLE IF NOT
+  * EXISTS shape). */
+final case class JdbcWatermarkStore(
+    url: String,
+    user: String = "",
+    password: String = "",
+    table: String = Cdc.WatermarkTable) extends WatermarkStore {
+
+  private def connect(): java.sql.Connection =
+    if (user.isEmpty) java.sql.DriverManager.getConnection(url)
+    else java.sql.DriverManager.getConnection(url, user, password)
+
+  /** Create-if-absent via the portable metadata probe (CREATE TABLE IF NOT
+    * EXISTS is not Derby SQL). Idempotent; a concurrent creator's
+    * duplicate-DDL error is swallowed iff the table then exists. */
+  private def ensureTable(conn: java.sql.Connection): Unit = {
+    def exists(): Boolean = {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      try {
+        var found = false
+        while (rs.next() && !found)
+          found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+        found
+      } finally rs.close()
+    }
+    if (!exists()) {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"CREATE TABLE $table (table_name VARCHAR(128) NOT NULL PRIMARY KEY, " +
+          "last_updated TIMESTAMP)")
+      catch { case e: java.sql.SQLException => if (!exists()) throw e }
+      finally st.close()
+    }
+  }
+
+  def get(tableName: String): Option[Timestamp] = {
+    val conn = connect()
+    try {
+      ensureTable(conn)
+      val ps = conn.prepareStatement(
+        s"SELECT last_updated FROM $table WHERE table_name = ?")
+      try {
+        ps.setString(1, tableName)
+        val rs = ps.executeQuery()
+        try if (rs.next()) Option(rs.getTimestamp(1)) else None
+        finally rs.close()
+      } finally ps.close()
+    } finally conn.close()
+  }
+
+  def readAll(): Map[String, Timestamp] = {
+    val conn = connect()
+    try {
+      ensureTable(conn)
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT table_name, last_updated FROM $table")
+        try {
+          val out = scala.collection.mutable.Map[String, Timestamp]()
+          while (rs.next()) {
+            val ts = rs.getTimestamp(2)
+            if (ts != null) out(rs.getString(1)) = ts
+          }
+          out.toMap
+        } finally rs.close()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  def update(tableName: String, ts: Timestamp,
+      onBeforeCommit: () => Unit = () => ()): Unit = {
+    val conn = connect()
+    try {
+      ensureTable(conn)
+      conn.setAutoCommit(false)
+      try {
+        var committed = false
+        while (!committed) {
+          val upd = conn.prepareStatement(
+            s"UPDATE $table SET last_updated = ? WHERE table_name = ? " +
+              "AND (last_updated IS NULL OR last_updated < ?)")
+          val updated =
+            try {
+              upd.setTimestamp(1, ts); upd.setString(2, tableName); upd.setTimestamp(3, ts)
+              upd.executeUpdate()
+            } finally upd.close()
+          if (updated > 0) committed = true
+          else {
+            // zero rows: either the stored value already wins (max-merge
+            // no-op — but only if the row EXISTS) or this is a first commit
+            val sel = conn.prepareStatement(
+              s"SELECT 1 FROM $table WHERE table_name = ?")
+            val present =
+              try { sel.setString(1, tableName); val rs = sel.executeQuery(); try rs.next() finally rs.close() }
+              finally sel.close()
+            if (present) committed = true // stored >= ts: no-op by contract
+            else {
+              val ins = conn.prepareStatement(
+                s"INSERT INTO $table (table_name, last_updated) VALUES (?, ?)")
+              try {
+                ins.setString(1, tableName); ins.setTimestamp(2, ts)
+                ins.executeUpdate()
+                committed = true
+              } catch {
+                // duplicate key: a concurrent first-commit landed between
+                // our probe and insert — loop back to the update path
+                case e: java.sql.SQLIntegrityConstraintViolationException => ()
+              } finally ins.close()
+            }
+          }
+        }
+        onBeforeCommit() // crash hook: nothing visible until conn.commit()
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          throw e
+      }
+    } finally conn.close()
+  }
+}

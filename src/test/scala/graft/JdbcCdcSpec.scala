@@ -120,4 +120,58 @@ class JdbcCdcSpec extends AnyFunSuite {
     // no PK on dims_static: the live metadata lookup answers None
     assert(source.primaryKey("DIMS_STATIC").isEmpty)
   }
+
+  test("cycle with watermark state IN the source database (JdbcWatermarkStore): " +
+      "the reference's literal state topology, two polls, tie-row exclusion") {
+    val u2 = "jdbc:derby:memory:graftcdcdbstate;create=true"
+    def exec2(sqls: String*): Unit = {
+      val c = DriverManager.getConnection(u2)
+      try { val st = c.createStatement(); sqls.foreach(st.executeUpdate); () }
+      finally c.close()
+    }
+    def insert2(rows: (Long, Timestamp, String)*): Unit = {
+      val c = DriverManager.getConnection(u2)
+      try {
+        val ps = c.prepareStatement("INSERT INTO events_src VALUES (?, ?, ?)")
+        rows.foreach { case (id, t, p) =>
+          ps.setLong(1, id); ps.setTimestamp(2, t); ps.setString(3, p); ps.addBatch()
+        }
+        ps.executeBatch()
+        ()
+      } finally c.close()
+    }
+    exec2("CREATE TABLE events_src (event_id BIGINT NOT NULL PRIMARY KEY, " +
+      "ts TIMESTAMP, payload VARCHAR(64))")
+    insert2((1 to 4).map(i =>
+      (i.toLong, ts(f"2024-01-01 00:0$i%d:00"), s"alpha-$i")): _*)
+
+    val sink = s"${Files.createTempDirectory("graft_jdbc_dbstate")}/sink"
+    val source = JdbcSource(u2, schemaPattern = Some("APP"))
+    val store = graft.operators.JdbcWatermarkStore(u2)
+
+    val n1 = Cdc.syncCycleOn(spark, source, store, sink, chunkSize = 2)
+    assert(n1 == Map("EVENTS_SRC" -> 4L))
+    assert(store.get("EVENTS_SRC").contains(ts("2024-01-01 00:04:00")))
+    // the watermark table now EXISTS in the source catalog — the cycle's
+    // case-insensitive anti-filter must keep excluding it from sync
+    assert(source.listTables().contains("WATERMARK"))
+
+    insert2(
+      (5L, ts("2024-01-01 00:04:00"), "tie-5"), // AT the watermark: strict-> skips
+      (6L, ts("2024-01-01 00:05:00"), "beta-6"))
+    val n2 = Cdc.syncCycleOn(spark, source, store, sink, chunkSize = 2)
+    assert(n2 == Map("EVENTS_SRC" -> 1L), "tie row must be excluded by strict->")
+    assert(store.get("EVENTS_SRC").contains(ts("2024-01-01 00:05:00")))
+    val texts = Cdc.readVectorSink(spark, sink).select("text")
+      .collect().map(_.getString(0))
+    assert(texts.exists(_.contains("beta-6")) && !texts.exists(_.contains("tie-5")))
+    // the state row is readable with plain SQL in the source database —
+    // exactly where the reference's operator expects to find it
+    val c = DriverManager.getConnection(u2)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT last_updated FROM watermark WHERE table_name = 'EVENTS_SRC'")
+      assert(rs.next() && rs.getTimestamp(1) == ts("2024-01-01 00:05:00"))
+    } finally c.close()
+  }
 }
