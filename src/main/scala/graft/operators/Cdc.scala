@@ -1282,10 +1282,26 @@ object Cdc {
     * earlier-schema chunks those rows produced remain as then-current
     * content, exactly as the reference's UUID-keyed Pinecone vectors
     * persist across an ALTER; the sink converges — repeated cycles with
-    * no further source changes are byte-stable no-ops. Column REMOVAL
-    * follows the same rule (dropped fields vanish from new serializations
-    * only); an in-place TYPE change of the watermark column itself is out
-    * of contract, as it is for the reference. */
+    * no further source changes are byte-stable no-ops.
+    *
+    * The supported drift matrix, each direction spec-pinned (r16):
+    *  - column ADDED — new field appears in serializations of rows seen
+    *    (or updated) after the ALTER; earlier chunks untouched.
+    *  - column DROPPED — binding-dependent, faithfully mirroring what
+    *    `SELECT *` returns: a DATABASE drop vanishes the field from new
+    *    serializations (JdbcCdcSpec); a parquet LAKE has no DDL, so old
+    *    files still carry the column, the merged union schema keeps it,
+    *    and post-drop rows serialize it as null (F1 null retention,
+    *    CdcSpec).
+    *  - numeric type WIDENED (int→bigint, float→double) — values
+    *    re-serialize identically under the wider type; a JDBC read takes
+    *    the database's new type directly, a parquet lake with mixed
+    *    footers reads through the widened-union fallback
+    *    (Tables.widenedUnionSchema — Spark's own mergeSchema refuses a
+    *    widening conflict) (CdcSpec).
+    *  - an in-place TYPE change of the watermark/order column itself, or
+    *    a NON-widening value-type rewrite (int→string), is out of
+    *    contract, as it is for the reference — the read fails loudly. */
   def syncTableFrom(
       spark: SparkSession,
       source: graft.sources.CdcSource,

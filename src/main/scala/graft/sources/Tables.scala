@@ -61,12 +61,93 @@ object Tables {
       names.count(n => !n.startsWith("_") && !n.startsWith(".")) > 1
     }
     val reader = if (multiFile) spark.read.option("mergeSchema", "true") else spark.read
-    val df = reader.parquet(path)
+    val df =
+      try reader.parquet(path)
+      catch {
+        // Type-WIDENED drift (CDC ALTER COLUMN int→bigint between polls):
+        // Spark's footer merge refuses conflicting primitive types even
+        // when one strictly widens the other. The reader itself upcasts
+        // fine given an explicit schema (Spark 4 parquet type widening),
+        // so compute the widened union driver-side and re-read with it.
+        case e: Exception if multiFile &&
+            String.valueOf(e.getMessage).contains("CANNOT_MERGE_SCHEMAS") =>
+          spark.read.schema(widenedUnionSchema(spark, path)).parquet(path)
+      }
     val shimmed =
       if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       else df
     normalizeTimestamps(shimmed)
+  }
+
+  /** Widened union of every data file's schema under `path` — the
+    * fallback when Spark's own mergeSchema rejects a numeric-widening
+    * conflict. Field order: first file's order, new fields appended in
+    * encounter order (mergeSchema semantics); a field missing from some
+    * file is nullable. Only WIDENING conflicts are absorbed (the
+    * direction a CDC `ALTER COLUMN` moves, data-lossless to read);
+    * a genuinely incompatible pair (int vs string) still fails loudly. */
+  private def widenedUnionSchema(
+      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val files = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    require(files.nonEmpty, s"no data files under $path")
+    // per-file schema via a footer-only relation — driver-side, no job
+    files.map(f => spark.read.parquet(f.getPath).schema).reduceLeft(widenMerge)
+  }
+
+  private[sources] def widenMerge(
+      a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val bByName = b.fields.map(f => f.name.toLowerCase -> f).toMap
+    val aNames = a.fields.map(_.name.toLowerCase).toSet
+    val merged = a.fields.map { fa =>
+      bByName.get(fa.name.toLowerCase) match {
+        case Some(fb) => StructField(fa.name, widenTypes(fa.dataType, fb.dataType),
+          nullable = fa.nullable || fb.nullable)
+        case None => fa.copy(nullable = true) // absent in b → null-filled there
+      }
+    }
+    val appended = b.fields.filterNot(f => aNames(f.name.toLowerCase))
+      .map(_.copy(nullable = true))
+    StructType(merged ++ appended)
+  }
+
+  /** Least common WIDER type of two parquet field types. Integral chain
+    * byte<short<int<long; fractional float<double; integral+fractional →
+    * double; decimals take max integer digits + max scale (capped 38).
+    * Anything else must match exactly. */
+  private def widenTypes(
+      x: org.apache.spark.sql.types.DataType,
+      y: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Option[Int] = t match {
+      case ByteType => Some(1); case ShortType => Some(2)
+      case IntegerType => Some(3); case LongType => Some(4)
+      case _ => None
+    }
+    (x, y) match {
+      case _ if x == y => x
+      case (ArrayType(ex, nx), ArrayType(ey, ny)) =>
+        ArrayType(widenTypes(ex, ey), nx || ny)
+      case (sx: StructType, sy: StructType) => widenMerge(sx, sy)
+      case _ => (rank(x), rank(y)) match {
+        case (Some(rx), Some(ry)) => if (rx >= ry) x else y
+        case _ => (x, y) match {
+          case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+          case (ix, FloatType | DoubleType) if rank(ix).isDefined => DoubleType
+          case (FloatType | DoubleType, iy) if rank(iy).isDefined => DoubleType
+          case (dx: DecimalType, dy: DecimalType) =>
+            val scale = math.max(dx.scale, dy.scale)
+            DecimalType(math.min(38,
+              math.max(dx.precision - dx.scale, dy.precision - dy.scale) + scale), scale)
+          case _ => throw new IllegalArgumentException(
+            s"cannot widen-merge parquet types $x and $y")
+        }
+      }
+    }
   }
 
   /** Timestamp-type robustness: a parquet writer is one flag away from

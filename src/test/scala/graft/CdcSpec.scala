@@ -762,4 +762,68 @@ class CdcSpec extends AnyFunSuite {
     assert(v3 == v2, "a quiet cycle must be a no-op after evolution")
     assert(Cdc.getWatermark(spark, state, "events") == wm2)
   }
+
+  test("schema drift, DROP direction: a parquet lake keeps the union schema — " +
+      "post-drop rows serialize the field as null, sink converges (VERDICT r15 #4)") {
+    val scratch = Files.createTempDirectory("graft_cdc_drop").toString
+    val (src, state, sink) = (s"$scratch/src", s"$scratch/state", s"$scratch/sink")
+    new java.io.File(src).mkdirs()
+    Seq((1L, ts("2024-01-01 00:00:00"), "a", "eu"))
+      .toDF("event_id", "ts", "payload", "region").write.parquet(s"$src/events.parquet")
+    Cdc.syncCycle(spark, src, state, sink)
+    val v1 = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(v1.values.exists(_.contains("\"region\":\"eu\"")))
+    // DROP analog: later files simply stop carrying the column (a parquet
+    // lake has no DDL — the old files still have it, so the merged SELECT *
+    // keeps the union schema and null-fills, unlike a database drop)
+    Seq((2L, ts("2024-01-02 00:00:00"), "b"))
+      .toDF("event_id", "ts", "payload").write.mode("append").parquet(s"$src/events.parquet")
+    Cdc.syncCycle(spark, src, state, sink)
+    val v2 = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val fresh = v2.keySet -- v1.keySet
+    assert(fresh.nonEmpty, "the new row must sync")
+    assert(fresh.forall(id => v2(id).contains("\"region\":null")),
+      s"post-drop row must serialize the dropped field as null (F1 null retention): $v2")
+    assert(v1.keySet.subsetOf(v2.keySet), "pre-drop chunks are never rewritten")
+    // convergence: a quiet third cycle is a byte-stable no-op
+    Cdc.syncCycle(spark, src, state, sink)
+    val v3 = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(v3 == v2)
+  }
+
+  test("schema drift, WIDEN direction: int->bigint between polls — the merged " +
+      "read widens instead of crashing, values serialize identically (VERDICT r15 #4)") {
+    val scratch = Files.createTempDirectory("graft_cdc_widen").toString
+    val (src, state, sink) = (s"$scratch/src", s"$scratch/state", s"$scratch/sink")
+    new java.io.File(src).mkdirs()
+    // cycle 1: qty is INT
+    Seq((1L, ts("2024-01-01 00:00:00"), 10, "a"))
+      .toDF("event_id", "ts", "qty", "payload").write.parquet(s"$src/events.parquet")
+    Cdc.syncCycle(spark, src, state, sink)
+    val v1 = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(v1.values.exists(_.contains("\"qty\":10")))
+    // ALTER COLUMN widen analog: new files carry qty as BIGINT. Spark's own
+    // mergeSchema refuses int-vs-long footers, so this pins the widened-
+    // union fallback in Tables.table end-to-end through the cycle.
+    Seq((2L, ts("2024-01-02 00:00:00"), 3000000000L, "b"))
+      .toDF("event_id", "ts", "qty", "payload").write.mode("append").parquet(s"$src/events.parquet")
+    Cdc.syncCycle(spark, src, state, sink)
+    val v2 = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val fresh = v2.keySet -- v1.keySet
+    assert(fresh.nonEmpty, "the widened row must sync, not crash the read")
+    assert(fresh.forall(id => v2(id).contains("\"qty\":3000000000")),
+      s"post-widen row must carry the long value: $v2")
+    assert(v1.keySet.subsetOf(v2.keySet), "pre-widen chunks are never rewritten")
+    // old rows re-read under the widened schema serialize the SAME text
+    // (10 as long prints \"10\") — convergence: quiet cycle is a no-op
+    Cdc.syncCycle(spark, src, state, sink)
+    val v3 = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(v3 == v2)
+  }
 }

@@ -174,4 +174,42 @@ class JdbcCdcSpec extends AnyFunSuite {
       assert(rs.next() && rs.getTimestamp(1) == ts("2024-01-01 00:05:00"))
     } finally c.close()
   }
+
+  test("schema drift over live JDBC, DROP direction: a database DROP COLUMN " +
+      "vanishes the field from new serializations — no crash, sink converges") {
+    val u3 = "jdbc:derby:memory:graftcdcdrop;create=true"
+    def exec3(sqls: String*): Unit = {
+      val c = DriverManager.getConnection(u3)
+      try { val st = c.createStatement(); sqls.foreach(st.executeUpdate); () }
+      finally c.close()
+    }
+    exec3(
+      "CREATE TABLE events_src (event_id BIGINT NOT NULL PRIMARY KEY, " +
+        "ts TIMESTAMP, payload VARCHAR(64), region VARCHAR(8))",
+      "INSERT INTO events_src VALUES (1, TIMESTAMP('2024-01-01 00:01:00'), 'a', 'eu')")
+    val scratch = Files.createTempDirectory("graft_jdbc_drop").toString
+    val (state, sink) = (s"$scratch/state", s"$scratch/sink")
+    val source = JdbcSource(u3, schemaPattern = Some("APP"))
+    Cdc.syncCycleFrom(spark, source, state, sink, chunkSize = 2)
+    val v1 = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(v1.values.exists(_.contains("\"REGION\":\"eu\"")), s"pre-drop field missing: $v1")
+    // the reference's SELECT * just starts returning the narrower shape
+    exec3(
+      "ALTER TABLE events_src DROP COLUMN region",
+      "INSERT INTO events_src VALUES (2, TIMESTAMP('2024-01-01 00:02:00'), 'b')")
+    Cdc.syncCycleFrom(spark, source, state, sink, chunkSize = 2)
+    val v2 = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val fresh = v2.keySet -- v1.keySet
+    assert(fresh.nonEmpty, "post-drop row must sync")
+    assert(fresh.forall(id => !v2(id).toUpperCase.contains("REGION")),
+      s"dropped column must vanish from new serializations: $v2")
+    assert(v1.keySet.subsetOf(v2.keySet), "pre-drop chunks persist untouched")
+    // quiet third poll: byte-stable no-op
+    Cdc.syncCycleFrom(spark, source, state, sink, chunkSize = 2)
+    val v3 = Cdc.readVectorSink(spark, sink).select("id", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(v3 == v2)
+  }
 }
