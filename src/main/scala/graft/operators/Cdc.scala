@@ -1334,6 +1334,27 @@ object Cdc {
       namespace: String = DefaultNamespace,
       knownWatermark: Option[Option[Timestamp]] = None,
       commitLock: AnyRef = new Object): Long = {
+    // outer None = "look it up" (standalone call); Some(wm) = the cycle
+    // already read the store once for all tables
+    val wm = knownWatermark.getOrElse(store.get(tableName))
+    // Fleet quiet-table fast path (VERDICT r15 task 5): a mostly-quiet
+    // fleet tick's floor is per-table RELATION SETUP + one count/max
+    // aggregate job (~20-30 ms each, FleetProbe) — but "is there anything
+    // past the watermark?" is answerable driver-side when the binding has
+    // exact metadata (parquet footer stats; a database-side MAX), BEFORE
+    // even building the Spark relation. Skip ONLY on the exact-and-quiet
+    // answer; every other answer (unknown, active, first sync, column
+    // absent) takes the unchanged relation + aggregate path, so
+    // correctness never leans on the probe. (A quiet answer implies the
+    // change column exists — both bindings answer unknown when it
+    // doesn't — so short-circuiting ahead of the column-presence check
+    // below cannot skip a non-CDC table.)
+    val quiet = wm.exists(w =>
+      source.changeMax(tableName, changeCol) match {
+        case Some(Some(mx)) => !mx.after(w) // strict->: mx <= wm ⇒ empty delta
+        case _ => false
+      })
+    if (quiet) return 0L
     val src = source.table(spark, tableName)
     // column PRESENCE checks follow the session's name resolution (JDBC
     // catalogs fold unquoted identifiers to upper case — a Derby/MySQL
@@ -1346,9 +1367,6 @@ object Cdc {
     // order makes chunks deterministic), else the caller's orderCol
     val effOrderCol = source.primaryKey(tableName)
       .filter(pk => src.columns.exists(resolves(_, pk))).getOrElse(orderCol)
-    // outer None = "look it up" (standalone call); Some(wm) = the cycle
-    // already read the store once for all tables
-    val wm = knownWatermark.getOrElse(store.get(tableName))
     // P6 empty-delta skip: no sink write, no watermark advance
     // (service_layer/service.py:65, :76-77). The agg runs uncached — one
     // pushdown scan; its row count then picks the session the REST of the

@@ -38,6 +38,22 @@ trait CdcSource {
     * `information_schema.KEY_COLUMN_USAGE`; its result is dead in the
     * reference — here it is load-bearing). None → the caller's orderCol. */
   def primaryKey(name: String): Option[String]
+
+  /** Cheap driver-side MAX of the change column — the fleet quiet-table
+    * fast path (VERDICT r15 task 5): a mostly-quiet tick's cost is one
+    * count/max Spark job per table (~20-30 ms measured, graft.FleetProbe);
+    * a binding that can answer "has this table anything past the
+    * watermark?" from metadata lets the cycle skip the job entirely.
+    *
+    *  - None           — can't tell cheaply; the cycle runs its aggregate.
+    *  - Some(None)     — no non-null change values (empty table).
+    *  - Some(Some(mx)) — EXACT max of the column's non-null values; the
+    *    cycle skips the table when mx <= watermark. Must never
+    *    under-report (a skipped table with real deltas would silently
+    *    stall) — bindings return None when exactness is not guaranteed.
+    *
+    * Default None: correctness never depends on this. */
+  def changeMax(name: String, changeCol: String): Option[Option[java.sql.Timestamp]] = None
 }
 
 /** Directory-of-parquet binding ([[Tables.listTables]]/[[Tables.table]]).
@@ -47,6 +63,10 @@ final case class DirSource(dir: String) extends CdcSource {
   def listTables(): Seq[String] = Tables.listTables(dir)
   def table(spark: SparkSession, name: String): DataFrame = Tables.table(spark, dir, name)
   def primaryKey(name: String): Option[String] = Tables.primaryKey(name)
+  /** Exact from parquet footer statistics, ~1 ms driver-side, zero jobs;
+    * None whenever any file's stats can't be trusted (Tables doc). */
+  override def changeMax(name: String, changeCol: String): Option[Option[java.sql.Timestamp]] =
+    Tables.parquetTimestampMax(s"$dir/$name.parquet", changeCol)
 }
 
 /** Live-database binding over Spark's JDBC source.
@@ -188,4 +208,30 @@ final case class JdbcSource(
   }
   // values are the Option itself, so "no PK" (None) caches too
   private val pkCache = new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  /** One `SELECT MAX(changeCol)` on a short-lived connection — an indexed
+    * endpoint lookup when the change column is indexed, and even unindexed
+    * a database-side scan beats shipping the rows to a Spark aggregate.
+    * Exact by construction (the database computes it). None on any SQL
+    * error (unknown column, dialect mismatch) → the cycle falls back. */
+  override def changeMax(name: String, changeCol: String): Option[Option[java.sql.Timestamp]] = {
+    val conn =
+      if (user.isEmpty) java.sql.DriverManager.getConnection(url)
+      else java.sql.DriverManager.getConnection(url, user, password)
+    try {
+      val attempts = Seq(
+        s"""SELECT MAX("$changeCol") FROM "$name"""",
+        s"SELECT MAX(`$changeCol`) FROM `$name`")
+      attempts.view.map { sql =>
+        try {
+          val st = conn.createStatement()
+          try {
+            val rs = st.executeQuery(sql)
+            try { rs.next(); Some(Option(rs.getTimestamp(1))) }
+            finally rs.close()
+          } finally st.close()
+        } catch { case _: java.sql.SQLException => None }
+      }.collectFirst { case Some(b) => b }
+    } finally conn.close()
+  }
 }

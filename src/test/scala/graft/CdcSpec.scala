@@ -763,6 +763,86 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.getWatermark(spark, state, "events") == wm2)
   }
 
+  test("quiet-table fast path: footer-stats max is exact across encodings, " +
+      "drift, and nulls — and unknown when stats can't be trusted (r16)") {
+    val dir = Files.createTempDirectory("graft_stats_max").toString
+    import graft.sources.Tables
+    // a modern lake writes INT64 timestamps (Delta/Iceberg, pyarrow; the
+    // driver fixtures); Spark's own legacy default is INT96 — pinned
+    // below as the untrusted fall-back case
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      // exact max over multiple files
+      Seq((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-05 00:00:00")))
+        .toDF("event_id", "ts").write.parquet(s"$dir/t1.parquet")
+      Seq((3L, ts("2024-01-03 00:00:00")))
+        .toDF("event_id", "ts").write.mode("append").parquet(s"$dir/t1.parquet")
+      assert(Tables.parquetTimestampMax(s"$dir/t1.parquet", "ts")
+        .contains(Some(ts("2024-01-05 00:00:00"))))
+      // drift: one file lacks the column — its rows are null there, max
+      // still exact from the carrying file
+      Seq((4L, "x")).toDF("event_id", "payload")
+        .write.mode("append").parquet(s"$dir/t1.parquet")
+      assert(Tables.parquetTimestampMax(s"$dir/t1.parquet", "ts")
+        .contains(Some(ts("2024-01-05 00:00:00"))))
+      // all-null column → Some(None); absent table dir → Some(None)
+      Seq((1L, Option.empty[java.sql.Timestamp])).toDF("event_id", "ts")
+        .write.parquet(s"$dir/t2.parquet")
+      assert(Tables.parquetTimestampMax(s"$dir/t2.parquet", "ts").contains(None))
+      assert(Tables.parquetTimestampMax(s"$dir/absent.parquet", "ts").contains(None))
+      // non-timestamp column → unknown (fall back to the Spark aggregate)
+      assert(Tables.parquetTimestampMax(s"$dir/t1.parquet", "event_id").isEmpty)
+      // legacy INT96 timestamps: stats are untrustworthy by design
+      // (PARQUET-1065 ordering corruption) → unknown, never a wrong max
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      Seq((1L, ts("2024-01-09 00:00:00"))).toDF("event_id", "ts")
+        .write.parquet(s"$dir/t3.parquet")
+      assert(Tables.parquetTimestampMax(s"$dir/t3.parquet", "ts").isEmpty)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+  }
+
+  test("quiet-table fast path: a quiet sync schedules ZERO Spark jobs; an " +
+      "active table is never skipped (r16)") {
+    val scratch = Files.createTempDirectory("graft_quiet_path").toString
+    val (src, state, sink) = (s"$scratch/src", s"$scratch/state", s"$scratch/sink")
+    new java.io.File(src).mkdirs()
+    val prevTsType = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    Seq((1L, ts("2024-01-01 00:00:00"), "a"), (2L, ts("2024-01-02 00:00:00"), "b"))
+      .toDF("event_id", "ts", "payload").write.parquet(s"$src/events.parquet")
+    Cdc.syncCycle(spark, src, state, sink) // first sync: full path
+    val wmAfter = Cdc.getWatermark(spark, state, "events")
+    assert(wmAfter.contains(ts("2024-01-02 00:00:00")))
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      CcProbe.drainListenerBus(spark)
+      jobs = 0
+      // quiet table (footer max == watermark): syncTable must answer from
+      // driver-side footer stats — no relation, no aggregate, no job
+      val n = Cdc.syncTable(spark, src, state, sink, "events",
+        "ts", "event_id", chunkSize = 99)
+      CcProbe.drainListenerBus(spark)
+      assert(n == 0L)
+      assert(jobs == 0, s"quiet sync must schedule no Spark job, saw $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // new rows past the watermark: the probe answers ACTIVE and the full
+    // path syncs them — the fast path can never under-report
+    try {
+      Seq((3L, ts("2024-01-03 00:00:00"), "c"))
+        .toDF("event_id", "ts", "payload").write.mode("append").parquet(s"$src/events.parquet")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTsType)
+    val n2 = Cdc.syncTable(spark, src, state, sink, "events",
+      "ts", "event_id", chunkSize = 99)
+    assert(n2 == 1L, "active table must not be skipped by the fast path")
+    assert(Cdc.getWatermark(spark, state, "events").contains(ts("2024-01-03 00:00:00")))
+  }
+
   test("schema drift, DROP direction: a parquet lake keeps the union schema — " +
       "post-drop rows serialize the field as null, sink converges (VERDICT r15 #4)") {
     val scratch = Files.createTempDirectory("graft_cdc_drop").toString

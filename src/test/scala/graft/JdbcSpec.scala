@@ -163,5 +163,11 @@ class JdbcSpec extends AnyFunSuite {
       partitioning = Map("BIG_SRC" -> (("ID", 1L, 1001L, 3))),
       autoPartitionMinRange = 500L, autoPartitionTargetRows = 100L)
     assert(explicit.table(spark, "BIG_SRC").rdd.getNumPartitions == 3)
+
+    // quiet-probe surface (r16): database-side MAX is exact; unknown
+    // column answers None so the cycle falls back instead of skipping
+    assert(auto.changeMax("BIG_SRC", "TS")
+      .contains(Some(Timestamp.valueOf("2024-01-01 00:59:00"))))
+    assert(auto.changeMax("BIG_SRC", "no_such_col").isEmpty)
   }
 }
