@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.IvfIndex
+import org.apache.spark.sql.functions._
+
+/** Dev probe (VERDICT r15 task 6): how fast does IVF recall decay as
+  * appends accumulate under STALE centroids — and what does the rebuild
+  * buy back?
+  *
+  * [[IvfIndex.append]] routes new vectors to their nearest existing
+  * centroid with no retraining. That is exact at nprobe=k (SimilaritySpec
+  * pins it) but recall at small nprobe depends on how well the trained
+  * centroids describe the CURRENT corpus. This probe measures the
+  * adversarial case: appends drawn from a SHIFTED distribution (cluster
+  * centers the base never saw), in batches up to 10× the trained base,
+  * with recall@10 vs brute force over base ∪ appends at each point —
+  * then a rebuild at the worst point to show the recovery. The resulting
+  * ladder (BASELINE.md r16) is what the DefaultRebuildFraction advisory
+  * threshold is set from.
+  *
+  * Corpus: deterministic (id-seeded PRNG — reruns are bit-identical).
+  * Base: nBase vectors around C unit-sphere-ish centers. Appends: same
+  * construction around C NEW centers. Probes: half from base regions,
+  * half from shifted regions — the mixed query load a drifted corpus
+  * actually serves.
+  *
+  * Usage: tools/jvmrun.sh graft.IvfProbe [nBase [dim [k]]]
+  * Prints one JSON line per checkpoint. */
+object IvfProbe {
+
+  private def center(dim: Int, seed: Long): Array[Float] = {
+    val r = new java.util.Random(seed)
+    Array.fill(dim)(r.nextFloat() * 2f - 1f)
+  }
+
+  /** id-seeded deterministic vector near the given center family. */
+  private def makeVec(centers: Array[Array[Float]], id: Long, dim: Int,
+      noise: Float): Array[Float] = {
+    val c = centers(((id % centers.length) + centers.length).toInt % centers.length)
+    val r = new java.util.Random(id * 2654435761L + 17L)
+    Array.tabulate(dim)(j => c(j) + (r.nextFloat() * 2f - 1f) * noise)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nBase = args.lift(0).map(_.toInt).getOrElse(10000)
+    val dim = args.lift(1).map(_.toInt).getOrElse(32)
+    val k = args.lift(2).map(_.toInt).getOrElse(16)
+    val nCenters = k
+    val spark = Bench.buildSession()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val baseCenters = Array.tabulate(nCenters)(i => center(dim, 1000L + i))
+    val shiftCenters = Array.tabulate(3 * nCenters)(i => center(dim, 9000L + i))
+
+    def gen(ids: Range, centers: Array[Array[Float]], noise: Float): org.apache.spark.sql.DataFrame =
+      spark.range(ids.head, ids.last + 1L)
+        .as[Long]
+        .map(id => (id, makeVec(centers, id, dim, noise)))
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfprobe").toString + "/idx"
+    IvfIndex.build(gen(0 until nBase, baseCenters, 0.15f), "vec_id", "embedding", dir,
+      k = k, iters = 3)
+
+    // mixed probe load: half base-region, half shifted-region
+    val probes: Seq[Array[Float]] =
+      (0 until 10).map(i => makeVec(baseCenters, 777000L + i, dim, 0.15f)) ++
+      (0 until 10).map(i => makeVec(shiftCenters, 888000L + i, dim, 0.45f))
+
+    def recallAt(idxDir: String, nprobe: Int): Double = {
+      val all = spark.read.parquet(s"$idxDir/data")
+      val per = probes.map { p =>
+        val brute = all
+          .select(col("id"),
+            round(graft.functions.VectorOps.cosineFast(
+              col("embedding"), lit(p).cast("array<float>")), 6).as("score"))
+          .orderBy(desc("score"), col("id")).limit(10)
+          .collect().map(_.getLong(0)).toSet
+        val ivf = IvfIndex.search(spark, idxDir, p, k = 10, nprobe = nprobe)
+          .collect().map(_.getLong(0)).toSet
+        (ivf intersect brute).size / 10.0
+      }
+      per.sum / per.size
+    }
+
+    def report(idxDir: String, tag: String): Unit = {
+      val frac = IvfIndex.appendedFraction(idxDir)
+      val r1 = recallAt(idxDir, 1)
+      val r2 = recallAt(idxDir, 2)
+      val r4 = recallAt(idxDir, 4)
+      println(f"""{"probe":"ivf_staleness","point":"$tag","appended_fraction":$frac%.2f,"recall10_nprobe1":$r1%.3f,"recall10_nprobe2":$r2%.3f,"recall10_nprobe4":$r4%.3f,"should_rebuild":${IvfIndex.shouldRebuild(idxDir)}}""")
+    }
+
+    report(dir, "base")
+    // shifted appends: to 1x, then 5x, then 10x of the trained base
+    var appendedTo = 0
+    Seq(1, 5, 10).foreach { mult =>
+      val target = nBase * mult
+      val batch = gen(nBase + appendedTo until nBase + target, shiftCenters, 0.45f)
+      IvfIndex.append(batch, "vec_id", "embedding", dir)
+      appendedTo = target
+      report(dir, s"append_${mult}x")
+    }
+    // rebuild at the worst point: retrain over the full current corpus
+    // (into a fresh dir — Spark cannot overwrite its own lazy input)
+    val dir2 = s"$dir-rebuilt"
+    IvfIndex.build(spark.read.parquet(s"$dir/data").select(col("id").as("vec_id"),
+      col("embedding")), "vec_id", "embedding", dir2, k = k, iters = 3)
+    report(dir2, "rebuilt_at_10x")
+    spark.stop()
+  }
+}

@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Appended fraction at which [[append]] advises a rebuild — set from
+    * the measured recall-drift ladder (BASELINE.md r16: with appends drawn
+    * from a SHIFTED distribution — the adversarial case — recall@10 at
+    * nprobe=2 degrades as stale centroids under-describe the appended
+    * mass; at-distribution appends barely move it). 0.5 = advise once the
+    * appended mass reaches half the trained base. */
+  val DefaultRebuildFraction: Double = 0.5
+
   /** Train, assign, persist. One pass for training (sampled), one for the
     * partitioned write; the only driver-resident state is k×dim floats. */
   def build(
@@ -50,6 +58,12 @@ object IvfIndex {
       // (10⁴-10⁵ clusters at billions of vectors), so tasks stay balanced
       .repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite).partitionBy("cluster").parquet(s"$indexDir/data")
+    // staleness bookkeeping (r16): the trained base size, from footer
+    // metadata of what was just written — driver-side, no count job
+    val base = footerRowCount(s"$indexDir/data")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$indexDir/base_count"), base.toString)
+    ()
   }
 
   /** Incremental maintenance — the Pinecone-upsert analog for the IVF
@@ -64,8 +78,16 @@ object IvfIndex {
     * appended twice would surface twice. Centroids drift as the corpus
     * distribution shifts: production re-trains on a cadence driven by
     * recall monitoring, while append keeps the index serving between
-    * retrains — the standard IVF operational trade (Jégou et al.). */
-  def append(newVectors: DataFrame, idCol: String, vecCol: String, indexDir: String): Unit = {
+    * retrains — the standard IVF operational trade (Jégou et al.).
+    *
+    * Staleness is BOUNDED and advised (r16, measured in BASELINE.md):
+    * returns the post-append appended fraction (appended rows / trained
+    * base) and prints a one-line rebuild advisory once it crosses
+    * [[DefaultRebuildFraction]] — recall at fixed nprobe degrades as
+    * appends from a shifted distribution accumulate under stale
+    * centroids, while exactness at nprobe=k is unaffected. NaN for a
+    * pre-r16 index without staleness metadata. */
+  def append(newVectors: DataFrame, idCol: String, vecCol: String, indexDir: String): Double = {
     val spark = newVectors.sparkSession
     val cents = centroids(spark, indexDir)
     newVectors
@@ -73,6 +95,57 @@ object IvfIndex {
       .withColumn("cluster", SimilaritySearch.nearestCentroid(col("embedding"), cents))
       .repartition(col("cluster"))
       .write.mode(SaveMode.Append).partitionBy("cluster").parquet(s"$indexDir/data")
+    val frac = appendedFraction(indexDir)
+    if (frac >= DefaultRebuildFraction)
+      System.err.println(
+        f"[ivf] index $indexDir: appended fraction $frac%.2f >= " +
+          f"$DefaultRebuildFraction%.2f of the trained base — recall at fixed " +
+          "nprobe degrades under stale centroids (BASELINE.md r16); rebuild " +
+          "with IvfIndex.build, or raise nprobe until then")
+    frac
+  }
+
+  /** Appended rows / trained-base rows, from parquet footer metadata —
+    * driver-side, no Spark job. NaN when the index predates staleness
+    * bookkeeping (no `base_count`). */
+  def appendedFraction(indexDir: String): Double = {
+    val meta = new java.io.File(s"$indexDir/base_count")
+    if (!meta.exists()) Double.NaN
+    else {
+      val base = java.nio.file.Files.readString(meta.toPath).trim.toLong
+      if (base <= 0L) Double.NaN
+      else (footerRowCount(s"$indexDir/data") - base).toDouble / base
+    }
+  }
+
+  /** The measured rebuild trigger: true once the appended mass crosses
+    * `maxAppendedFraction` of the trained base (see BASELINE.md r16 for
+    * the recall ladder behind the default). Unknown staleness (pre-r16
+    * index) answers false — the operator opted out of bookkeeping. */
+  def shouldRebuild(
+      indexDir: String,
+      maxAppendedFraction: Double = DefaultRebuildFraction): Boolean = {
+    val f = appendedFraction(indexDir)
+    !f.isNaN && f >= maxAppendedFraction
+  }
+
+  /** Total data rows from parquet footers (block row counts) — a
+    * driver-side walk of the cluster directories, no Spark job. */
+  private def footerRowCount(dataDir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) Seq(f)
+      else Seq.empty
+    val conf = new org.apache.hadoop.conf.Configuration()
+    walk(new java.io.File(dataDir)).map { file =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getPath), conf))
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.sum
   }
 
   /** The persisted centroid matrix, cluster-ordered. */

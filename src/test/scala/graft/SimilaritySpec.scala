@@ -222,6 +222,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(appended.head._1 == 200L, "the appended vector itself must rank first")
   }
 
+  test("IVF staleness bound (r16): appended fraction is tracked from footers, " +
+      "the rebuild trigger fires at the measured threshold, rebuild resets it") {
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stale").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", dir, k = 4, iters = 2)
+    assert(IvfIndex.appendedFraction(dir) == 0.0)
+    assert(!IvfIndex.shouldRebuild(dir))
+
+    val baseN = vecs.count()
+    val rnd = new scala.util.Random(23)
+    def batchOf(n: Int, idBase: Long) =
+      (0 until n).map(i => (idBase + i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+        .toDF("vec_id", "embedding")
+
+    // below the threshold: no advisory, trigger off
+    val f1 = IvfIndex.append(batchOf((baseN / 4).toInt, 300L), "vec_id", "embedding", dir)
+    assert(math.abs(f1 - 0.25) < 0.05, s"fraction after 1/4 append: $f1")
+    assert(!IvfIndex.shouldRebuild(dir))
+    // crossing DefaultRebuildFraction: append returns the fraction and the
+    // trigger flips — the recall ladder behind the threshold is IvfProbe /
+    // BASELINE.md r16 (nprobe=1 recall 0.97 -> ~0.81 under shifted mass)
+    val f2 = IvfIndex.append(batchOf((baseN / 2).toInt, 600L), "vec_id", "embedding", dir)
+    assert(f2 >= IvfIndex.DefaultRebuildFraction, s"fraction after 3/4 appended: $f2")
+    assert(IvfIndex.shouldRebuild(dir))
+    // custom threshold wins
+    assert(!IvfIndex.shouldRebuild(dir, maxAppendedFraction = 2.0))
+
+    // rebuild over the full current corpus resets the staleness clock
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_stale2").toString
+    IvfIndex.build(spark.read.parquet(s"$dir/data")
+      .select(col("id").as("vec_id"), col("embedding")),
+      "vec_id", "embedding", dir2, k = 4, iters = 2)
+    assert(IvfIndex.appendedFraction(dir2) == 0.0 && !IvfIndex.shouldRebuild(dir2))
+
+    // pre-r16 index without bookkeeping: unknown staleness, never advises
+    new java.io.File(s"$dir/base_count").delete()
+    assert(IvfIndex.appendedFraction(dir).isNaN && !IvfIndex.shouldRebuild(dir))
+  }
+
   test("ivfTopK scans only nprobe clusters (candidate restriction is real)") {
     val centroids = SimilaritySearch.ivfTrain(vecs, "vec_id", "embedding", k = 4, iters = 2)
     val probe = vecs.where(col("vec_id") === 0).collect()(0).getSeq[Float](1).toArray
