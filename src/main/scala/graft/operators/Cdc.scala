@@ -274,17 +274,47 @@ object Cdc {
     // landing in a store the migration already drained.
     var committed = false
     while (!committed) {
-      val path = shardPath(stateDir, watermarkShards(stateDir), tableName)
+      val b = watermarkShards(stateDir)
+      val path = shardPath(stateDir, b, tableName)
       storeLock(path).synchronized {
         if (shardPath(stateDir, watermarkShards(stateDir), tableName) == path) {
           val current = readStoreMap(path)
           val winner = current.get(tableName).filter(_.after(ts)).getOrElse(ts)
+          val next = current + (tableName -> winner)
           atomicOverwriteWith(path,
-            vdir => writeWatermarkFile(vdir, current + (tableName -> winner)), onBeforeCommit)
+            vdir => writeWatermarkFile(vdir, next), onBeforeCommit)
           committed = true
+          // auto-shard advisory (r15 verdict task 7): the commit just
+          // learned T for free — past the measured ~10k knee an unsharded
+          // store's O(T) rewrite starts eating the fleet's commit budget
+          // (BASELINE.md: 72 ms @ 10k, 284 ms @ 100k; B=16 → 46 ms).
+          // Advise ONCE per store per process, never throw.
+          if (b == 1 && next.size >= ShardAdvisoryTables &&
+              shardAdvised.add(new java.io.File(stateDir).getAbsolutePath))
+            System.err.println(
+              s"[cdc] watermark store at $stateDir holds ${next.size} tables " +
+                "UNSHARDED: each commit rewrites the whole O(T) store file " +
+                "(measured ~72 ms at 10k tables, ~284 ms at 100k — BASELINE.md). " +
+                "One-time migration: Cdc.shardWatermarkStore(stateDir, 16) drops " +
+                "the commit to O(T/B) and lets different shards commit " +
+                "concurrently (~350 commits/s sustained at 100k tables).")
         }
       }
     }
+  }
+
+  /** Unsharded-store size at which [[updateWatermark]] prints its one-time
+    * shard advisory — the measured whole-file-rewrite knee (BASELINE.md:
+    * per-commit constant dominates to ~10k tables; the O(T) body term owns
+    * the cost past it). */
+  val ShardAdvisoryTables: Int = 10000
+  private val shardAdvised =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Test hook: forget which stores were already advised. */
+  private[graft] def resetShardAdvisories(): Unit = shardAdvised.clear()
+  private[graft] def shardAdvisedStores: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    shardAdvised.asScala.toSet
   }
 
   /** Probe/test seeding surface (graft.WmProbe): publish `rows` as the

@@ -763,6 +763,32 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.getWatermark(spark, state, "events") == wm2)
   }
 
+  test("shard advisory fires once at the measured knee, only for unsharded stores (r16)") {
+    Cdc.resetShardAdvisories()
+    val state = Files.createTempDirectory("graft_wm_advise").toString
+    val abs = new java.io.File(state).getAbsolutePath
+    val base = ts("2024-01-01 00:00:00")
+    // seed to one under the knee: the commit that crosses it advises
+    val seed = (1 until Cdc.ShardAdvisoryTables)
+      .map(i => f"table_$i%06d" -> base).toMap
+    Cdc.seedWatermarkStore(state, seed)
+    Cdc.updateWatermark(spark, state, "under", base)
+    assert(Cdc.shardAdvisedStores.contains(abs),
+      "crossing the knee unsharded must advise shardWatermarkStore")
+    // once per store per process: a second commit does not re-advise
+    // (the set add is the once-guard; membership is stable)
+    Cdc.updateWatermark(spark, state, "under", ts("2024-01-02 00:00:00"))
+    assert(Cdc.shardAdvisedStores.count(_ == abs) == 1)
+    // a SHARDED store at the same size never advises — sharding was the fix
+    Cdc.resetShardAdvisories()
+    val state2 = Files.createTempDirectory("graft_wm_advise2").toString
+    Cdc.seedWatermarkStore(state2, Map("seed" -> base))
+    Cdc.shardWatermarkStore(state2, 4)
+    Cdc.seedWatermarkStore(state2, seed)
+    Cdc.updateWatermark(spark, state2, "over", base)
+    assert(Cdc.shardAdvisedStores.isEmpty, "sharded store must not advise")
+  }
+
   test("quiet-table fast path: footer-stats max is exact across encodings, " +
       "drift, and nulls — and unknown when stats can't be trusted (r16)") {
     val dir = Files.createTempDirectory("graft_stats_max").toString
