@@ -403,7 +403,7 @@ object Cdc {
       val wm = java.util.regex.Pattern.quote(WatermarkTable)
       def orphanShard(name: String): Boolean = {
         val m = java.util.regex.Pattern
-          .compile(wm + "_b(\\d{4})(?:_v\\d+|\\.current(?:_tmp)?)?").matcher(name)
+          .compile(wm + "_b(\\d{4,})(?:_v\\d+|\\.current(?:_tmp)?)?").matcher(name)
         m.matches() && m.group(1).toInt >= shards
       }
       Option(new java.io.File(stateDir).listFiles()).toSeq.flatten

@@ -96,7 +96,8 @@ object IvfIndex {
       .repartition(col("cluster"))
       .write.mode(SaveMode.Append).partitionBy("cluster").parquet(s"$indexDir/data")
     val frac = appendedFraction(indexDir)
-    if (frac >= DefaultRebuildFraction)
+    if (frac >= DefaultRebuildFraction &&
+        rebuildAdvised.add(new java.io.File(indexDir).getAbsolutePath))
       System.err.println(
         f"[ivf] index $indexDir: appended fraction $frac%.2f >= " +
           f"$DefaultRebuildFraction%.2f of the trained base — recall at fixed " +
@@ -104,6 +105,11 @@ object IvfIndex {
           "with IvfIndex.build, or raise nprobe until then")
     frac
   }
+  // advise once per index per process — a maintenance loop appending on a
+  // cadence must not spam stderr every batch (same shape as the CDC store's
+  // shard advisory)
+  private val rebuildAdvised =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Appended rows / trained-base rows, from parquet footer metadata —
     * driver-side, no Spark job. NaN when the index predates staleness

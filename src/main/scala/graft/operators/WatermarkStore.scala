@@ -78,13 +78,24 @@ final case class JdbcWatermarkStore(
     table: String = Cdc.WatermarkTable) extends WatermarkStore {
 
   private def connect(): java.sql.Connection =
-    if (user.isEmpty) java.sql.DriverManager.getConnection(url)
-    else java.sql.DriverManager.getConnection(url, user, password)
+    graft.sources.JdbcConnections.connect(url, user, password)
 
   /** Create-if-absent via the portable metadata probe (CREATE TABLE IF NOT
     * EXISTS is not Derby SQL). Idempotent; a concurrent creator's
-    * duplicate-DDL error is swallowed iff the table then exists. */
+    * duplicate-DDL error is swallowed iff the table then exists. The
+    * catalog walk runs ONCE per store instance (`ensured` flag) — a fleet
+    * tick must not pay an information_schema scan per commit.
+    *
+    * Column type: `TIMESTAMP(6)` where the dialect takes a precision
+    * (MySQL — whose bare TIMESTAMP is SECOND-precision and ROUNDS on
+    * insert, which would commit a watermark slightly ABOVE the true
+    * max(changeCol) and make the next strict-`>` delta silently skip
+    * rows landing inside the rounded-away window; Postgres — where (6)
+    * is the default anyway), falling back to bare `TIMESTAMP` where the
+    * precision syntax is rejected (Derby — whose TIMESTAMP natively
+    * keeps fractional seconds, so the fallback loses nothing). */
   private def ensureTable(conn: java.sql.Connection): Unit = {
+    if (ensured) return
     def exists(): Boolean = {
       val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
       try {
@@ -95,14 +106,25 @@ final case class JdbcWatermarkStore(
       } finally rs.close()
     }
     if (!exists()) {
-      val st = conn.createStatement()
-      try st.executeUpdate(
+      val ddls = Seq(
+        s"CREATE TABLE $table (table_name VARCHAR(128) NOT NULL PRIMARY KEY, " +
+          "last_updated TIMESTAMP(6))",
         s"CREATE TABLE $table (table_name VARCHAR(128) NOT NULL PRIMARY KEY, " +
           "last_updated TIMESTAMP)")
-      catch { case e: java.sql.SQLException => if (!exists()) throw e }
-      finally st.close()
+      val st = conn.createStatement()
+      try {
+        val created = ddls.exists { ddl =>
+          try { st.executeUpdate(ddl); true }
+          catch { case _: java.sql.SQLException => false }
+        }
+        if (!created && !exists())
+          throw new java.sql.SQLException(
+            s"could not create watermark table $table on $url")
+      } finally st.close()
     }
+    ensured = true
   }
+  @volatile private var ensured = false
 
   def get(tableName: String): Option[Timestamp] = {
     val conn = connect()

@@ -56,6 +56,15 @@ trait CdcSource {
   def changeMax(name: String, changeCol: String): Option[Option[java.sql.Timestamp]] = None
 }
 
+/** Shared JDBC plumbing for the source bindings and the JDBC watermark
+  * store — one place for the credential split so pooling or options land
+  * everywhere at once. */
+private[graft] object JdbcConnections {
+  def connect(url: String, user: String, password: String): java.sql.Connection =
+    if (user.isEmpty) java.sql.DriverManager.getConnection(url)
+    else java.sql.DriverManager.getConnection(url, user, password)
+}
+
 /** Directory-of-parquet binding ([[Tables.listTables]]/[[Tables.table]]).
   * Parquet carries no constraint metadata, so PKs are the static fixture
   * config ([[Tables.fixturePrimaryKeys]]). */
@@ -119,9 +128,7 @@ final case class JdbcSource(
     * the reference opens a fresh connection per poll the same way
     * (`utils/mysql_connect.py:5-17`). */
   def listTables(): Seq[String] = {
-    val conn =
-      if (user.isEmpty) java.sql.DriverManager.getConnection(url)
-      else java.sql.DriverManager.getConnection(url, user, password)
+    val conn = JdbcConnections.connect(url, user, password)
     try {
       val rs = conn.getMetaData.getTables(null, schemaPattern.orNull, "%", Array("TABLE"))
       val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -145,17 +152,25 @@ final case class JdbcSource(
     * entry: (pkColumn, min, max, stripes), or None when the table has no
     * numeric PK or its key range is under [[autoPartitionMinRange]]
     * (small tables keep the reference's single-connection shape — a
-    * partition setup would cost more than it buys). Probed per read, not
-    * cached: CDC tables GROW between polls, and the probe is one indexed
-    * min/max lookup on a short-lived connection. */
-  private[graft] def derivedPartitioning(name: String): Option[(String, Long, Long, Int)] =
-    primaryKey(name).flatMap { pk =>
-      val conn =
-        if (user.isEmpty) java.sql.DriverManager.getConnection(url)
-        else java.sql.DriverManager.getConnection(url, user, password)
+    * partition setup would cost more than it buys). The probe is one
+    * indexed min/max lookup on a short-lived connection, memoized for
+    * [[ProbeMemoMillis]]: CDC tables GROW between polls so the spec must
+    * refresh each poll, but within ONE cycle the same table is read
+    * twice (the measured-width re-scan) and must not pay a second
+    * connection — stale-within-a-cycle bounds are harmless because
+    * boundedDeltaScan pins the sunk row interval regardless. Range math
+    * is BigInt: a hash-keyed BIGINT PK can legally span nearly the whole
+    * Long line, where `hi - lo` alone overflows. */
+  private[graft] def derivedPartitioning(name: String): Option[(String, Long, Long, Int)] = {
+    val now = System.nanoTime()
+    val cached = probeMemo.get(name)
+    if (cached != null && now - cached._2 < ProbeMemoMillis * 1000000L) return cached._1
+    val spec = primaryKey(name).flatMap { pk =>
+      val conn = JdbcConnections.connect(url, user, password)
       try {
-        // identifier quoting is dialect-split (ANSI `"` on Derby/Postgres,
-        // backtick on default-mode MySQL) — try both before giving up
+        // pk and name come from the catalog (stored case), so quoted
+        // identifiers resolve; quoting itself is dialect-split (ANSI `"`
+        // on Derby/Postgres, backtick on default-mode MySQL) — try both
         val attempts = Seq(
           s"""SELECT MIN("$pk"), MAX("$pk") FROM "$name"""",
           s"SELECT MIN(`$pk`), MAX(`$pk`) FROM `$name`")
@@ -175,13 +190,25 @@ final case class JdbcSource(
             } finally st.close()
           } catch { case _: java.sql.SQLException => None }
         }.collectFirst { case Some(b) => b }.flatten
-        bounds.collect { case (lo, hi) if hi - lo + 1 >= autoPartitionMinRange =>
-          val stripes = math.min(maxAutoPartitions.toLong,
-            Math.addExact(hi - lo, autoPartitionTargetRows) / autoPartitionTargetRows).toInt
-          (pk, lo, hi, math.max(2, stripes))
+        bounds.flatMap { case (lo, hi) =>
+          val range = BigInt(hi) - BigInt(lo) + 1
+          if (range < autoPartitionMinRange) None
+          else {
+            val stripes = ((range + autoPartitionTargetRows - 1) / autoPartitionTargetRows)
+              .min(maxAutoPartitions).toInt
+            Some((pk, lo, hi, math.max(2, stripes)))
+          }
         }
       } finally conn.close()
     }
+    probeMemo.put(name, (spec, now))
+    spec
+  }
+  private val probeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Option[(String, Long, Long, Int)], Long)]()
+  /** Spec memo lifetime — longer than one cycle's two scans of a table,
+    * far shorter than any poll cadence. */
+  private val ProbeMemoMillis = 30000L
 
   /** S3 made LIVE: `DatabaseMetaData.getPrimaryKeys` — the portable form
     * of the reference's `information_schema.KEY_COLUMN_USAGE` query
@@ -192,9 +219,7 @@ final case class JdbcSource(
   def primaryKey(name: String): Option[String] = {
     val cached = pkCache.get(name)
     if (cached != null) return cached
-    val conn =
-      if (user.isEmpty) java.sql.DriverManager.getConnection(url)
-      else java.sql.DriverManager.getConnection(url, user, password)
+    val conn = JdbcConnections.connect(url, user, password)
     val pk =
       try {
         val rs = conn.getMetaData.getPrimaryKeys(null, schemaPattern.orNull, name)
@@ -212,16 +237,30 @@ final case class JdbcSource(
   /** One `SELECT MAX(changeCol)` on a short-lived connection — an indexed
     * endpoint lookup when the change column is indexed, and even unindexed
     * a database-side scan beats shipping the rows to a Spark aggregate.
-    * Exact by construction (the database computes it). None on any SQL
-    * error (unknown column, dialect mismatch) → the cycle falls back. */
+    * Exact by construction (the database computes it).
+    *
+    * The caller's `changeCol` is resolved against the catalog FIRST
+    * (`getColumns`, case-insensitive — callers say "ts", identifier-
+    * folding catalogs store "TS"; quoting the caller's casing verbatim
+    * would silently never match and leave the fast path dead while still
+    * paying the probe). An unknown column answers None — the cycle falls
+    * back to its full path, which classifies the table as non-CDC. None
+    * likewise on any SQL error. */
   override def changeMax(name: String, changeCol: String): Option[Option[java.sql.Timestamp]] = {
-    val conn =
-      if (user.isEmpty) java.sql.DriverManager.getConnection(url)
-      else java.sql.DriverManager.getConnection(url, user, password)
+    val conn = JdbcConnections.connect(url, user, password)
     try {
+      // resolve the stored column identifier (same surface primaryKey uses)
+      val rsCols = conn.getMetaData.getColumns(null, schemaPattern.orNull, name, "%")
+      var stored: String = null
+      while (rsCols.next() && stored == null) {
+        val c = rsCols.getString("COLUMN_NAME")
+        if (c.equalsIgnoreCase(changeCol)) stored = c
+      }
+      rsCols.close()
+      if (stored == null) return None
       val attempts = Seq(
-        s"""SELECT MAX("$changeCol") FROM "$name"""",
-        s"SELECT MAX(`$changeCol`) FROM `$name`")
+        s"""SELECT MAX("$stored") FROM "$name"""",
+        s"SELECT MAX(`$stored`) FROM `$name`")
       attempts.view.map { sql =>
         try {
           val st = conn.createStatement()

@@ -170,11 +170,17 @@ object Tables {
     import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
     import scala.jdk.CollectionConverters._
     val root = new java.io.File(path)
-    val files =
+    val entries =
       if (root.isFile) Seq(root)
       else Option(root.listFiles()).toSeq.flatten
-        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+    // Spark's scan ([[table]]) reads EVERY non-hidden entry here, whatever
+    // its name — if anything present isn't a plain .parquet file (a data
+    // file someone renamed, a nested partition dir), this probe can't see
+    // all the rows the scan would, so it must answer unknown, never an
+    // under-reported max that the quiet fast path would silently trust.
+    if (!entries.forall(f => f.isFile && f.getName.endsWith(".parquet"))) return None
+    val files = entries
     if (files.isEmpty) return Some(None)
     val conf = new org.apache.hadoop.conf.Configuration()
     var best: Option[Long] = None // micros

@@ -310,7 +310,7 @@ class CdcSpec extends AnyFunSuite {
     Cdc.updateWatermark(spark, state, "t1", ts("2024-01-01 00:00:00"))
     // simulate a crashed B=8 attempt that wrote shards b0006/b0007 (version
     // dir + pointer) before dying pre-marker
-    Seq("_b0006", "_b0007").foreach { s =>
+    Seq("_b0006", "_b0007", "_b10000").foreach { s =>
       val v = new java.io.File(s"$state/${Cdc.WatermarkTable}${s}_v000001")
       v.mkdirs()
       java.nio.file.Files.writeString(
@@ -318,8 +318,9 @@ class CdcSpec extends AnyFunSuite {
     }
     Cdc.shardWatermarkStore(state, 4)
     val names = new java.io.File(state).listFiles().map(_.getName).toSet
-    assert(!names.exists(_.contains("_b0006")) && !names.exists(_.contains("_b0007")),
-      s"orphan shards above B=4 must be GC'd: ${names.mkString(",")}")
+    assert(!names.exists(_.contains("_b0006")) && !names.exists(_.contains("_b0007")) &&
+      !names.exists(_.contains("_b10000")),
+      s"orphan shards above B=4 (incl. 5-digit indices) must be GC'd: ${names.mkString(",")}")
     assert(Cdc.getWatermark(spark, state, "t1").contains(ts("2024-01-01 00:00:00")))
   }
 
@@ -819,6 +820,16 @@ class CdcSpec extends AnyFunSuite {
       assert(Tables.parquetTimestampMax(s"$dir/absent.parquet", "ts").contains(None))
       // non-timestamp column → unknown (fall back to the Spark aggregate)
       assert(Tables.parquetTimestampMax(s"$dir/t1.parquet", "event_id").isEmpty)
+      // a data file Spark's scan WOULD read but the probe can't see through
+      // (renamed, no .parquet suffix) → unknown, never an under-reported max
+      Seq((9L, ts("2024-09-01 00:00:00"))).toDF("event_id", "ts")
+        .write.parquet(s"$dir/t4.parquet")
+      val part = new java.io.File(s"$dir/t4.parquet").listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        part.toPath.resolveSibling("renamed-data-file"))
+      assert(Tables.parquetTimestampMax(s"$dir/t4.parquet", "ts").isEmpty,
+        "foreign data files must make the probe answer unknown")
       // legacy INT96 timestamps: stats are untrustworthy by design
       // (PARQUET-1065 ordering corruption) → unknown, never a wrong max
       spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")

@@ -164,10 +164,29 @@ class JdbcSpec extends AnyFunSuite {
       autoPartitionMinRange = 500L, autoPartitionTargetRows = 100L)
     assert(explicit.table(spark, "BIG_SRC").rdd.getNumPartitions == 3)
 
-    // quiet-probe surface (r16): database-side MAX is exact; unknown
-    // column answers None so the cycle falls back instead of skipping
+    // quiet-probe surface (r16): database-side MAX is exact; the caller's
+    // column casing resolves against the folded catalog identifier (the
+    // cycle says "ts", Derby stores "TS" — verbatim quoting would leave
+    // the fast path silently dead); unknown column answers None so the
+    // cycle falls back instead of skipping
+    assert(auto.changeMax("BIG_SRC", "ts")
+      .contains(Some(Timestamp.valueOf("2024-01-01 00:59:00"))))
     assert(auto.changeMax("BIG_SRC", "TS")
       .contains(Some(Timestamp.valueOf("2024-01-01 00:59:00"))))
     assert(auto.changeMax("BIG_SRC", "no_such_col").isEmpty)
+
+    // a hash-keyed PK legally spans nearly the whole BIGINT line: the
+    // range math must not overflow (it would fail the read outright)
+    val c2 = DriverManager.getConnection(u2)
+    try {
+      val st2 = c2.createStatement()
+      st2.executeUpdate("CREATE TABLE huge_pk (id BIGINT NOT NULL PRIMARY KEY, ts TIMESTAMP)")
+      st2.executeUpdate(s"INSERT INTO huge_pk VALUES (37, TIMESTAMP('2024-01-01 00:00:00'))")
+      st2.executeUpdate(s"INSERT INTO huge_pk VALUES (${Long.MaxValue - 1000L}, TIMESTAMP('2024-01-01 00:01:00'))")
+      ()
+    } finally c2.close()
+    val hugeSpec = auto.derivedPartitioning("HUGE_PK")
+    assert(hugeSpec.contains(("ID", 37L, Long.MaxValue - 1000L, 8)),
+      s"near-Long.MaxValue PK range must stripe at the cap, got $hugeSpec")
   }
 }

@@ -78,6 +78,20 @@ class WatermarkStoreSpec extends AnyFunSuite {
     assert(store.get("t1").contains(ts("2024-05-01 00:00:00")))
   }
 
+  test("jdbc store: fractional-second watermarks survive exactly (no rounding — " +
+      "a rounded-UP commit would make the next strict-> delta skip rows)") {
+    val store = freshStore("graftwms4")
+    val frac = Timestamp.valueOf("2024-01-01 00:04:00.700123")
+    store.update("t1", frac)
+    assert(store.get("t1").contains(frac),
+      s"stored ${store.get("t1")} != committed $frac")
+    // max-merge still compares at full precision
+    store.update("t1", Timestamp.valueOf("2024-01-01 00:04:00.700122"))
+    assert(store.get("t1").contains(frac))
+    store.update("t1", Timestamp.valueOf("2024-01-01 00:04:00.700124"))
+    assert(store.get("t1").contains(Timestamp.valueOf("2024-01-01 00:04:00.700124")))
+  }
+
   test("parquet binding is behavior-identical (same contract, Cdc store underneath)") {
     val state = Files.createTempDirectory("graft_wms_pq").toString
     val store = ParquetWatermarkStore(state)
