@@ -1441,7 +1441,7 @@ object SparkEntry {
       db
     })
     val nations = graft.sources.Tables.jdbc(s, url, "nation_src", user = "", password = "",
-      partitionColumn = Some("n_nationkey"), lowerBound = Some(0L), upperBound = Some(25L),
+      partitionColumn = Some("n_nationkey"), lowerBound = Some("0"), upperBound = Some("25"),
       numPartitions = 4)
       .where(col("n_regionkey") < 3) // pushed into Derby (PushedFilters)
     nations

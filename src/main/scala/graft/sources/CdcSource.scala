@@ -63,6 +63,61 @@ private[graft] object JdbcConnections {
   def connect(url: String, user: String, password: String): java.sql.Connection =
     if (user.isEmpty) java.sql.DriverManager.getConnection(url)
     else java.sql.DriverManager.getConnection(url, user, password)
+
+  /** Tiny driver-side connection pool (VERDICT r16 task 1): the per-tick
+    * metadata probes (`changeMax`, `primaryKey`, `derivedPartitioning`)
+    * and watermark commits each used to open a fresh connection per call,
+    * so a 10k-table JDBC fleet paid ~20k+ handshakes per tick before any
+    * data moved — where the reference amortizes ONE connection across its
+    * whole cycle (`utils/mysql_connect.py:5-17`). Borrow/return over a
+    * lock-free queue; at most `maxIdle` connections are kept warm (the
+    * steady state is one per cycle worker thread), `maxIdle = 0` disables
+    * reuse entirely (the pre-r17 shape, kept measurable for the
+    * BEFORE/AFTER probe). A connection is discarded, never returned, when
+    * its use threw — a statement error can leave driver-side session
+    * state (aborted transaction, dirty autoCommit) the next borrower
+    * must not inherit. `openedCount` counts PHYSICAL opens — the
+    * fleet-scaling pin (JdbcCdcSpec: one cycle opens O(workers), not
+    * O(2·tables), connections). */
+  final class Pool(url: String, user: String, password: String, maxIdle: Int)
+      extends Serializable {
+    @transient private lazy val idle =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.sql.Connection]()
+    @transient private lazy val opened = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    def openedCount: Long = opened.get()
+
+    def withConnection[A](f: java.sql.Connection => A): A = {
+      val conn = borrow()
+      var ok = false
+      try { val r = f(conn); ok = true; r }
+      finally if (ok) release(conn) else discard(conn)
+    }
+
+    private def borrow(): java.sql.Connection = {
+      var c = idle.poll()
+      while (c != null && c.isClosed) c = idle.poll()
+      if (c != null) c
+      else { opened.incrementAndGet(); connect(url, user, password) }
+    }
+    private def release(c: java.sql.Connection): Unit =
+      if (maxIdle > 0 && !c.isClosed && idle.size < maxIdle) { idle.offer(c); () }
+      else discard(c)
+    private def discard(c: java.sql.Connection): Unit =
+      try c.close() catch { case _: java.sql.SQLException => () }
+
+    /** Drain the warm connections (e.g. before dropping the source). */
+    def drain(): Unit = {
+      var c = idle.poll()
+      while (c != null) { discard(c); c = idle.poll() }
+    }
+  }
+
+  /** Quoted-identifier rendering with the quote character doubled — a
+    * catalog-sourced name containing the quote must not break (or worse,
+    * rewrite) the statement it is interpolated into (ADVICE r16). */
+  def ansiQuoted(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+  def backtickQuoted(id: String): String = "`" + id.replace("`", "``") + "`"
 }
 
 /** Directory-of-parquet binding ([[Tables.listTables]]/[[Tables.table]]).
@@ -112,7 +167,26 @@ final case class DirSource(dir: String) extends CdcSource {
   *                   stripe costs one cheap indexed query). Set to
   *                   Long.MaxValue to disable auto-ranging.
   * @param autoPartitionTargetRows key-range width of one derived stripe
-  * @param maxAutoPartitions cap on derived stripes per scan */
+  * @param maxAutoPartitions cap on derived stripes per scan
+  * @param autoPartitionChangeCol the CDC change column the TIMESTAMP
+  *                   fallback stripes on (VERDICT r16 task 2): a big
+  *                   table with a UUID/string PK declines the numeric
+  *                   path, but every CDC table has the change column the
+  *                   delta already filters on (`change_datetime`,
+  *                   `service_layer/service.py:53`) — MIN/MAX of it
+  *                   derives time-range stripes instead. Must match the
+  *                   cycle's `changeCol` (both default "ts").
+  * @param autoPartitionMinTimeRangeMillis engage the timestamp fallback
+  *                   only when the change column spans at least this long
+  *                   (default 1 day). Time range is a weaker cardinality
+  *                   proxy than key range, so the stripe count is the
+  *                   fixed [[autoPartitionTimeStripes]], not derived —
+  *                   each stripe costs one cheap indexed query, bounding
+  *                   the harm of over-striping a small long-lived table.
+  * @param autoPartitionTimeStripes stripe count for the timestamp path
+  * @param poolMaxIdle warm driver-side metadata/probe connections kept
+  *                   between calls (VERDICT r16 task 1); 0 restores the
+  *                   connection-per-call shape (the measured BEFORE). */
 final case class JdbcSource(
     url: String,
     user: String = "",
@@ -121,26 +195,41 @@ final case class JdbcSource(
     partitioning: Map[String, (String, Long, Long, Int)] = Map.empty,
     autoPartitionMinRange: Long = 1000000L,
     autoPartitionTargetRows: Long = 250000L,
-    maxAutoPartitions: Int = 32) extends CdcSource {
+    maxAutoPartitions: Int = 32,
+    autoPartitionChangeCol: String = "ts",
+    autoPartitionMinTimeRangeMillis: Long = 86400000L,
+    autoPartitionTimeStripes: Int = 8,
+    poolMaxIdle: Int = 8) extends CdcSource {
+
+  import JdbcConnections.{ansiQuoted, backtickQuoted}
+
+  @transient private lazy val pool =
+    new JdbcConnections.Pool(url, user, password, poolMaxIdle)
+
+  /** Physical connections this source has opened — the fleet-amortization
+    * pin and probe counter (VERDICT r16 task 1). Driver-side probes only:
+    * Spark's own partitioned JDBC reads open per-task connections that
+    * are not (and cannot be) routed through a driver pool. */
+  def connectionsOpened: Long = pool.openedCount
+
+  /** Drop the warm probe connections (e.g. when retiring the source). */
+  def closePool(): Unit = pool.drain()
 
   /** `SHOW TABLES` via the portable JDBC metadata surface: base TABLEs
-    * only (no views/system tables), one short-lived metadata connection —
-    * the reference opens a fresh connection per poll the same way
+    * only (no views/system tables), on a pooled metadata connection —
+    * the reference amortizes one connection per poll the same way
     * (`utils/mysql_connect.py:5-17`). */
-  def listTables(): Seq[String] = {
-    val conn = JdbcConnections.connect(url, user, password)
-    try {
-      val rs = conn.getMetaData.getTables(null, schemaPattern.orNull, "%", Array("TABLE"))
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      while (rs.next()) out += rs.getString("TABLE_NAME")
-      rs.close()
-      out.toSeq.sorted
-    } finally conn.close()
+  def listTables(): Seq[String] = pool.withConnection { conn =>
+    val rs = conn.getMetaData.getTables(null, schemaPattern.orNull, "%", Array("TABLE"))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (rs.next()) out += rs.getString("TABLE_NAME")
+    rs.close()
+    out.toSeq.sorted
   }
 
   def table(spark: SparkSession, name: String): DataFrame = {
     val (pc, lo, hi, np) = partitioning.get(name)
-      .map(p => (Some(p._1), Some(p._2), Some(p._3), p._4))
+      .map(p => (Some(p._1), Some(p._2.toString), Some(p._3.toString), p._4))
       .orElse(derivedPartitioning(name)
         .map(p => (Some(p._1), Some(p._2), Some(p._3), p._4)))
       .getOrElse((None, None, None, 1))
@@ -149,128 +238,185 @@ final case class JdbcSource(
   }
 
   /** Auto-ranged read spec for a table with no static `partitioning`
-    * entry: (pkColumn, min, max, stripes), or None when the table has no
-    * numeric PK or its key range is under [[autoPartitionMinRange]]
-    * (small tables keep the reference's single-connection shape — a
-    * partition setup would cost more than it buys). The probe is one
-    * indexed min/max lookup on a short-lived connection, memoized for
-    * [[ProbeMemoMillis]]: CDC tables GROW between polls so the spec must
-    * refresh each poll, but within ONE cycle the same table is read
-    * twice (the measured-width re-scan) and must not pay a second
-    * connection — stale-within-a-cycle bounds are harmless because
-    * boundedDeltaScan pins the sunk row interval regardless. Range math
-    * is BigInt: a hash-keyed BIGINT PK can legally span nearly the whole
-    * Long line, where `hi - lo` alone overflows. */
-  private[graft] def derivedPartitioning(name: String): Option[(String, Long, Long, Int)] = {
+    * entry: (column, lower, upper, stripes) with bounds rendered as the
+    * SQL-literal strings Spark's JDBC partitioner parses, or None when
+    * the table declines both derivations (small tables keep the
+    * reference's single-connection shape — a partition setup would cost
+    * more than it buys).
+    *
+    * Two derivations, in preference order:
+    *  1. numeric PK (r16): stripe the key range into
+    *     ~[[autoPartitionTargetRows]]-value stripes when it spans at
+    *     least [[autoPartitionMinRange]]. Range math is BigInt: a
+    *     hash-keyed BIGINT PK can legally span nearly the whole Long
+    *     line, where `hi - lo` alone overflows.
+    *  2. change-column time range (r17, VERDICT r16 task 2): when the PK
+    *     path declines (string/UUID PK, no PK), stripe on
+    *     MIN/MAX([[autoPartitionChangeCol]]) — [[autoPartitionTimeStripes]]
+    *     stripes once the span reaches [[autoPartitionMinTimeRangeMillis]].
+    *     Spark's JDBC partitioner takes timestamp partition columns
+    *     natively; its first/last stripes are open-ended
+    *     (`col < b OR col IS NULL` / `col >= b`), so completeness never
+    *     depends on the probed bounds being current.
+    *
+    * The probe is one indexed min/max lookup on a pooled connection,
+    * memoized for [[ProbeMemoMillis]]: CDC tables GROW between polls so
+    * the spec must refresh each poll, but within ONE cycle the same
+    * table is read twice (the measured-width re-scan) and must not pay a
+    * second probe — stale-within-a-cycle bounds are harmless because
+    * boundedDeltaScan pins the sunk row interval regardless. */
+  private[graft] def derivedPartitioning(name: String): Option[(String, String, String, Int)] = {
     val now = System.nanoTime()
     val cached = probeMemo.get(name)
     if (cached != null && now - cached._2 < ProbeMemoMillis * 1000000L) return cached._1
-    val spec = primaryKey(name).flatMap { pk =>
-      val conn = JdbcConnections.connect(url, user, password)
-      try {
-        // pk and name come from the catalog (stored case), so quoted
-        // identifiers resolve; quoting itself is dialect-split (ANSI `"`
-        // on Derby/Postgres, backtick on default-mode MySQL) — try both
-        val attempts = Seq(
-          s"""SELECT MIN("$pk"), MAX("$pk") FROM "$name"""",
-          s"SELECT MIN(`$pk`), MAX(`$pk`) FROM `$name`")
-        val bounds = attempts.view.map { sql =>
-          try {
-            val st = conn.createStatement()
-            try {
-              val rs = st.executeQuery(sql)
-              val b =
-                if (rs.next()) (rs.getObject(1), rs.getObject(2)) match {
-                  case (lo: Number, hi: Number) => Some((lo.longValue(), hi.longValue()))
-                  case _ => None // empty table (NULL min/max) or non-numeric PK
-                }
-                else None
-              rs.close()
-              Some(b)
-            } finally st.close()
-          } catch { case _: java.sql.SQLException => None }
-        }.collectFirst { case Some(b) => b }.flatten
-        bounds.flatMap { case (lo, hi) =>
-          val range = BigInt(hi) - BigInt(lo) + 1
-          if (range < autoPartitionMinRange) None
-          else {
-            val stripes = ((range + autoPartitionTargetRows - 1) / autoPartitionTargetRows)
-              .min(maxAutoPartitions).toInt
-            Some((pk, lo, hi, math.max(2, stripes)))
+    val spec = pool.withConnection { conn =>
+      val byKey = primaryKeyOn(conn, name).flatMap { pk =>
+        minMax(conn, name, pk).flatMap {
+          case (lo: Number, hi: Number) =>
+            val range = BigInt(hi.longValue()) - BigInt(lo.longValue()) + 1
+            if (range < autoPartitionMinRange) None
+            else {
+              val stripes = ((range + autoPartitionTargetRows - 1) / autoPartitionTargetRows)
+                .min(maxAutoPartitions).toInt
+              Some((pk, lo.longValue().toString, hi.longValue().toString,
+                math.max(2, stripes)))
+            }
+          case _ => None // non-numeric PK — fall through to the time path
+        }
+      }
+      byKey.orElse {
+        resolveColumn(conn, name, autoPartitionChangeCol).flatMap { col =>
+          minMax(conn, name, col).flatMap {
+            case (lo: java.sql.Timestamp, hi: java.sql.Timestamp)
+                if hi.getTime - lo.getTime >= autoPartitionMinTimeRangeMillis =>
+              Some((col, lo.toString, hi.toString,
+                math.max(2, math.min(autoPartitionTimeStripes, maxAutoPartitions))))
+            case _ => None // short-lived, empty, or non-timestamp change col
           }
         }
-      } finally conn.close()
+      }
     }
     probeMemo.put(name, (spec, now))
     spec
   }
   private val probeMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Option[(String, Long, Long, Int)], Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Option[(String, String, String, Int)], Long)]()
   /** Spec memo lifetime — longer than one cycle's two scans of a table,
     * far shorter than any poll cadence. */
   private val ProbeMemoMillis = 30000L
+
+  /** MIN/MAX of a stored column identifier, as the driver's natural
+    * objects (Number for numerics, Timestamp for timestamps). Identifiers
+    * come from the catalog but are still escaped (quote doubling) —
+    * a name containing the quote character must not break, or rewrite,
+    * the statement (ADVICE r16). Quoting is dialect-split (ANSI `"` on
+    * Derby/Postgres, backtick on default-mode MySQL) — both are tried.
+    * None on an empty table (NULL endpoints) or any SQL error. */
+  private def minMax(conn: java.sql.Connection, name: String,
+      col: String): Option[(AnyRef, AnyRef)] = {
+    val attempts = Seq(
+      s"SELECT MIN(${ansiQuoted(col)}), MAX(${ansiQuoted(col)}) FROM ${ansiQuoted(name)}",
+      s"SELECT MIN(${backtickQuoted(col)}), MAX(${backtickQuoted(col)}) FROM ${backtickQuoted(name)}")
+    attempts.view.map { sql =>
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(sql)
+          try {
+            if (rs.next()) {
+              val (lo, hi) = (rs.getObject(1), rs.getObject(2))
+              if (lo == null || hi == null) Some(None) // empty table
+              else Some(Some((lo.asInstanceOf[AnyRef], hi.asInstanceOf[AnyRef])))
+            } else Some(None)
+          } finally rs.close()
+        } finally st.close()
+      } catch { case _: java.sql.SQLException => None } // wrong dialect quote
+    }.collectFirst { case Some(b) => b }.flatten
+  }
 
   /** S3 made LIVE: `DatabaseMetaData.getPrimaryKeys` — the portable form
     * of the reference's `information_schema.KEY_COLUMN_USAGE` query
     * (`utils/util.py:2-18`). Composite keys take the first column by
     * KEY_SEQ (the reference's `fetchone`). Cached per table name: keys
-    * are DDL-stable, and the cycle must not pay one metadata connection
+    * are DDL-stable, and the cycle must not pay one metadata roundtrip
     * per table per poll. */
   def primaryKey(name: String): Option[String] = {
     val cached = pkCache.get(name)
     if (cached != null) return cached
-    val conn = JdbcConnections.connect(url, user, password)
-    val pk =
-      try {
-        val rs = conn.getMetaData.getPrimaryKeys(null, schemaPattern.orNull, name)
-        val cols = scala.collection.mutable.ArrayBuffer[(Short, String)]()
-        while (rs.next()) cols += rs.getShort("KEY_SEQ") -> rs.getString("COLUMN_NAME")
-        rs.close()
-        cols.sortBy(_._1).headOption.map(_._2)
-      } finally conn.close()
+    val pk = pool.withConnection(primaryKeyOn(_, name))
+    pkCache.put(name, pk)
+    pk
+  }
+  private def primaryKeyOn(conn: java.sql.Connection, name: String): Option[String] = {
+    val cached = pkCache.get(name)
+    if (cached != null) return cached
+    val rs = conn.getMetaData.getPrimaryKeys(null, schemaPattern.orNull, name)
+    val cols = scala.collection.mutable.ArrayBuffer[(Short, String)]()
+    while (rs.next()) cols += rs.getShort("KEY_SEQ") -> rs.getString("COLUMN_NAME")
+    rs.close()
+    val pk = cols.sortBy(_._1).headOption.map(_._2)
     pkCache.put(name, pk)
     pk
   }
   // values are the Option itself, so "no PK" (None) caches too
   private val pkCache = new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
 
-  /** One `SELECT MAX(changeCol)` on a short-lived connection — an indexed
+  /** The stored identifier of `wanted` in `name`'s catalog entry
+    * (case-insensitive — callers say "ts", identifier-folding catalogs
+    * store "TS"; quoting the caller's casing verbatim would silently
+    * never match). Cached per (table, column): columns are DDL-stable
+    * modulo the drift path, and a mostly-quiet fleet must not pay a
+    * `getColumns` catalog walk per table per tick (ADVICE r16) — the
+    * steady-state probe cost is the single MAX query. A DROP of the
+    * change column mid-flight makes the cached-name MAX fail → None →
+    * the cycle's full path reads the post-drop schema and classifies
+    * the table, so the cache can delay only the fast path, never
+    * correctness. None (cached) when the column doesn't exist. */
+  private def resolveColumn(conn: java.sql.Connection, name: String,
+      wanted: String): Option[String] = {
+    val key = (name, wanted.toLowerCase)
+    val cached = colCache.get(key)
+    if (cached != null) return cached
+    val rs = conn.getMetaData.getColumns(null, schemaPattern.orNull, name, "%")
+    var stored: String = null
+    while (rs.next() && stored == null) {
+      val c = rs.getString("COLUMN_NAME")
+      if (c.equalsIgnoreCase(wanted)) stored = c
+    }
+    rs.close()
+    val resolved = Option(stored)
+    colCache.put(key, resolved)
+    resolved
+  }
+  private val colCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[String]]()
+
+  /** One `SELECT MAX(changeCol)` on a pooled connection — an indexed
     * endpoint lookup when the change column is indexed, and even unindexed
     * a database-side scan beats shipping the rows to a Spark aggregate.
     * Exact by construction (the database computes it).
     *
-    * The caller's `changeCol` is resolved against the catalog FIRST
-    * (`getColumns`, case-insensitive — callers say "ts", identifier-
-    * folding catalogs store "TS"; quoting the caller's casing verbatim
-    * would silently never match and leave the fast path dead while still
-    * paying the probe). An unknown column answers None — the cycle falls
-    * back to its full path, which classifies the table as non-CDC. None
-    * likewise on any SQL error. */
-  override def changeMax(name: String, changeCol: String): Option[Option[java.sql.Timestamp]] = {
-    val conn = JdbcConnections.connect(url, user, password)
-    try {
-      // resolve the stored column identifier (same surface primaryKey uses)
-      val rsCols = conn.getMetaData.getColumns(null, schemaPattern.orNull, name, "%")
-      var stored: String = null
-      while (rsCols.next() && stored == null) {
-        val c = rsCols.getString("COLUMN_NAME")
-        if (c.equalsIgnoreCase(changeCol)) stored = c
-      }
-      rsCols.close()
-      if (stored == null) return None
-      val attempts = Seq(
-        s"""SELECT MAX("$stored") FROM "$name"""",
-        s"SELECT MAX(`$stored`) FROM `$name`")
-      attempts.view.map { sql =>
-        try {
-          val st = conn.createStatement()
+    * The caller's `changeCol` resolves against the catalog first
+    * ([[resolveColumn]], cached — steady-state ticks pay only the MAX
+    * query, not a metadata walk). An unknown column answers None — the
+    * cycle falls back to its full path, which classifies the table as
+    * non-CDC. None likewise on any SQL error. */
+  override def changeMax(name: String, changeCol: String): Option[Option[java.sql.Timestamp]] =
+    pool.withConnection { conn =>
+      resolveColumn(conn, name, changeCol).flatMap { stored =>
+        val attempts = Seq(
+          s"SELECT MAX(${ansiQuoted(stored)}) FROM ${ansiQuoted(name)}",
+          s"SELECT MAX(${backtickQuoted(stored)}) FROM ${backtickQuoted(name)}")
+        attempts.view.map { sql =>
           try {
-            val rs = st.executeQuery(sql)
-            try { rs.next(); Some(Option(rs.getTimestamp(1))) }
-            finally rs.close()
-          } finally st.close()
-        } catch { case _: java.sql.SQLException => None }
-      }.collectFirst { case Some(b) => b }
-    } finally conn.close()
-  }
+            val st = conn.createStatement()
+            try {
+              val rs = st.executeQuery(sql)
+              try { rs.next(); Some(Option(rs.getTimestamp(1))) }
+              finally rs.close()
+            } finally st.close()
+          } catch { case _: java.sql.SQLException => None }
+        }.collectFirst { case Some(b) => b }
+      }
+    }
 }

@@ -199,13 +199,22 @@ object Tables {
               val prim = field.asPrimitiveType()
               if (prim.getPrimitiveTypeName != PrimitiveType.PrimitiveTypeName.INT64) None
               else prim.getLogicalTypeAnnotation match {
-                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                // UTC-adjusted (instant) timestamps ONLY: an NTZ footer
+                // stat (isAdjustedToUTC=false) is a WALL-CLOCK value, while
+                // the read path casts NTZ to TIMESTAMP via the session
+                // zone — west of UTC the raw stat under-reports the
+                // normalized max by the zone offset, and a trusted
+                // under-report would make the quiet fast path silently
+                // skip (and for a table that stops changing, permanently
+                // lose) rows inside the offset window (ADVICE r16).
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                    if t.isAdjustedToUTC =>
                   t.getUnit match {
                     case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(_ * 1000L)
                     case LogicalTypeAnnotation.TimeUnit.NANOS => Some(Math.floorDiv(_, 1000L))
                     case _ => Some(identity)
                   }
-                case _ => None // plain INT64 / INT96 — not a µs-mappable timestamp
+                case _ => None // NTZ / plain INT64 / INT96 — not an exact epoch-µs max
               }
             }
           toMicrosOpt match {
@@ -344,7 +353,14 @@ object Tables {
   /** S1/S5: JDBC source with parallel partitioned reads and predicate
     * pushdown. `predicates`/bounds make Spark issue one bounded query per
     * partition instead of the reference's single unbounded
-    * `fetchall()` (`service_layer/service.py:59`). */
+    * `fetchall()` (`service_layer/service.py:59`).
+    *
+    * Bounds are the SQL-literal STRINGS Spark's JDBC partitioner parses —
+    * numeric ("42") or timestamp ("2024-01-01 00:00:00.0") to match the
+    * partition column's type (r17: the change-column auto-range stripes
+    * on a TIMESTAMP, which Spark supports natively). Completeness never
+    * depends on the bounds being current: the first/last generated
+    * stripes are open-ended (`col < b OR col IS NULL` / `col >= b`). */
   def jdbc(
       spark: SparkSession,
       url: String,
@@ -352,8 +368,8 @@ object Tables {
       user: String,
       password: String,
       partitionColumn: Option[String] = None,
-      lowerBound: Option[Long] = None,
-      upperBound: Option[Long] = None,
+      lowerBound: Option[String] = None,
+      upperBound: Option[String] = None,
       numPartitions: Int = 32): DataFrame = {
     val base = spark.read
       .format("jdbc")
@@ -365,8 +381,8 @@ object Tables {
       case Some(c) =>
         base
           .option("partitionColumn", c)
-          .option("lowerBound", lowerBound.getOrElse(0L).toString)
-          .option("upperBound", upperBound.getOrElse(1L).toString)
+          .option("lowerBound", lowerBound.getOrElse("0"))
+          .option("upperBound", upperBound.getOrElse("1"))
           .option("numPartitions", numPartitions.toString)
       case None => base
     }

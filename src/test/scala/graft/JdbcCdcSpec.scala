@@ -175,6 +175,59 @@ class JdbcCdcSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("connection amortization: a JDBC fleet tick opens O(workers) probe " +
+      "connections, not O(2T) — and zero once the pool is warm (VERDICT r16 task 1)") {
+    val u5 = "jdbc:derby:memory:graftcdcpool;create=true"
+    val T = 12
+    val c = DriverManager.getConnection(u5)
+    try {
+      val st = c.createStatement()
+      (1 to T).foreach { i =>
+        st.executeUpdate(f"CREATE TABLE tbl_$i%02d (event_id BIGINT NOT NULL " +
+          "PRIMARY KEY, ts TIMESTAMP, payload VARCHAR(32))")
+        st.executeUpdate(f"INSERT INTO tbl_$i%02d VALUES (1, " +
+          "TIMESTAMP('2024-01-01 00:01:00'), 'p1')")
+      }
+      ()
+    } finally c.close()
+    val sink = s"${Files.createTempDirectory("graft_jdbc_pool")}/sink"
+    val source = JdbcSource(u5, schemaPattern = Some("APP"))
+    val store = graft.operators.JdbcWatermarkStore(u5)
+    // park every watermark AT the table max: the tick is all-quiet, i.e.
+    // the steady state whose cost is pure probes (FleetProbe's tick 2)
+    (1 to T).foreach(i => store.update(f"TBL_$i%02d", ts("2024-01-01 00:01:00")))
+    val (src0, st0) = (source.connectionsOpened, store.connectionsOpened)
+
+    // cold tick: every probe rides the pool — opens are bounded by the
+    // cycle's worker count, never by the table count
+    val out1 = Cdc.syncCycleOutcomesOn(spark, source, store, sink, parallelism = 4)
+    assert(out1.values.forall(_ == Cdc.TableSynced(0L)), s"tick must be all-quiet: $out1")
+    val (srcCold, stCold) =
+      (source.connectionsOpened - src0, store.connectionsOpened - st0)
+    assert(srcCold <= 6, s"source opened $srcCold connections for $T quiet tables " +
+      "(must be O(workers): listTables + <=parallelism concurrent probes)")
+    assert(stCold <= 5, s"store opened $stCold connections (must be O(workers))")
+    assert(srcCold + stCold < T, "a quiet tick must amortize below one connection per table")
+
+    // warm tick: the pool already holds the peak concurrency — ZERO new
+    // physical connections for the whole cycle
+    val out2 = Cdc.syncCycleOutcomesOn(spark, source, store, sink, parallelism = 4)
+    assert(out2.values.forall(_ == Cdc.TableSynced(0L)))
+    assert(source.connectionsOpened - src0 == srcCold,
+      "a warm all-quiet tick must open zero new source connections")
+    assert(store.connectionsOpened - st0 == stCold,
+      "a warm all-quiet tick must open zero new store connections")
+
+    // BEFORE shape, kept measurable: poolMaxIdle=0 restores a connection
+    // per probe — the O(T) regime the pool exists to retire
+    val unpooled = JdbcSource(u5, schemaPattern = Some("APP"), poolMaxIdle = 0)
+    val u0 = unpooled.connectionsOpened
+    val out3 = Cdc.syncCycleOutcomesOn(spark, unpooled, store, sink, parallelism = 4)
+    assert(out3.values.forall(_ == Cdc.TableSynced(0L)))
+    assert(unpooled.connectionsOpened - u0 > T,
+      s"unpooled control must pay >= one connection per table, got ${unpooled.connectionsOpened - u0}")
+  }
+
   test("schema drift over live JDBC, DROP direction: a database DROP COLUMN " +
       "vanishes the field from new serializations — no crash, sink converges") {
     val u3 = "jdbc:derby:memory:graftcdcdrop;create=true"

@@ -39,7 +39,7 @@ class JdbcSpec extends AnyFunSuite {
     seeded
     val df = Tables.jdbc(spark, url, "events_src", user = "", password = "",
       partitionColumn = Some("event_id"),
-      lowerBound = Some(1L), upperBound = Some(201L), numPartitions = 4)
+      lowerBound = Some("1"), upperBound = Some("201"), numPartitions = 4)
     assert(df.rdd.getNumPartitions == 4) // 4 bounded queries, not one fetchall
     assert(df.count() == 200)
     val ids = df.select("event_id").collect().map(_.getLong(0)).sorted
@@ -137,9 +137,10 @@ class JdbcSpec extends AnyFunSuite {
     val auto = JdbcSource(u2, schemaPattern = Some("APP"),
       autoPartitionMinRange = 500L, autoPartitionTargetRows = 100L, maxAutoPartitions = 8)
     // derived spec: PK from live metadata, bounds from one indexed min/max
-    assert(auto.derivedPartitioning("BIG_SRC").contains(("ID", 1L, 1000L, 8)))
+    assert(auto.derivedPartitioning("BIG_SRC").contains(("ID", "1", "1000", 8)))
     assert(auto.derivedPartitioning("SMALL_SRC").isEmpty, "under-threshold table must not stripe")
-    assert(auto.derivedPartitioning("STR_PK").isEmpty, "non-numeric PK must not stripe")
+    assert(auto.derivedPartitioning("STR_PK").isEmpty,
+      "non-numeric PK + empty change column must not stripe")
 
     // the scan actually plans the derived stripes — not one fetchall
     val big = auto.table(spark, "BIG_SRC")
@@ -186,7 +187,80 @@ class JdbcSpec extends AnyFunSuite {
       ()
     } finally c2.close()
     val hugeSpec = auto.derivedPartitioning("HUGE_PK")
-    assert(hugeSpec.contains(("ID", 37L, Long.MaxValue - 1000L, 8)),
+    assert(hugeSpec.contains(("ID", "37", (Long.MaxValue - 1000L).toString, 8)),
       s"near-Long.MaxValue PK range must stripe at the cap, got $hugeSpec")
+  }
+
+  test("timestamp auto-ranging: a string-PK table crossing the time threshold " +
+      "stripes on the change column with delta parity (VERDICT r16 task 2)") {
+    import graft.sources.JdbcSource
+    val u3 = "jdbc:derby:memory:graftjdbctsauto;create=true"
+    val conn = DriverManager.getConnection(u3)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE uuid_src (id VARCHAR(36) NOT NULL PRIMARY KEY, " +
+        "ts TIMESTAMP, payload VARCHAR(64))")
+      val ps = conn.prepareStatement("INSERT INTO uuid_src VALUES (?, ?, ?)")
+      // 300 rows across 3 days — past the (test-tightened) time threshold
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      (1 to 300).foreach { i =>
+        ps.setString(1, f"row-$i%04d-like-a-uuid")
+        ps.setTimestamp(2, new Timestamp(t0 + i * 864000L)) // ~3 days span
+        ps.setString(3, s"p$i"); ps.addBatch()
+      }
+      ps.executeBatch()
+      ()
+    } finally conn.close()
+
+    val auto = JdbcSource(u3, schemaPattern = Some("APP"),
+      autoPartitionMinTimeRangeMillis = 3600000L, autoPartitionTimeStripes = 6)
+    // the PK path declines (VARCHAR), the change-column time path engages
+    val spec = auto.derivedPartitioning("UUID_SRC")
+    assert(spec.exists(s => s._1 == "TS" && s._4 == 6),
+      s"string-PK table must stripe on the change column, got $spec")
+    val striped = auto.table(spark, "UUID_SRC")
+    assert(striped.rdd.getNumPartitions == 6,
+      s"expected 6 time stripes, got ${striped.rdd.getNumPartitions}")
+
+    // delta parity: striped read == single-connection read under the
+    // pushed strict-> predicate (completeness cannot depend on bounds)
+    val single = JdbcSource(u3, schemaPattern = Some("APP"),
+      autoPartitionMinRange = Long.MaxValue,
+      autoPartitionMinTimeRangeMillis = Long.MaxValue)
+    assert(single.table(spark, "UUID_SRC").rdd.getNumPartitions == 1)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Timestamp)] =
+      df.select("ID", "PAYLOAD", "TS").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2))).sortBy(_._1).toSeq
+    val wm = Some(new Timestamp(Timestamp.valueOf("2024-01-02 00:00:00").getTime))
+    assert(rows(graft.operators.Cdc.deltaScan(striped, "TS", wm)) ==
+      rows(graft.operators.Cdc.deltaScan(single.table(spark, "UUID_SRC"), "TS", wm)))
+    assert(rows(striped) == rows(single.table(spark, "UUID_SRC")))
+
+    // a short-lived table (span under the threshold) keeps one connection
+    val strict = JdbcSource(u3, schemaPattern = Some("APP"),
+      autoPartitionMinTimeRangeMillis = 7L * 86400000L)
+    assert(strict.derivedPartitioning("UUID_SRC").isEmpty,
+      "under-threshold time span must not stripe")
+  }
+
+  test("probe identifiers with quoting metacharacters are escaped, not broken " +
+      "(ADVICE r16)") {
+    import graft.sources.JdbcConnections
+    assert(JdbcConnections.ansiQuoted("""evil"col""") == "\"evil\"\"col\"")
+    assert(JdbcConnections.backtickQuoted("evil`col") == "`evil``col`")
+    // end-to-end: a quoted-identifier table is probed correctly (Derby
+    // stores the exact case+chars for delimited identifiers)
+    val u4 = "jdbc:derby:memory:graftjdbcquote;create=true"
+    val conn = DriverManager.getConnection(u4)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("""CREATE TABLE "odd""name" (id BIGINT NOT NULL PRIMARY KEY, ts TIMESTAMP)""")
+      st.executeUpdate("""INSERT INTO "odd""name" VALUES (1, TIMESTAMP('2024-01-01 00:00:00'))""")
+      ()
+    } finally conn.close()
+    val src = graft.sources.JdbcSource(u4, schemaPattern = Some("APP"))
+    assert(src.changeMax("""odd"name""", "ts")
+      .contains(Some(Timestamp.valueOf("2024-01-01 00:00:00"))),
+      "a quote in a catalog-sourced identifier must not break the probe")
   }
 }

@@ -105,6 +105,32 @@ class NtzSpec extends AnyFunSuite {
     assert(Cdc.getWatermark(spark, s"$scratch/state", "events").contains(ts("2024-01-01 02:00:00")))
   }
 
+  test("footer-stats probe distrusts NTZ timestamps — a wall-clock stat must " +
+      "never feed the quiet fast path (ADVICE r16 high)") {
+    val scratch = Files.createTempDirectory("graft_ntz_stats").toString
+    writeNtzEvents(scratch)
+    // NTZ footer stats are wall-clock values, not instants: west of UTC
+    // the raw stat UNDER-reports the normalized max by the zone offset,
+    // so the probe must answer unknown, never a trusted max
+    assert(Tables.parquetTimestampMax(s"$scratch/events.parquet", "ts").isEmpty,
+      "NTZ column stats must be untrusted")
+    // end-to-end: session west of UTC, watermark parked exactly at the
+    // raw wall-clock max (the value a trusted NTZ stat would report).
+    // The normalized max is offset hours LATER, so the table has real
+    // deltas — a probe-trusting cycle would silently skip them.
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val state = Files.createTempDirectory("graft_ntz_stats_state").toString
+      val sink = Files.createTempDirectory("graft_ntz_stats_sink").toString
+      Cdc.seedWatermarkStore(state, Map(
+        "events" -> Timestamp.from(java.time.Instant.parse("2024-01-01T02:00:00Z"))))
+      val synced = Cdc.syncCycle(spark, scratch, state, sink)
+      assert(synced == Map("events" -> 4L),
+        s"an NTZ table with real deltas must not be skipped quiet: $synced")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("sessionize (q44) runs over an NTZ events fixture") {
     val scratch = Files.createTempDirectory("graft_ntz_q44").toString
     writeNtzEvents(scratch)
