@@ -92,6 +92,48 @@ class WatermarkStoreSpec extends AnyFunSuite {
     assert(store.get("t1").contains(Timestamp.valueOf("2024-01-01 00:04:00.700124")))
   }
 
+  test("cross-PROCESS serialization (VERDICT r16 task 5): a second JVM on the " +
+      "same embedded store is REFUSED at the database boot lock — and the " +
+      "first process's state is untouched by the attempt") {
+    // On-disk (memory: databases are per-JVM by construction — a second
+    // process would silently get a DIFFERENT empty database, proving
+    // nothing). The parent boots the database first and holds it.
+    val dbDir = s"${Files.createTempDirectory("graft_wms_xproc")}/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val store = JdbcWatermarkStore(url)
+    store.update("t1", ts("2024-01-02 00:00:00"))
+
+    // second JVM: graft.WmXProc hammers the same URL. Embedded Derby's
+    // boot lock refuses the dual boot (XJ040 -> XSDB6) — the database
+    // layer itself forbids a second process, which is the embedded
+    // topology's cross-process story: there is no second process to
+    // race. (The container ships no derbyclient/derbynet, so the TRUE
+    // cross-process race needs a client/server engine; WmXProc's DONE
+    // path is that ready-made harness — on a server URL the parent
+    // asserts max-merge across both processes' commits.)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = "target/scala-2.13/classes:/opt/spark/jars/*"
+    val pb = new ProcessBuilder(javaBin, "-cp", cp, "graft.WmXProc",
+      s"jdbc:derby:$dbDir", "t1",
+      ts("2024-06-01 00:00:00").getTime.toString, "5")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    proc.waitFor()
+    val verdict = out.linesIterator.find(l =>
+      l.startsWith("DONE:") || l.startsWith("REFUSED:")).getOrElse("")
+    assert(verdict.startsWith("REFUSED:"), s"second JVM output:\n$out")
+    assert(verdict.contains("XJ040") || verdict.contains("XSDB6"),
+      s"expected Derby's dual-boot lock state, got: $verdict")
+
+    // the refused attempt must not have perturbed the booted store; the
+    // parent keeps committing through the same pooled connections
+    assert(store.get("t1").contains(ts("2024-01-02 00:00:00")))
+    store.update("t1", ts("2024-07-01 00:00:00"))
+    assert(store.get("t1").contains(ts("2024-07-01 00:00:00")))
+  }
+
   test("parquet binding is behavior-identical (same contract, Cdc store underneath)") {
     val state = Files.createTempDirectory("graft_wms_pq").toString
     val store = ParquetWatermarkStore(state)
