@@ -94,21 +94,53 @@ object IvfProbe {
     }
 
     report(dir, "base")
-    // shifted appends: to 1x, then 5x, then 10x of the trained base
+    // shifted appends: to 1x, then 5x, then 10x of the trained base; at
+    // each point compare STALE vs PARTIAL REPAIR (r17, VERDICT r16 task 6
+    // — split only the absorbed clusters, on a clone so the stale ladder
+    // keeps accumulating) vs FULL REBUILD, with files-rewritten counts
     var appendedTo = 0
     Seq(1, 5, 10).foreach { mult =>
       val target = nBase * mult
       val batch = gen(nBase + appendedTo until nBase + target, shiftCenters, 0.45f)
       IvfIndex.append(batch, "vec_id", "embedding", dir)
       appendedTo = target
-      report(dir, s"append_${mult}x")
+      report(dir, s"append_${mult}x_stale")
+
+      val repDir = s"$dir-rep$mult"
+      copyDir(dir, repDir)
+      val tRep0 = System.nanoTime()
+      val st = IvfIndex.repair(spark, repDir)
+      val repMs = (System.nanoTime() - tRep0) / 1e6
+      println(f"""{"probe":"ivf_repair","point":"append_${mult}x","clusters_split":${st.clustersSplit},"rows_reclustered":${st.rowsReclustered},"files_written":${st.filesWritten},"files_retired":${st.filesRetired},"centroids":"${st.centroidsBefore}->${st.centroidsAfter}","repair_ms":$repMs%.0f}""")
+      report(repDir, s"append_${mult}x_repaired")
+
+      val rebDir = s"$dir-reb$mult"
+      val tReb0 = System.nanoTime()
+      IvfIndex.build(spark.read.parquet(s"$dir/data").select(col("id").as("vec_id"),
+        col("embedding")), "vec_id", "embedding", rebDir, k = k, iters = 3)
+      val rebMs = (System.nanoTime() - tReb0) / 1e6
+      println(f"""{"probe":"ivf_rebuild","point":"append_${mult}x","files_written":${countFiles(s"$rebDir/data")},"rebuild_ms":$rebMs%.0f}""")
+      report(rebDir, s"append_${mult}x_rebuilt")
     }
-    // rebuild at the worst point: retrain over the full current corpus
-    // (into a fresh dir — Spark cannot overwrite its own lazy input)
-    val dir2 = s"$dir-rebuilt"
-    IvfIndex.build(spark.read.parquet(s"$dir/data").select(col("id").as("vec_id"),
-      col("embedding")), "vec_id", "embedding", dir2, k = k, iters = 3)
-    report(dir2, "rebuilt_at_10x")
     spark.stop()
+  }
+
+  private def countFiles(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(dir))
+  }
+
+  private def copyDir(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    val dst = java.nio.file.Paths.get(to)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
   }
 }

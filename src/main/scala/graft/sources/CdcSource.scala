@@ -269,7 +269,13 @@ final case class JdbcSource(
     val now = System.nanoTime()
     val cached = probeMemo.get(name)
     if (cached != null && now - cached._2 < ProbeMemoMillis * 1000000L) return cached._1
-    val spec = pool.withConnection { conn =>
+    // The whole derivation is best-effort: ANY SQLException — including a
+    // lock timeout on the metadata catalogs under heavy concurrent load
+    // (observed on Derby at T=1000, FleetProbe r17) — degrades to None
+    // (single-connection read), never fails the table's sync. The failure
+    // is NOT memoized: the next poll retries.
+    var probeFailed = false
+    val spec = try pool.withConnection { conn =>
       val byKey = primaryKeyOn(conn, name).flatMap { pk =>
         minMax(conn, name, pk).flatMap {
           case (lo: Number, hi: Number) =>
@@ -295,8 +301,8 @@ final case class JdbcSource(
           }
         }
       }
-    }
-    probeMemo.put(name, (spec, now))
+    } catch { case _: java.sql.SQLException => probeFailed = true; None }
+    if (!probeFailed) probeMemo.put(name, (spec, now))
     spec
   }
   private val probeMemo =
@@ -343,9 +349,11 @@ final case class JdbcSource(
   def primaryKey(name: String): Option[String] = {
     val cached = pkCache.get(name)
     if (cached != null) return cached
-    val pk = pool.withConnection(primaryKeyOn(_, name))
-    pkCache.put(name, pk)
-    pk
+    // a transient metadata failure (catalog lock timeout under load)
+    // degrades to the caller's orderCol fallback and is NOT cached —
+    // the next poll retries the lookup
+    try pool.withConnection(primaryKeyOn(_, name))
+    catch { case _: java.sql.SQLException => None }
   }
   private def primaryKeyOn(conn: java.sql.Connection, name: String): Option[String] = {
     val cached = pkCache.get(name)
@@ -402,7 +410,12 @@ final case class JdbcSource(
     * cycle falls back to its full path, which classifies the table as
     * non-CDC. None likewise on any SQL error. */
   override def changeMax(name: String, changeCol: String): Option[Option[java.sql.Timestamp]] =
-    pool.withConnection { conn =>
+    // best-effort end to end: a lock timeout inside the METADATA walk
+    // (getColumns reads the system catalogs, contended under fleet load —
+    // FleetProbe r17 at T=1000 unpooled) must answer unknown exactly like
+    // a failed MAX, so the cycle falls back to its full path instead of
+    // failing the table on an optimization
+    try pool.withConnection { conn =>
       resolveColumn(conn, name, changeCol).flatMap { stored =>
         val attempts = Seq(
           s"SELECT MAX(${ansiQuoted(stored)}) FROM ${ansiQuoted(name)}",
@@ -418,5 +431,5 @@ final case class JdbcSource(
           } catch { case _: java.sql.SQLException => None }
         }.collectFirst { case Some(b) => b }
       }
-    }
+    } catch { case _: java.sql.SQLException => None }
 }

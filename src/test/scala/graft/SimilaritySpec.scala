@@ -222,6 +222,86 @@ class SimilaritySpec extends AnyFunSuite {
     assert(appended.head._1 == 200L, "the appended vector itself must rank first")
   }
 
+  test("IvfIndex.repair (r17): splits only the clusters that absorbed appends, " +
+      "untouched dirs stay byte-identical, exactness and routing survive " +
+      "retired cluster ids, the staleness clock covers the repaired mass") {
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_repair").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", dir, k = 4, iters = 2)
+
+    // nothing stale → exact no-op
+    val noop = IvfIndex.repair(spark, dir)
+    assert(noop.clustersSplit == 0 && noop.centroidsAfter == noop.centroidsBefore)
+
+    // heavy TIGHT batch near one base vector: all 200 rows route to one
+    // cluster, which is then far past the per-cluster stale threshold
+    val anchor = vecs.where(col("vec_id") === 7).collect()(0).getSeq[Float](1).toArray
+    val rnd = new scala.util.Random(5)
+    val heavy = (0 until 200).map { i =>
+      val v = anchor.clone()
+      (0 until v.length).foreach(j => v(j) += (rnd.nextFloat() * 2 - 1) * 0.05f)
+      (500L + i, v)
+    }.toDF("vec_id", "embedding")
+    IvfIndex.append(heavy, "vec_id", "embedding", dir)
+
+    def filesByCluster: Map[String, Set[String]] = {
+      val data = new java.io.File(s"$dir/data")
+      Option(data.listFiles()).toSeq.flatten.filter(_.getName.startsWith("cluster=")).map { d =>
+        d.getName -> Option(d.listFiles()).toSeq.flatten
+          .map(_.getName).filter(_.endsWith(".parquet")).toSet
+      }.toMap
+    }
+    val before = filesByCluster
+    val fracBefore = IvfIndex.appendedFraction(dir)
+    assert(fracBefore > IvfIndex.DefaultRebuildFraction)
+
+    val stats = IvfIndex.repair(spark, dir)
+    assert(stats.clustersSplit >= 1, s"absorbed cluster must split: $stats")
+    assert(stats.centroidsAfter > stats.centroidsBefore, s"centroid set must grow: $stats")
+    assert(stats.filesWritten > 0 && stats.filesRetired > 0 && stats.rowsReclustered >= 200L)
+
+    // untouched dirs byte-identical (same file sets); split dirs retired
+    val after = filesByCluster
+    before.foreach { case (c, fs) =>
+      if (after.contains(c)) assert(after(c) == fs, s"untouched $c was rewritten")
+    }
+    assert((before.keySet -- after.keySet).nonEmpty, "split dirs must be retired")
+
+    // no rows lost or duplicated across the split
+    val data = spark.read.parquet(s"$dir/data")
+    val expected = vecs.count() + 200
+    assert(data.count() == expected, "repair lost or duplicated rows")
+    assert(data.select("id").distinct().count() == expected)
+    // repaired mass is trained structure now: the staleness clock resets
+    assert(IvfIndex.appendedFraction(dir) < fracBefore)
+
+    // exactness at nprobe = |clusters| against brute force over base ∪ heavy
+    val all = vecs.unionByName(heavy)
+    val exact = SimilaritySearch.topK(all, "vec_id", "embedding",
+      lit(anchor).cast("array<float>"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rep = IvfIndex.search(spark, dir, anchor, k = 10, nprobe = stats.centroidsAfter)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rep == exact, s"repair broke exactness: $rep vs $exact")
+
+    // a later append still routes correctly through NON-CONTIGUOUS ids
+    // (the split retired an id; positions != ids from here on). The tail
+    // vector is an EXACT anchor clone: append's nearestCentroid and
+    // search's rankClusters then agree on its cluster by construction
+    // (identical scores, identical lowest-position tie-break)
+    val tail = Seq((900L, anchor.clone())).toDF("vec_id", "embedding")
+    IvfIndex.append(tail, "vec_id", "embedding", dir)
+    val found = IvfIndex.search(spark, dir, anchor, k = 3, nprobe = 1)
+      .collect().map(_.getLong(0))
+    assert(found.contains(900L),
+      s"post-repair append must route to the probed child cluster: ${found.mkString(",")}")
+
+    // and a second repair right away is a no-op (children are base now)
+    val again = IvfIndex.repair(spark, dir,
+      staleFraction = IvfIndex.DefaultRebuildFraction)
+    assert(again.clustersSplit == 0, s"repair must converge: $again")
+  }
+
   test("IVF staleness bound (r16): appended fraction is tracked from footers, " +
       "the rebuild trigger fires at the measured threshold, rebuild resets it") {
     import graft.operators.IvfIndex
