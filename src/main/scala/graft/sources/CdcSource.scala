@@ -184,6 +184,19 @@ final case class DirSource(dir: String) extends CdcSource {
   *                   each stripe costs one cheap indexed query, bounding
   *                   the harm of over-striping a small long-lived table.
   * @param autoPartitionTimeStripes stripe count for the timestamp path
+  *                   when the dialect offers no cardinality stats
+  * @param autoPartitionTargetBytes size of one stripe when the dialect
+  *                   exposes cheap TABLE SIZE stats (VERDICT r16 task 7):
+  *                   a sparse key space (hash/snowflake ids) makes the
+  *                   key-RANGE stripe count a wild over-estimate — up to
+  *                   [[maxAutoPartitions]] mostly-empty stripes. Where the
+  *                   catalog can answer "how big is this table" for free
+  *                   (MySQL `information_schema.TABLES.TABLE_ROWS`; Derby
+  *                   `SYSCS_DIAG.SPACE_TABLE` allocated bytes), the stripe
+  *                   count is capped at stats/target — fewer, fuller
+  *                   stripes. Stats are ESTIMATES, so they size only the
+  *                   stripe COUNT, never the read bounds — correctness
+  *                   is untouched when they are stale or absent.
   * @param poolMaxIdle warm driver-side metadata/probe connections kept
   *                   between calls (VERDICT r16 task 1); 0 restores the
   *                   connection-per-call shape (the measured BEFORE). */
@@ -199,6 +212,7 @@ final case class JdbcSource(
     autoPartitionChangeCol: String = "ts",
     autoPartitionMinTimeRangeMillis: Long = 86400000L,
     autoPartitionTimeStripes: Int = 8,
+    autoPartitionTargetBytes: Long = 64L << 20,
     poolMaxIdle: Int = 8) extends CdcSource {
 
   import JdbcConnections.{ansiQuoted, backtickQuoted}
@@ -282,8 +296,11 @@ final case class JdbcSource(
             val range = BigInt(hi.longValue()) - BigInt(lo.longValue()) + 1
             if (range < autoPartitionMinRange) None
             else {
-              val stripes = ((range + autoPartitionTargetRows - 1) / autoPartitionTargetRows)
+              val byRange = ((range + autoPartitionTargetRows - 1) / autoPartitionTargetRows)
                 .min(maxAutoPartitions).toInt
+              // sparse key space (r17, task 7): cap at what the table's
+              // SIZE stats justify — fewer, fuller stripes
+              val stripes = statsStripes(conn, name).fold(byRange)(math.min(byRange, _))
               Some((pk, lo.longValue().toString, hi.longValue().toString,
                 math.max(2, stripes)))
             }
@@ -295,8 +312,12 @@ final case class JdbcSource(
           minMax(conn, name, col).flatMap {
             case (lo: java.sql.Timestamp, hi: java.sql.Timestamp)
                 if hi.getTime - lo.getTime >= autoPartitionMinTimeRangeMillis =>
+              // time span is a weak cardinality proxy: size stats CAP the
+              // stripe count when the dialect has them (never raise it)
+              val stripes = statsStripes(conn, name)
+                .fold(autoPartitionTimeStripes)(math.min(autoPartitionTimeStripes, _))
               Some((col, lo.toString, hi.toString,
-                math.max(2, math.min(autoPartitionTimeStripes, maxAutoPartitions))))
+                math.max(2, math.min(stripes, maxAutoPartitions))))
             case _ => None // short-lived, empty, or non-timestamp change col
           }
         }
@@ -338,6 +359,46 @@ final case class JdbcSource(
         } finally st.close()
       } catch { case _: java.sql.SQLException => None } // wrong dialect quote
     }.collectFirst { case Some(b) => b }.flatten
+  }
+
+  /** Estimated stripe count from cheap dialect SIZE statistics (VERDICT
+    * r16 task 7), or None where the dialect offers none. Two shapes:
+    *  - MySQL: `information_schema.TABLES.TABLE_ROWS` (the InnoDB row
+    *    estimate — free, no scan) → rows / [[autoPartitionTargetRows]].
+    *  - Derby: `SYSCS_DIAG.SPACE_TABLE` allocated bytes (page counts from
+    *    the space catalog — free, no scan) →
+    *    bytes / [[autoPartitionTargetBytes]].
+    * Estimates size the stripe COUNT only — the read bounds always come
+    * from the exact min/max probe — so stale stats cost balance, never
+    * rows. Memoized via the enclosing [[derivedPartitioning]] memo. */
+  private def statsStripes(conn: java.sql.Connection, name: String): Option[Int] = {
+    def sq(s: String) = "'" + s.replace("'", "''") + "'"
+    def ceilDiv(n: Long, d: Long) = ((n + d - 1) / d).toInt
+    def query(sql: String, target: Long): Option[Int] =
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(sql)
+          try {
+            if (rs.next()) {
+              val n = rs.getLong(1)
+              if (rs.wasNull() || n <= 0L) None else Some(math.max(1, ceilDiv(n, target)))
+            } else None
+          } finally rs.close()
+        } finally st.close()
+      } catch { case _: java.sql.SQLException => None } // not this dialect
+    val mysql = query(
+      s"SELECT TABLE_ROWS FROM information_schema.TABLES WHERE TABLE_NAME = ${sq(name)} " +
+        "AND TABLE_SCHEMA = DATABASE()", autoPartitionTargetRows)
+    mysql.orElse {
+      val schema = schemaPattern.getOrElse(
+        try Option(conn.getSchema).getOrElse("APP")
+        catch { case _: java.sql.SQLException | _: AbstractMethodError => "APP" })
+      query(
+        "SELECT SUM(NUMALLOCATEDPAGES * PAGESIZE) FROM " +
+          s"TABLE(SYSCS_DIAG.SPACE_TABLE(${sq(schema)}, ${sq(name)})) t",
+        autoPartitionTargetBytes)
+    }
   }
 
   /** S3 made LIVE: `DatabaseMetaData.getPrimaryKeys` — the portable form

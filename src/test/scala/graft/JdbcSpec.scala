@@ -134,8 +134,11 @@ class JdbcSpec extends AnyFunSuite {
       ()
     } finally conn.close()
 
+    // autoPartitionTargetBytes = 1: the size-stats cap (tested separately
+    // below) must not shrink this test's key-range-derived stripe counts
     val auto = JdbcSource(u2, schemaPattern = Some("APP"),
-      autoPartitionMinRange = 500L, autoPartitionTargetRows = 100L, maxAutoPartitions = 8)
+      autoPartitionMinRange = 500L, autoPartitionTargetRows = 100L, maxAutoPartitions = 8,
+      autoPartitionTargetBytes = 1L)
     // derived spec: PK from live metadata, bounds from one indexed min/max
     assert(auto.derivedPartitioning("BIG_SRC").contains(("ID", "1", "1000", 8)))
     assert(auto.derivedPartitioning("SMALL_SRC").isEmpty, "under-threshold table must not stripe")
@@ -213,7 +216,8 @@ class JdbcSpec extends AnyFunSuite {
     } finally conn.close()
 
     val auto = JdbcSource(u3, schemaPattern = Some("APP"),
-      autoPartitionMinTimeRangeMillis = 3600000L, autoPartitionTimeStripes = 6)
+      autoPartitionMinTimeRangeMillis = 3600000L, autoPartitionTimeStripes = 6,
+      autoPartitionTargetBytes = 1L)
     // the PK path declines (VARCHAR), the change-column time path engages
     val spec = auto.derivedPartitioning("UUID_SRC")
     assert(spec.exists(s => s._1 == "TS" && s._4 == 6),
@@ -241,6 +245,46 @@ class JdbcSpec extends AnyFunSuite {
       autoPartitionMinTimeRangeMillis = 7L * 86400000L)
     assert(strict.derivedPartitioning("UUID_SRC").isEmpty,
       "under-threshold time span must not stripe")
+  }
+
+  test("size-stats stripe cap (VERDICT r16 task 7): a sparse key space plans " +
+      "fewer, fuller stripes than the key range alone suggests") {
+    import graft.sources.JdbcSource
+    val u5 = "jdbc:derby:memory:graftjdbcsparse;create=true"
+    val conn = DriverManager.getConnection(u5)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE sparse_src (id BIGINT NOT NULL PRIMARY KEY, " +
+        "ts TIMESTAMP, payload VARCHAR(64))")
+      val ps = conn.prepareStatement("INSERT INTO sparse_src VALUES (?, ?, ?)")
+      // 2000 rows scattered over a 10M key range (hash/snowflake-id shape)
+      (1 to 2000).foreach { i =>
+        ps.setLong(1, i * 5000L)
+        ps.setTimestamp(2, Timestamp.valueOf("2024-01-01 00:01:00"))
+        ps.setString(3, s"p$i"); ps.addBatch()
+      }
+      ps.executeBatch()
+      ()
+    } finally conn.close()
+
+    // key range alone: 10M / 100 ⇒ capped at 8 mostly-empty stripes
+    val dense = JdbcSource(u5, schemaPattern = Some("APP"),
+      autoPartitionMinRange = 500L, autoPartitionTargetRows = 100L, maxAutoPartitions = 8,
+      autoPartitionTargetBytes = 1L) // stats cap neutralized
+    assert(dense.derivedPartitioning("SPARSE_SRC").exists(_._4 == 8))
+
+    // with Derby's SPACE_TABLE allocated-bytes stats engaged (~270 KB for
+    // 2000 rows), a 135 KB stripe target justifies only ~2 fuller stripes
+    val statted = JdbcSource(u5, schemaPattern = Some("APP"),
+      autoPartitionMinRange = 500L, autoPartitionTargetRows = 100L, maxAutoPartitions = 8,
+      autoPartitionTargetBytes = 135L * 1024L)
+    val spec = statted.derivedPartitioning("SPARSE_SRC")
+    assert(spec.exists(s => s._4 >= 2 && s._4 < 8),
+      s"size stats must shrink the sparse stripe count below the range cap, got $spec")
+    // bounds stay the EXACT min/max — stats size only the count
+    assert(spec.exists(s => s._2 == "5000" && s._3 == "10000000"))
+    // parity: fewer stripes read the same rows
+    assert(statted.table(spark, "SPARSE_SRC").count() == 2000L)
   }
 
   test("probe identifiers with quoting metacharacters are escaped, not broken " +
