@@ -72,16 +72,19 @@ object FleetProbe {
   private sealed trait Config
   private final case class DirCfg(t: Int, b: Int, par: Int) extends Config
   private final case class JdbcCfg(t: Int, par: Int, pooled: Boolean) extends Config
+  private final case class ShardCfg(t: Int, drivers: Int, par: Int) extends Config
 
   private def parse(a: String): Config = a.split(':') match {
     case Array("jdbc", t) => JdbcCfg(t.toInt, 8, pooled = true)
     case Array("jdbc", t, p) => JdbcCfg(t.toInt, p.toInt, pooled = true)
     case Array("jdbc", t, p, mode) => JdbcCfg(t.toInt, p.toInt, mode == "pooled")
+    case Array("shard", t, d) => ShardCfg(t.toInt, d.toInt, 8)
+    case Array("shard", t, d, p) => ShardCfg(t.toInt, d.toInt, p.toInt)
     case Array(t) => DirCfg(t.toInt, 1, 8)
     case Array(t, b) => DirCfg(t.toInt, b.toInt, 8)
     case Array(t, b, p) => DirCfg(t.toInt, b.toInt, p.toInt)
     case _ => throw new IllegalArgumentException(
-      s"expected T[:B[:par]] or jdbc:T[:par[:pooled|unpooled]], got $a")
+      s"expected T[:B[:par]], jdbc:T[:par[:pooled|unpooled]], or shard:T:D[:par], got $a")
   }
 
   def main(args: Array[String]): Unit = {
@@ -95,8 +98,102 @@ object FleetProbe {
     configs.foreach {
       case DirCfg(t, b, par) => runDir(spark, base, t, b, par)
       case JdbcCfg(t, par, pooled) => runJdbc(spark, base, t, par, pooled)
+      case ShardCfg(t, d, par) => runSharded(spark, base, t, d, par)
     }
     spark.stop()
+  }
+
+  /** The ACTIVE-term bottleneck, attacked (named in BASELINE r17: at
+    * T=10k/10% active the tick is ~9 min and widening the in-process pool
+    * barely moves it — ONE driver's job scheduling is the shared
+    * resource). The engine's per-table isolation makes the fleet
+    * embarrassingly parallel ACROSS drivers: each driver takes a disjoint
+    * table slice with its own state+sink prefix (disjoint tables ⇒ no
+    * shared watermark rows, no shared sink manifest — no cross-process
+    * coordination needed at all). This config measures it for real: the
+    * same tick once on one in-process driver, then split over D spawned
+    * JVMs ([[FleetShard]]) running concurrently; the D-driver wall is the
+    * slowest child's TICK time (session startup excluded — a real fleet's
+    * drivers are long-lived). */
+  private def runSharded(spark: org.apache.spark.sql.SparkSession, base: Timestamp,
+      t: Int, d: Int, par: Int): Unit = {
+    val scratch = java.nio.file.Files.createTempDirectory(s"graft_fleet_shard_$t").toString
+    val src = s"$scratch/src"
+    new java.io.File(src).mkdirs()
+    val names = (1 to t).map(k => f"table_$k%06d")
+    parForeach(names, 8) { n =>
+      writeTable(src, n, (0 until 10).map(i =>
+        (i.toLong, new Timestamp(base.getTime + i * 1000L), s"$n-row-$i")))
+    }
+    val maxTs = new Timestamp(base.getTime + 9000L)
+    val midTs = new Timestamp(base.getTime + 4000L)
+    val activity = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 10 == 0) midTs else maxTs)
+    }.toMap
+    def seedFor(tables: Seq[String], state: String): Unit =
+      Cdc.seedWatermarkStore(state, activity.filter { case (n, _) => tables.contains(n) })
+
+    // --- single driver, in-process, WARM (one throwaway-state tick pays
+    // JIT/codegen — matching the children's own warmup tick)
+    seedFor(names, s"$scratch/state0w")
+    Cdc.syncCycleOutcomesOn(spark, graft.sources.DirSource(src),
+      ParquetWatermarkStore(s"$scratch/state0w"), s"$scratch/sink0w", parallelism = par)
+    seedFor(names, s"$scratch/state0")
+    val t1 = System.nanoTime()
+    val out1 = Cdc.syncCycleOutcomesOn(spark, graft.sources.DirSource(src),
+      ParquetWatermarkStore(s"$scratch/state0"), s"$scratch/sink0", parallelism = par)
+    val singleMs = (System.nanoTime() - t1) / 1e6
+    require(out1.collect { case (_, Cdc.TableSynced(n)) if n > 0 => n }.size == t / 10)
+
+    // --- D drivers on disjoint NAME-HASH slices (index-modulo correlated
+    // with the every-10th active pattern and starved D-1 shards); each
+    // child warms up on its own throwaway state, then all measured ticks
+    // start together at the file barrier
+    val slices = (0 until d).map(i => names.filter(FleetShard.sliceOf(_, d) == i))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      seedFor(s, s"$scratch/stateW-$i")
+      seedFor(s, s"$scratch/stateM-$i")
+    }
+    val barrier = s"$scratch/go"
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+      "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val procs = (0 until d).map { i =>
+      new ProcessBuilder((Seq(javaBin, "-cp",
+        "target/scala-2.13/classes:/opt/spark/jars/*") ++ addOpens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC", "-Xmx6g",
+        "graft.FleetShard", src, s"$scratch/stateW-$i", s"$scratch/stateM-$i",
+        s"$scratch/sink$d-$i", barrier, i.toString, d.toString, par.toString)): _*)
+        .redirectErrorStream(true).start()
+    }
+    val readers = procs.map(p => new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream)))
+    // wait for every child's WARM, then drop the barrier
+    readers.foreach { r =>
+      var l = r.readLine()
+      while (l != null && l != "WARM") l = r.readLine()
+      require(l == "WARM", "a shard child died before warmup completed")
+    }
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(barrier))
+    val outs = readers.map { r =>
+      val sb = new StringBuilder
+      var l = r.readLine()
+      while (l != null) { sb.append(l).append('\n'); l = r.readLine() }
+      sb.toString
+    }
+    procs.foreach(_.waitFor())
+    val shardMs = outs.map { o =>
+      val m = """"tick_ms":(\d+)""".r.findFirstMatchIn(o).getOrElse(
+        throw new IllegalStateException(s"shard child failed:\n$o"))
+      m.group(1).toLong
+    }
+    println(f"""{"mode":"sharded","tables":$t,"drivers":$d,"parallelism":$par,"single_driver_tick1_ms":$singleMs%.0f,"sharded_tick1_wall_ms":${shardMs.max},"per_shard_ms":[${shardMs.mkString(",")}],"speedup":${singleMs / shardMs.max}%.2f}""")
   }
 
   private def runDir(spark: org.apache.spark.sql.SparkSession, base: Timestamp,
