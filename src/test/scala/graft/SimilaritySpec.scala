@@ -302,8 +302,9 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again.clustersSplit == 0, s"repair must converge: $again")
   }
 
-  test("IVF staleness bound (r16): appended fraction is tracked from footers, " +
-      "the rebuild trigger fires at the measured threshold, rebuild resets it") {
+  test("IVF staleness bound (r16/r18): appended fraction is tracked incrementally " +
+      "from sidecar counts, the rebuild trigger fires at the measured threshold, " +
+      "rebuild resets it") {
     import graft.operators.IvfIndex
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stale").toString
     IvfIndex.build(vecs, "vec_id", "embedding", dir, k = 4, iters = 2)
@@ -337,8 +338,155 @@ class SimilaritySpec extends AnyFunSuite {
     assert(IvfIndex.appendedFraction(dir2) == 0.0 && !IvfIndex.shouldRebuild(dir2))
 
     // pre-r16 index without bookkeeping: unknown staleness, never advises
-    new java.io.File(s"$dir/base_count").delete()
+    new java.io.File(s"$dir/centroids/_base_counts").delete()
+    new java.io.File(s"$dir/centroids/_appended_counts").delete()
     assert(IvfIndex.appendedFraction(dir).isNaN && !IvfIndex.shouldRebuild(dir))
+    assert(IvfIndex.staleClusters(dir).isEmpty)
+  }
+
+  test("IVF incremental bookkeeping (r18): sidecar counts equal the footer " +
+      "recount after mixed append/repair/rebuild, metadata commits as ONE " +
+      "directory with the matrix, and the append path never walks the index") {
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_sidecar").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", dir, k = 4, iters = 2)
+
+    def sidecarEqualsRecount(tag: String): Unit = {
+      val recount = IvfIndex.recountClusterRows(dir)
+      assert(IvfIndex.sidecarClusterRows(dir) == recount,
+        s"$tag: sidecar diverged from footer truth")
+    }
+    sidecarEqualsRecount("post-build")
+    // the whole metadata snapshot lives inside the centroid dir — one
+    // atomic swap commits matrix + counts together (ADVICE r17); no
+    // separate root-level commit files exist to disagree with it
+    assert(new java.io.File(s"$dir/centroids/_base_counts").exists())
+    assert(new java.io.File(s"$dir/centroids/_appended_counts").exists())
+    assert(!new java.io.File(s"$dir/base_count").exists())
+    assert(!new java.io.File(s"$dir/base_counts").exists())
+
+    val rnd = new scala.util.Random(31)
+    val anchor = vecs.where(col("vec_id") === 7).collect()(0).getSeq[Float](1).toArray
+    def near(idBase: Long, n: Int, noise: Float) = (0 until n).map { i =>
+      val v = anchor.clone()
+      (0 until v.length).foreach(j => v(j) += (rnd.nextFloat() * 2 - 1) * noise)
+      (idBase + i, v)
+    }.toDF("vec_id", "embedding")
+
+    IvfIndex.append(near(1000L, 17, 0.05f), "vec_id", "embedding", dir)
+    sidecarEqualsRecount("post-append-1")
+    IvfIndex.append(near(1100L, 60, 0.05f), "vec_id", "embedding", dir)
+    sidecarEqualsRecount("post-append-2")
+
+    val st = IvfIndex.repair(spark, dir)
+    assert(st.clustersSplit >= 1, s"concentrated mass must split: $st")
+    sidecarEqualsRecount("post-repair")
+
+    IvfIndex.append(near(1200L, 5, 0.05f), "vec_id", "embedding", dir)
+    sidecarEqualsRecount("post-repair-append")
+
+    val kAfter = IvfIndex.rebuildInPlace(spark, dir)
+    assert(kAfter > 0)
+    sidecarEqualsRecount("post-rebuild")
+    assert(IvfIndex.appendedFraction(dir) == 0.0, "rebuild must reset the clock")
+    // no rows lost or duplicated through the whole sequence
+    val data = spark.read.parquet(s"$dir/data")
+    val expected = vecs.count() + 17 + 60 + 5
+    assert(data.count() == expected && data.select("id").distinct().count() == expected)
+  }
+
+  test("per-cluster staleness advisory (r18): concentrated drift below the " +
+      "global rebuild bar advises repair exactly once, naming the absorbed cluster") {
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_adv").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", dir, k = 4, iters = 2)
+
+    // the hook is global and suites may run in parallel: capture only this
+    // index's advisories (another suite's append must not pollute the count)
+    val all = scala.collection.mutable.ArrayBuffer[String]()
+    def msgs = all.synchronized { all.filter(_.contains(dir)).toSeq }
+    val saved = IvfIndex.onAdvisory
+    IvfIndex.onAdvisory = m => { all.synchronized { all += m }; () }
+    try {
+      val anchor = vecs.where(col("vec_id") === 7).collect()(0).getSeq[Float](1).toArray
+      val rnd = new scala.util.Random(41)
+      def near(idBase: Long, n: Int) = (0 until n).map { i =>
+        val v = anchor.clone()
+        (0 until v.length).foreach(j => v(j) += (rnd.nextFloat() * 2 - 1) * 0.03f)
+        (idBase + i, v)
+      }.toDF("vec_id", "embedding")
+
+      // 10 rows, all near one base vector: ONE cluster absorbs everything —
+      // far past its per-cluster bar while the GLOBAL fraction stays ~0.2
+      val frac = IvfIndex.append(near(2000L, 10), "vec_id", "embedding", dir)
+      assert(frac < IvfIndex.DefaultRebuildFraction, s"global must stay below the bar: $frac")
+      val stale = IvfIndex.staleClusters(dir)
+      assert(stale.nonEmpty, "the absorbed cluster must be reported stale")
+      assert(msgs.size == 1, s"exactly one advisory expected, got: $msgs")
+      assert(msgs.head.contains("repair") &&
+        msgs.head.contains(s"cluster ${stale.head.cluster} absorbed"),
+        s"advisory must name the remedy and the absorbed cluster: ${msgs.head}")
+
+      // a second concentrated batch below the global bar: no re-advise
+      // (once per index per process — the maintenance-loop no-spam rule)
+      IvfIndex.append(near(2100L, 3), "vec_id", "embedding", dir)
+      assert(msgs.size == 1, s"advisory must fire once per index: $msgs")
+    } finally IvfIndex.onAdvisory = saved
+  }
+
+  test("IvfIndex.maintain: no-op when healthy, repair on concentrated drift, " +
+      "rebuild on corpus-wide drift — and each branch leaves a consistent index") {
+    import graft.operators.IvfIndex
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivf_mntA").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", dirA, k = 4, iters = 2)
+    assert(IvfIndex.maintain(spark, dirA) == IvfIndex.MaintainNoOp)
+
+    // concentrated: one cluster stale (share 1/4 < 0.5) → repair branch
+    val anchor = vecs.where(col("vec_id") === 7).collect()(0).getSeq[Float](1).toArray
+    val rnd = new scala.util.Random(43)
+    val conc = (0 until 30).map { i =>
+      val v = anchor.clone()
+      (0 until v.length).foreach(j => v(j) += (rnd.nextFloat() * 2 - 1) * 0.03f)
+      (3000L + i, v)
+    }.toDF("vec_id", "embedding")
+    IvfIndex.append(conc, "vec_id", "embedding", dirA)
+    val staleShare = IvfIndex.staleClusters(dirA).size.toDouble /
+      IvfIndex.centroidEntries(spark, dirA).size
+    assert(staleShare > 0 && staleShare < IvfIndex.DefaultRebuildClusterShare,
+      s"fixture must sit in the repair regime: $staleShare")
+    IvfIndex.maintain(spark, dirA) match {
+      case IvfIndex.MaintainRepaired(st) => assert(st.clustersSplit >= 1)
+      case other => fail(s"expected MaintainRepaired, got $other")
+    }
+    assert(IvfIndex.maintain(spark, dirA) == IvfIndex.MaintainNoOp, "must converge")
+
+    // corpus-wide: appends everywhere (3× the base, at-random) → every
+    // cluster crosses the bar → rebuild branch, which retrains globally
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivf_mntB").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", dirB, k = 4, iters = 2)
+    val wide = (0 until 150).map(i => (4000L + i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.append(wide, "vec_id", "embedding", dirB)
+    val totalB = IvfIndex.centroidEntries(spark, dirB).size
+    assert(IvfIndex.staleClusters(dirB).size.toDouble / totalB >=
+      IvfIndex.DefaultRebuildClusterShare, "fixture must sit in the rebuild regime")
+    IvfIndex.maintain(spark, dirB) match {
+      case IvfIndex.MaintainRebuilt(k) => assert(k == totalB, "k=0 keeps the cluster count")
+      case other => fail(s"expected MaintainRebuilt, got $other")
+    }
+    assert(IvfIndex.appendedFraction(dirB) == 0.0)
+    // rebuild preserved every row and search stays exact at nprobe=k
+    val data = spark.read.parquet(s"$dirB/data")
+    val expected = vecs.count() + 150
+    assert(data.count() == expected && data.select("id").distinct().count() == expected)
+    val all = vecs.unionByName(wide)
+    val exact = SimilaritySearch.topK(all, "vec_id", "embedding",
+      lit(anchor).cast("array<float>"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = IvfIndex.search(spark, dirB, anchor, k = 10,
+      nprobe = IvfIndex.centroidEntries(spark, dirB).size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact, s"rebuildInPlace broke exactness: $got vs $exact")
   }
 
   test("ivfTopK scans only nprobe clusters (candidate restriction is real)") {
