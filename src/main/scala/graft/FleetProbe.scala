@@ -130,8 +130,13 @@ object FleetProbe {
     val activity = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i % 10 == 0) midTs else maxTs)
     }.toMap
-    def seedFor(tables: Seq[String], state: String): Unit =
-      Cdc.seedWatermarkStore(state, activity.filter { case (n, _) => tables.contains(n) })
+    def seedFor(tables: Seq[String], state: String): Unit = {
+      // Set, not Seq.contains: a Seq filter is O(T²) string compares —
+      // ~10⁸ at T=10k, called 2D+2 times, inflating the setup of the very
+      // probe meant to isolate tick cost (ADVICE r17)
+      val ts = tables.toSet
+      Cdc.seedWatermarkStore(state, activity.filter { case (n, _) => ts(n) })
+    }
 
     // --- single driver, in-process, WARM (one throwaway-state tick pays
     // JIT/codegen — matching the children's own warmup tick)

@@ -35,6 +35,7 @@ object FleetShard {
     def primaryKey(name: String): Option[String] = inner.primaryKey(name)
     override def changeMax(name: String, changeCol: String) =
       inner.changeMax(name, changeCol)
+    override def hintParallelism(n: Int): Unit = inner.hintParallelism(n)
   }
 
   def main(args: Array[String]): Unit = {

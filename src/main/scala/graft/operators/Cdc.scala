@@ -1158,6 +1158,11 @@ object Cdc {
     val tables = source.listTables()
       .filterNot(_.equalsIgnoreCase(WatermarkTable)) // P5 anti-filter
     if (tables.isEmpty) return Map.empty
+    // pooled bindings size their warm connection sets to the tick's
+    // actual worker count (VERDICT r17 task 6) — at par=16 the default
+    // 8-deep pools under-cached by half, re-opening 8 connections per tick
+    source.hintParallelism(parallelism)
+    store.hintParallelism(parallelism)
     // one DRIVER-side read of the watermark store for the whole cycle —
     // zero Spark jobs (readWatermarkMap; the pre-r14 Spark read+collect
     // was itself one job of pure fixed overhead per cycle)

@@ -33,6 +33,11 @@ trait WatermarkStore {
   /** S7: upsert with max-merge (see trait doc). */
   def update(tableName: String, ts: Timestamp,
       onBeforeCommit: () => Unit = () => ()): Unit
+
+  /** The cycle announces its worker parallelism before a tick (VERDICT
+    * r17 task 6): a pooled binding sizes its warm connection set to it.
+    * Advisory — bindings without pooling ignore it. */
+  def hintParallelism(n: Int): Unit = ()
 }
 
 /** The engine's default binding: the versioned, optionally hash-sharded
@@ -90,6 +95,10 @@ final case class JdbcWatermarkStore(
 
   /** Drop the warm connections (e.g. when retiring the store). */
   def closePool(): Unit = pool.drain()
+
+  /** Pool capacity follows the cycle's parallelism (VERDICT r17 task 6);
+    * an explicit `poolMaxIdle = 0` stays unpooled. */
+  override def hintParallelism(n: Int): Unit = pool.ensureIdleCapacity(n)
 
   /** Create-if-absent via the portable metadata probe (CREATE TABLE IF NOT
     * EXISTS is not Derby SQL). Idempotent; a concurrent creator's
@@ -230,12 +239,25 @@ final case class JdbcWatermarkStore(
         conn.commit()
       } catch {
         case e: Throwable =>
-          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          try conn.rollback()
+          catch {
+            case _: java.sql.SQLException =>
+              // rollback itself failed: the transaction is still open, and
+              // the finally's setAutoCommit(true) would COMMIT it (JDBC:
+              // enabling autoCommit commits the in-flight transaction) —
+              // making the staged guarded UPDATE visible on a call that
+              // reports failure, against the trait's crash contract
+              // (ADVICE r17). Close the connection instead: nothing staged
+              // can ever become visible, and the pool never sees it again.
+              try conn.close() catch { case _: java.sql.SQLException => () }
+          }
           throw e
       }
-    } finally conn.setAutoCommit(true) // pooled: the next borrower must
-    // never inherit an open transaction (a failure here discards the
-    // connection — withConnection returns only cleanly-finished ones)
+    } finally if (!conn.isClosed) conn.setAutoCommit(true) // pooled: the
+    // next borrower must never inherit an open transaction (a failure
+    // above discards the connection — withConnection returns only
+    // cleanly-finished ones); skipped when the rollback-failure path
+    // already closed the connection
   }
 
   /** Portable duplicate-key detection: the standard SQLState class 23

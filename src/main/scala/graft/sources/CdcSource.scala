@@ -54,6 +54,14 @@ trait CdcSource {
     *
     * Default None: correctness never depends on this. */
   def changeMax(name: String, changeCol: String): Option[Option[java.sql.Timestamp]] = None
+
+  /** The cycle announces its worker parallelism before a tick (VERDICT
+    * r17 task 6): a pooled binding sizes its warm connection set to it,
+    * so a par=16 cycle over a default-sized pool no longer re-opens the
+    * 8 connections the pool couldn't cache (invisible on embedded Derby,
+    * real handshakes on networked MySQL). Advisory — a binding without
+    * pooling ignores it. */
+  def hintParallelism(n: Int): Unit = ()
 }
 
 /** Shared JDBC plumbing for the source bindings and the JDBC watermark
@@ -78,38 +86,93 @@ private[graft] object JdbcConnections {
     * state (aborted transaction, dirty autoCommit) the next borrower
     * must not inherit. `openedCount` counts PHYSICAL opens — the
     * fleet-scaling pin (JdbcCdcSpec: one cycle opens O(workers), not
-    * O(2·tables), connections). */
-  final class Pool(url: String, user: String, password: String, maxIdle: Int)
+    * O(2·tables), connections).
+    *
+    * Stale warm connections are survived, not inherited (ADVICE r17,
+    * r18): on a client/server engine the server kills idle sessions
+    * (MySQL `wait_timeout`, restarts) while the driver-side `isClosed`
+    * stays false — so a connection idle past [[validateAfterMillis]] is
+    * liveness-checked (`isValid(1)`) on borrow and discarded when dead.
+    * Steady-state ticks (borrow/return within milliseconds) skip the
+    * check — no extra roundtrip on the hot path; only the first tick
+    * after a quiet period pays one ping per warm connection, exactly
+    * when staleness is possible. Belt-and-braces for the race the check
+    * can't close (death between validation and use): when the operation
+    * fails with an SQLException ON A POOLED connection, it is retried
+    * ONCE on a freshly-opened one — callers' operations must be
+    * idempotent, and all current ones are (probes are reads; the
+    * watermark upsert is a max-merge). A fresh connection's failure
+    * propagates: that is a real error, not staleness. */
+  final class Pool(url: String, user: String, password: String, maxIdle: Int,
+      validateAfterMillis: Long = 30000L)
       extends Serializable {
     @transient private lazy val idle =
-      new java.util.concurrent.ConcurrentLinkedQueue[java.sql.Connection]()
+      new java.util.concurrent.ConcurrentLinkedQueue[(java.sql.Connection, Long)]()
     @transient private lazy val opened = new java.util.concurrent.atomic.AtomicLong(0L)
+    // the cycle's parallelism hint widens the warm set at runtime; an
+    // explicit maxIdle=0 (pooling disabled — the measured BEFORE shape)
+    // is a caller decision and stays 0
+    @volatile private var maxIdleDyn = maxIdle
 
     def openedCount: Long = opened.get()
 
+    /** Warm at least `n` connections when pooling is on (VERDICT r17
+      * task 6 — pool capacity follows the cycle's parallelism; never
+      * shrinks below the constructor's floor). */
+    def ensureIdleCapacity(n: Int): Unit =
+      if (maxIdle > 0 && n > maxIdleDyn) maxIdleDyn = n
+
     def withConnection[A](f: java.sql.Connection => A): A = {
-      val conn = borrow()
-      var ok = false
-      try { val r = f(conn); ok = true; r }
-      finally if (ok) release(conn) else discard(conn)
+      val (conn, fromIdle) = borrow()
+      try { val r = f(conn); release(conn); r }
+      catch {
+        case e: Throwable =>
+          discard(conn)
+          e match {
+            case _: java.sql.SQLException if fromIdle => runOnFresh(f)
+            case _ => throw e
+          }
+      }
     }
 
-    private def borrow(): java.sql.Connection = {
-      var c = idle.poll()
-      while (c != null && c.isClosed) c = idle.poll()
-      if (c != null) c
-      else { opened.incrementAndGet(); connect(url, user, password) }
+    private def runOnFresh[A](f: java.sql.Connection => A): A = {
+      val conn = open()
+      try { val r = f(conn); release(conn); r }
+      catch { case e: Throwable => discard(conn); throw e }
     }
-    private def release(c: java.sql.Connection): Unit =
-      if (maxIdle > 0 && !c.isClosed && idle.size < maxIdle) { idle.offer(c); () }
+
+    private def borrow(): (java.sql.Connection, Boolean) = {
+      val now = System.nanoTime()
+      var e = idle.poll()
+      while (e != null) {
+        val usable =
+          try !e._1.isClosed &&
+            (now - e._2 < validateAfterMillis * 1000000L || e._1.isValid(1))
+          catch { case _: java.sql.SQLException | _: AbstractMethodError => false }
+        if (usable) return (e._1, true)
+        discard(e._1)
+        e = idle.poll()
+      }
+      (open(), false)
+    }
+    private def open(): java.sql.Connection = {
+      opened.incrementAndGet()
+      connect(url, user, password)
+    }
+    private def release(c: java.sql.Connection): Unit = {
+      val keep =
+        try maxIdleDyn > 0 && !c.isClosed && idle.size < maxIdleDyn
+        catch { case _: java.sql.SQLException => false }
+      if (keep) { idle.offer((c, System.nanoTime())); () }
       else discard(c)
+    }
     private def discard(c: java.sql.Connection): Unit =
       try c.close() catch { case _: java.sql.SQLException => () }
 
     /** Drain the warm connections (e.g. before dropping the source). */
     def drain(): Unit = {
-      var c = idle.poll()
-      while (c != null) { discard(c); c = idle.poll() }
+      var e = idle.poll()
+      while (e != null) { discard(e._1); e = idle.poll() }
     }
   }
 
@@ -228,6 +291,10 @@ final case class JdbcSource(
 
   /** Drop the warm probe connections (e.g. when retiring the source). */
   def closePool(): Unit = pool.drain()
+
+  /** Pool capacity follows the cycle's parallelism (VERDICT r17 task 6);
+    * an explicit `poolMaxIdle = 0` stays unpooled. */
+  override def hintParallelism(n: Int): Unit = pool.ensureIdleCapacity(n)
 
   /** `SHOW TABLES` via the portable JDBC metadata surface: base TABLEs
     * only (no views/system tables), on a pooled metadata connection —
@@ -440,12 +507,21 @@ final case class JdbcSource(
     * change column mid-flight makes the cached-name MAX fail → None →
     * the cycle's full path reads the post-drop schema and classifies
     * the table, so the cache can delay only the fast path, never
-    * correctness. None (cached) when the column doesn't exist. */
+    * correctness. A NEGATIVE result ("no such column") expires after
+    * [[ProbeMemoMillis]] (ADVICE r17): a table that GAINS the change
+    * column after its first probe — ADD-direction drift, or a table
+    * created empty then altered — must not stay classified columnless
+    * forever, paying the full-scan path every tick; positive results
+    * stay cached for the instance's life (a DROP self-heals through the
+    * failed-MAX fallback above). */
   private def resolveColumn(conn: java.sql.Connection, name: String,
       wanted: String): Option[String] = {
     val key = (name, wanted.toLowerCase)
+    val now = System.nanoTime()
     val cached = colCache.get(key)
-    if (cached != null) return cached
+    if (cached != null &&
+        (cached._1.isDefined || now - cached._2 < ProbeMemoMillis * 1000000L))
+      return cached._1
     val rs = conn.getMetaData.getColumns(null, schemaPattern.orNull, name, "%")
     var stored: String = null
     while (rs.next() && stored == null) {
@@ -454,11 +530,11 @@ final case class JdbcSource(
     }
     rs.close()
     val resolved = Option(stored)
-    colCache.put(key, resolved)
+    colCache.put(key, (resolved, now))
     resolved
   }
   private val colCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Option[String], Long)]()
 
   /** One `SELECT MAX(changeCol)` on a pooled connection — an indexed
     * endpoint lookup when the change column is indexed, and even unindexed

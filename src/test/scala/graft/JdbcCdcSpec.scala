@@ -228,6 +228,45 @@ class JdbcCdcSpec extends AnyFunSuite {
       s"unpooled control must pay >= one connection per table, got ${unpooled.connectionsOpened - u0}")
   }
 
+  test("pool capacity follows the cycle's parallelism (VERDICT r17 task 6): " +
+      "at par=16 over default pools, cold opens <= workers and warm opens zero") {
+    val u6 = "jdbc:derby:memory:graftcdcpool16;create=true"
+    val T = 24 // > par so every worker slot actually fills
+    val c = DriverManager.getConnection(u6)
+    try {
+      val st = c.createStatement()
+      (1 to T).foreach { i =>
+        st.executeUpdate(f"CREATE TABLE tbl_$i%02d (event_id BIGINT NOT NULL " +
+          "PRIMARY KEY, ts TIMESTAMP, payload VARCHAR(32))")
+        st.executeUpdate(f"INSERT INTO tbl_$i%02d VALUES (1, " +
+          "TIMESTAMP('2024-01-01 00:01:00'), 'p1')")
+      }
+      ()
+    } finally c.close()
+    val sink = s"${Files.createTempDirectory("graft_jdbc_pool16")}/sink"
+    // DEFAULT poolMaxIdle (8) — the r17 shape under-cached at par=16,
+    // re-opening up to 8 connections per warm tick; the parallelism hint
+    // must widen the warm set to the tick's real worker count
+    val source = JdbcSource(u6, schemaPattern = Some("APP"))
+    val store = graft.operators.JdbcWatermarkStore(u6)
+    (1 to T).foreach(i => store.update(f"TBL_$i%02d", ts("2024-01-01 00:01:00")))
+    val (src0, st0) = (source.connectionsOpened, store.connectionsOpened)
+
+    val out1 = Cdc.syncCycleOutcomesOn(spark, source, store, sink, parallelism = 16)
+    assert(out1.values.forall(_ == Cdc.TableSynced(0L)), s"tick must be all-quiet: $out1")
+    val (srcCold, stCold) =
+      (source.connectionsOpened - src0, store.connectionsOpened - st0)
+    assert(srcCold <= 17, s"source cold opens must be <= par(+listTables), got $srcCold")
+    assert(stCold <= 16, s"store cold opens must be <= par, got $stCold")
+
+    val out2 = Cdc.syncCycleOutcomesOn(spark, source, store, sink, parallelism = 16)
+    assert(out2.values.forall(_ == Cdc.TableSynced(0L)))
+    assert(source.connectionsOpened - src0 == srcCold,
+      "warm par=16 tick must open zero new source connections")
+    assert(store.connectionsOpened - st0 == stCold,
+      "warm par=16 tick must open zero new store connections")
+  }
+
   test("schema drift over live JDBC, DROP direction: a database DROP COLUMN " +
       "vanishes the field from new serializations — no crash, sink converges") {
     val u3 = "jdbc:derby:memory:graftcdcdrop;create=true"
