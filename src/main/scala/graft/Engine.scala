@@ -271,6 +271,30 @@ class Engine(
     graft.operators.IvfIndex.search(spark, resolved, Embeddings.embed(query), k, nprobe)
   }
 
+  /** Maintenance inputs of the namespace's live IVF index (VERDICT r17
+    * task 7): the staleness clock, the per-cluster stale report, and the
+    * [[graft.operators.IvfIndex.maintain]] chooser's pick — previously
+    * stderr prints and return values only; surfaced so a fleet operator
+    * (or the `/ivf/status` route) can act on the advisory instead of
+    * tailing logs. Driver-side file reads plus one bounded centroid
+    * collect — no data scan. */
+  def ivfStatus(namespace: String = Cdc.DefaultNamespace): Engine.IvfStatus =
+    liveIvfDir(namespace) match {
+      case None =>
+        Engine.IvfStatus(exists = false, None, 0, Double.NaN, Seq.empty, "none")
+      case Some(dir) =>
+        import graft.operators.IvfIndex
+        val k = IvfIndex.centroidEntries(spark, dir).size
+        val frac = IvfIndex.appendedFraction(dir)
+        val stale = IvfIndex.staleClusters(dir)
+        val advice = // exactly IvfIndex.maintain's decision, not applied
+          if (stale.isEmpty) "none"
+          else if (k > 0 &&
+            stale.size.toDouble / k >= IvfIndex.DefaultRebuildClusterShare) "rebuild"
+          else "repair"
+        Engine.IvfStatus(exists = true, Some(dir), k, frac, stale, advice)
+    }
+
   /** `describe_index_stats` analog (`service_layer/service.py:97`). */
   def indexStats(): DataFrame = Cdc.sinkStats(spark, sinkDir)
 
@@ -287,6 +311,18 @@ class Engine(
 }
 
 object Engine {
+
+  /** One namespace's IVF maintenance snapshot ([[Engine.ivfStatus]]):
+    * `advice` is the [[graft.operators.IvfIndex.maintain]] chooser's
+    * pick ("none" / "repair" / "rebuild"), reported, not applied. */
+  final case class IvfStatus(
+      exists: Boolean,
+      dir: Option[String],
+      centroids: Int,
+      appendedFraction: Double,
+      staleClusters: Seq[graft.operators.IvfIndex.ClusterStaleness],
+      advice: String)
+
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(); ()

@@ -9,13 +9,16 @@ import java.nio.charset.StandardCharsets
   * the reference's Flask app object (`app.py:5-18`). The reference
   * registers ZERO routes (its only live behaviors are the scheduler thread
   * and the latent query path), so any listening endpoint is already a
-  * superset; these four routes expose exactly the engine surfaces the
+  * superset; these five routes expose exactly the engine surfaces the
   * process owns, nothing speculative:
   *
   *  - `GET /health`     — `{"healthy":…,"consecutive_failures":…}` (the
   *    circuit-breaker state the poll loop maintains)
   *  - `GET /stats`      — sink index stats rows (`Engine.indexStats`)
   *  - `GET /watermarks` — per-table CDC watermarks (`Engine.watermarks`)
+  *  - `GET /ivf/status[?namespace=N]` — the IVF maintenance inputs
+  *    (`Engine.ivfStatus`): appended fraction, per-cluster stale report,
+  *    and the `IvfIndex.maintain` chooser's advice
   *  - `GET /query?q=text[&k=10][&mode=auto|ivf|exact][&nprobe=N]` —
   *    `{"served_by":…,"rows":[…]}`. Routing: `mode=auto` (the default)
   *    serves from the persisted IVF index at the engine's conventional
@@ -100,6 +103,15 @@ final class ServeHttp(engine: Engine) {
     s.createContext("/watermarks", (ex: HttpExchange) => respond(ex) { _ =>
       rowsJson(engine.watermarks())
     })
+    // GET /ivf/status[?namespace=N] — the IVF maintenance loop's inputs
+    // (VERDICT r17 task 7): staleness clock, per-cluster stale report,
+    // and the maintain() chooser's advice ("none"/"repair"/"rebuild") —
+    // previously stderr prints only; now actionable by a fleet operator.
+    // Bounded: k centroids and at most k stale rows, no data scan.
+    s.createContext("/ivf/status", (ex: HttpExchange) => respond(ex) { params =>
+      ivfStatusJson(engine.ivfStatus(
+        params.getOrElse("namespace", graft.operators.Cdc.DefaultNamespace)))
+    })
     s.createContext("/query", (ex: HttpExchange) => respond(ex) { params =>
       onQueryStart()
       if (!querySlots.tryAcquire(queryWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
@@ -164,6 +176,18 @@ final class ServeHttp(engine: Engine) {
     * relations (scaladoc above). */
   private def rowsJson(df: org.apache.spark.sql.DataFrame): String =
     df.toJSON.collect().mkString("[", ",", "]")
+
+  private def ivfStatusJson(st: Engine.IvfStatus): String = {
+    def num(d: Double) = // NaN (no bookkeeping) / Inf (base 0) aren't JSON
+      if (java.lang.Double.isFinite(d)) f"$d%.4f" else "null"
+    val stale = st.staleClusters.map(s =>
+      s"""{"cluster":${s.cluster},"base_rows":${s.baseRows},""" +
+        s""""appended_rows":${s.appendedRows},"fraction":${num(s.fraction)}}""")
+      .mkString("[", ",", "]")
+    s"""{"exists":${st.exists},"dir":${st.dir.fold("null")(escape)},""" +
+      s""""centroids":${st.centroids},"appended_fraction":${num(st.appendedFraction)},""" +
+      s""""stale_clusters":$stale,"advice":${escape(st.advice)}}"""
+  }
 
   private def respond(ex: HttpExchange)(body: Map[String, String] => String): Unit = {
     val (code, json) =

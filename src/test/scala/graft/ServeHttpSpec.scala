@@ -131,6 +131,59 @@ class ServeHttpSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("/ivf/status: no-index answers exists=false; a live index reports the " +
+      "staleness clock, the stale-cluster list, and the maintain chooser's advice") {
+    val scratch = Files.createTempDirectory("graft_http_ivfstatus").toString
+    val src = s"$scratch/src"
+    new java.io.File(src).mkdirs()
+    (1 to 60).map(i => (i.toLong, Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"), s"gamma-$i"))
+      .toDF("event_id", "ts", "payload")
+      .write.parquet(s"$src/events.parquet")
+    val engine = new Engine(spark, src, s"$scratch/state", s"$scratch/sink",
+      autoRefreshIvf = false)
+    engine.initializeIndex()
+    engine.runSyncCycle()
+
+    val api = new ServeHttp(engine)
+    val port = api.start(0)
+    try {
+      val base = s"http://127.0.0.1:$port"
+      val (nc, none) = get(s"$base/ivf/status")
+      assert(nc == 200 && none.contains("\"exists\":false") &&
+        none.contains("\"advice\":\"none\""), none)
+
+      engine.refreshIvfIndex(k = 4, iters = 2)
+      val (hc, healthy) = get(s"$base/ivf/status")
+      assert(hc == 200 && healthy.contains("\"exists\":true") &&
+        healthy.contains("\"centroids\":4") &&
+        healthy.contains("\"appended_fraction\":0.0000") &&
+        healthy.contains("\"stale_clusters\":[]") &&
+        healthy.contains("\"advice\":\"none\""), healthy)
+
+      // concentrated append straight into the LIVE index dir: one cluster
+      // absorbs everything → the route must report it and advise repair
+      import org.apache.spark.sql.functions.col
+      val live = engine.liveIvfDir().get
+      val anchor = spark.read.parquet(s"$live/data")
+        .limit(1).collect()(0).getSeq[Float](1).toArray
+      val rnd = new scala.util.Random(47)
+      val conc = (0 until 25).map { i =>
+        val v = anchor.clone()
+        (0 until v.length).foreach(j => v(j) += (rnd.nextFloat() * 2 - 1) * 0.02f)
+        (s"hot#$i", v)
+      }.toDF("vec_id", "embedding").withColumn("embedding", col("embedding").cast("array<float>"))
+      graft.operators.IvfIndex.append(conc, "vec_id", "embedding", live)
+
+      val (sc, staleBody) = get(s"$base/ivf/status")
+      assert(sc == 200 && staleBody.contains("\"exists\":true"), staleBody)
+      assert(staleBody.contains("\"advice\":\"repair\"") ||
+        staleBody.contains("\"advice\":\"rebuild\""),
+        s"absorbed mass must surface an actionable advice: $staleBody")
+      assert(staleBody.contains("\"cluster\":") && staleBody.contains("\"appended_rows\":"),
+        s"the stale report must name clusters: $staleBody")
+    } finally api.stop()
+  }
+
   test("store-reading routes take no lock: all respond while a commit holds Engine.commitLock") {
     val scratch = Files.createTempDirectory("graft_http_lockfree").toString
     val src = s"$scratch/src"
