@@ -27,8 +27,11 @@ import java.sql.Timestamp
   * probe's cost. Jdbc mode creates T Derby tables over one connection.
   *
   * Usage: tools/jvmrun.sh graft.FleetProbe [CONFIG...]
-  *   dir config:  T[:B[:parallelism]]          e.g. 1000:16:8, 10000:16:8
-  *   jdbc config: jdbc:T[:parallelism[:pooled|unpooled]]
+  *   dir config:    T[:B[:parallelism]]        e.g. 1000:16:8, 10000:16:8
+  *   jdbc config:   jdbc:T[:parallelism[:pooled|unpooled]]
+  *   shard config:  shard:T:D[:parallelism]    (dir source, D driver JVMs)
+  *   jshard config: jshard:T:D[:parallelism]   (JDBC fleet × D driver JVMs,
+  *                  VERDICT r17 task 5 — per-shard Derby dbs)
   * Defaults: 1000:1:8 1000:16:8. Prints one JSON line per config. */
 object FleetProbe {
 
@@ -73,6 +76,7 @@ object FleetProbe {
   private final case class DirCfg(t: Int, b: Int, par: Int) extends Config
   private final case class JdbcCfg(t: Int, par: Int, pooled: Boolean) extends Config
   private final case class ShardCfg(t: Int, drivers: Int, par: Int) extends Config
+  private final case class JShardCfg(t: Int, drivers: Int, par: Int) extends Config
 
   private def parse(a: String): Config = a.split(':') match {
     case Array("jdbc", t) => JdbcCfg(t.toInt, 8, pooled = true)
@@ -80,11 +84,14 @@ object FleetProbe {
     case Array("jdbc", t, p, mode) => JdbcCfg(t.toInt, p.toInt, mode == "pooled")
     case Array("shard", t, d) => ShardCfg(t.toInt, d.toInt, 8)
     case Array("shard", t, d, p) => ShardCfg(t.toInt, d.toInt, p.toInt)
+    case Array("jshard", t, d) => JShardCfg(t.toInt, d.toInt, 8)
+    case Array("jshard", t, d, p) => JShardCfg(t.toInt, d.toInt, p.toInt)
     case Array(t) => DirCfg(t.toInt, 1, 8)
     case Array(t, b) => DirCfg(t.toInt, b.toInt, 8)
     case Array(t, b, p) => DirCfg(t.toInt, b.toInt, p.toInt)
     case _ => throw new IllegalArgumentException(
-      s"expected T[:B[:par]], jdbc:T[:par[:pooled|unpooled]], or shard:T:D[:par], got $a")
+      s"expected T[:B[:par]], jdbc:T[:par[:pooled|unpooled]], shard:T:D[:par], " +
+        s"or jshard:T:D[:par], got $a")
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,8 +106,147 @@ object FleetProbe {
       case DirCfg(t, b, par) => runDir(spark, base, t, b, par)
       case JdbcCfg(t, par, pooled) => runJdbc(spark, base, t, par, pooled)
       case ShardCfg(t, d, par) => runSharded(spark, base, t, d, par)
+      case JShardCfg(t, d, par) => runJdbcSharded(spark, base, t, d, par)
     }
     spark.stop()
+  }
+
+  /** The JDBC fleet COMPOSED with driver sharding (VERDICT r17 task 5):
+    * r17 measured the pooled JDBC tick (T=1k, 57.6 s) and the dir-mode
+    * shard relief (2.15× at D=2) separately; this config runs the
+    * reference's literal topology — poll a live database, watermark state
+    * IN it — split across D spawned driver JVMs. Each shard owns its own
+    * ON-DISK Derby database holding its name-hash slice of the tables
+    * (embedded Derby refuses two JVMs on one database at the boot lock —
+    * the WmXProc pin — so per-shard databases are the honest in-container
+    * approximation of D drivers on one networked MySQL; the tables and
+    * watermark rows are disjoint across shards either way, so no
+    * cross-shard contention is being dodged). The single-driver BASELINE
+    * runs in-process over one database with all T tables, warm, before
+    * the Derby engine is shut down to release the boot locks for the
+    * children. Reports per-shard tick walls AND per-shard physical
+    * connection counts (the pooling claim must survive the split). */
+  private def runJdbcSharded(spark: org.apache.spark.sql.SparkSession, base: Timestamp,
+      t: Int, d: Int, par: Int): Unit = {
+    val scratch = java.nio.file.Files.createTempDirectory(s"graft_fleet_jshard_$t").toString
+    val names = (1 to t).map(k => f"TBL_$k%06d")
+    val maxTs = new Timestamp(base.getTime + 9000L)
+    val midTs = new Timestamp(base.getTime + 4000L)
+    val activityOf: Map[String, Timestamp] = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 10 == 0) midTs else maxTs)
+    }.toMap
+    val (warmTbl, measTbl) = ("WATERMARK_WARM", "WATERMARK_MEAS")
+
+    // --- build one db per shard (its slice) + the baseline db (all T);
+    // on-disk so a CHILD JVM can boot it after this engine lets go
+    val tGen0 = System.nanoTime()
+    def createDb(path: String, tables: Seq[String]): Unit = {
+      val conn = java.sql.DriverManager.getConnection(s"jdbc:derby:$path;create=true")
+      try {
+        val st = conn.createStatement()
+        tables.foreach { n =>
+          st.executeUpdate(s"CREATE TABLE $n (event_id BIGINT NOT NULL PRIMARY KEY, " +
+            "ts TIMESTAMP, payload VARCHAR(32))")
+          val ps = conn.prepareStatement(s"INSERT INTO $n VALUES (?, ?, ?)")
+          (0 until 10).foreach { i =>
+            ps.setLong(1, i.toLong)
+            ps.setTimestamp(2, new Timestamp(base.getTime + i * 1000L))
+            ps.setString(3, s"$n-row-$i"); ps.addBatch()
+          }
+          ps.executeBatch()
+          ps.close()
+        }
+        st.close()
+      } finally conn.close()
+      // seed both watermark stores (warm + measured) with the 10%-active
+      // pattern — table indices come from the GLOBAL name list, so the
+      // active share is uniform across shards
+      Seq(warmTbl, measTbl).foreach { wt =>
+        val store = JdbcWatermarkStore(s"jdbc:derby:$path", table = wt)
+        tables.foreach(n => store.update(n, activityOf(n)))
+        store.closePool()
+      }
+    }
+    val slices = (0 until d).map(i => names.filter(FleetShard.sliceOf(_, d) == i))
+    val shardDbs = (0 until d).map(i => s"$scratch/db-$i")
+    shardDbs.zip(slices).foreach { case (p, s) => createDb(p, s) }
+    val baseDb = s"$scratch/db-base"
+    createDb(baseDb, names)
+    val genMs = (System.nanoTime() - tGen0) / 1e6
+
+    // --- single driver, in-process, over the all-T database: warm tick
+    // on the warm store, then the measured tick
+    def sourceOn(path: String) = FleetShard.ExcludingSource(
+      graft.sources.JdbcSource(s"jdbc:derby:$path", schemaPattern = Some("APP")),
+      Set(warmTbl, measTbl))
+    val srcBase = sourceOn(baseDb)
+    val warmStore = JdbcWatermarkStore(s"jdbc:derby:$baseDb", table = warmTbl)
+    val measStore = JdbcWatermarkStore(s"jdbc:derby:$baseDb", table = measTbl)
+    Cdc.syncCycleOutcomesOn(spark, srcBase, warmStore, s"$scratch/sink0w", parallelism = par)
+    val c0 = srcBase.inner.asInstanceOf[graft.sources.JdbcSource].connectionsOpened +
+      measStore.connectionsOpened
+    val t1 = System.nanoTime()
+    val out1 = Cdc.syncCycleOutcomesOn(spark, srcBase, measStore, s"$scratch/sink0",
+      parallelism = par)
+    val singleMs = (System.nanoTime() - t1) / 1e6
+    require(out1.collect { case (_, Cdc.TableSynced(n)) if n > 0 => n }.size == t / 10,
+      "baseline tick must sync the active 10%")
+    val singleConns = srcBase.inner.asInstanceOf[graft.sources.JdbcSource].connectionsOpened +
+      measStore.connectionsOpened - c0
+
+    // release every Derby boot lock so the children can claim their dbs
+    srcBase.inner.asInstanceOf[graft.sources.JdbcSource].closePool()
+    warmStore.closePool(); measStore.closePool()
+    try java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
+    catch { case _: java.sql.SQLException => () } // XJ015 = clean shutdown
+    // the engine shutdown DEREGISTERS the embedded driver; re-instantiate
+    // it so this process (a later config, another probe) can reconnect
+    try {
+      Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        .getDeclaredConstructor().newInstance()
+      ()
+    } catch { case _: ReflectiveOperationException => () }
+
+    // --- D child drivers, warm/barrier/measure protocol as dir-mode shard
+    val barrier = s"$scratch/go"
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+      "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+      "java.base/sun.nio.cs", "java.base/sun.security.action",
+      "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val procs = (0 until d).map { i =>
+      new ProcessBuilder((Seq(javaBin, "-cp",
+        "target/scala-2.13/classes:/opt/spark/jars/*") ++ addOpens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC", "-Xmx6g",
+        "graft.FleetShard", "jdbc", s"jdbc:derby:${shardDbs(i)}", warmTbl, measTbl,
+        s"$scratch/sink$d-$i", barrier, i.toString, d.toString, par.toString)): _*)
+        .redirectErrorStream(true).start()
+    }
+    val readers = procs.map(p => new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream)))
+    readers.foreach { r =>
+      var l = r.readLine()
+      while (l != null && l != "WARM") l = r.readLine()
+      require(l == "WARM", "a shard child died before warmup completed")
+    }
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(barrier))
+    val outs = readers.map { r =>
+      val sb = new StringBuilder
+      var l = r.readLine()
+      while (l != null) { sb.append(l).append('\n'); l = r.readLine() }
+      sb.toString
+    }
+    procs.foreach(_.waitFor())
+    def field(o: String, k: String): Long =
+      (s""""$k":(\\d+)""").r.findFirstMatchIn(o).getOrElse(
+        throw new IllegalStateException(s"shard child failed:\n$o")).group(1).toLong
+    val shardMs = outs.map(field(_, "tick_ms"))
+    val shardConns = outs.map(field(_, "conns_tick"))
+    println(f"""{"mode":"jdbc_sharded","tables":$t,"drivers":$d,"parallelism":$par,"gen_ms":$genMs%.0f,"single_driver_tick_ms":$singleMs%.0f,"single_driver_conns":$singleConns,"sharded_tick_wall_ms":${shardMs.max},"per_shard_ms":[${shardMs.mkString(",")}],"per_shard_conns":[${shardConns.mkString(",")}],"speedup":${singleMs / shardMs.max}%.2f}""")
   }
 
   /** The ACTIVE-term bottleneck, attacked (named in BASELINE r17: at
@@ -173,7 +319,7 @@ object FleetProbe {
       new ProcessBuilder((Seq(javaBin, "-cp",
         "target/scala-2.13/classes:/opt/spark/jars/*") ++ addOpens ++ Seq(
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC", "-Xmx6g",
-        "graft.FleetShard", src, s"$scratch/stateW-$i", s"$scratch/stateM-$i",
+        "graft.FleetShard", "dir", src, s"$scratch/stateW-$i", s"$scratch/stateM-$i",
         s"$scratch/sink$d-$i", barrier, i.toString, d.toString, par.toString)): _*)
         .redirectErrorStream(true).start()
     }

@@ -24,7 +24,16 @@ import org.apache.spark.sql.functions._
   * half from shifted regions — the mixed query load a drifted corpus
   * actually serves.
   *
-  * Usage: tools/jvmrun.sh graft.IvfProbe [nBase [dim [k]]]
+  * Usage:
+  *   tools/jvmrun.sh graft.IvfProbe [nBase [dim [k]]]          — the ladder
+  *   tools/jvmrun.sh graft.IvfProbe bookkeeping [nBase [batches [batchN]]]
+  *       — r18 (VERDICT r17 task 1): per-batch append wall as the index
+  *       grows, with the audit recount timed beside it (= what the r17
+  *       O(index-files) bookkeeping paid PER BATCH); append must stay flat
+  *   tools/jvmrun.sh graft.IvfProbe maintain [nBase [dim [k]]]
+  *       — r18 (VERDICT r17 task 4): at both measured drift endpoints,
+  *       run the maintain() chooser and the road it did NOT take on a
+  *       clone; the chooser's pick must be the cheaper wall
   * Prints one JSON line per checkpoint. */
 object IvfProbe {
 
@@ -42,6 +51,21 @@ object IvfProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    args.headOption match {
+      case Some("bookkeeping") =>
+        runBookkeeping(
+          args.lift(1).map(_.toInt).getOrElse(20000),
+          args.lift(2).map(_.toInt).getOrElse(12),
+          args.lift(3).map(_.toInt).getOrElse(1000))
+        return
+      case Some("maintain") =>
+        runMaintain(
+          args.lift(1).map(_.toInt).getOrElse(10000),
+          args.lift(2).map(_.toInt).getOrElse(32),
+          args.lift(3).map(_.toInt).getOrElse(16))
+        return
+      case _ => ()
+    }
     val nBase = args.lift(0).map(_.toInt).getOrElse(10000)
     val dim = args.lift(1).map(_.toInt).getOrElse(32)
     val k = args.lift(2).map(_.toInt).getOrElse(16)
@@ -156,6 +180,130 @@ object IvfProbe {
     val totalRows = nBase + hotN
     println(f"""{"probe":"ivf_repair","point":"concentrated_50pct","clusters_split":${cst.clustersSplit},"rows_reclustered":${cst.rowsReclustered},"rows_total":$totalRows,"rewrite_fraction":${cst.rowsReclustered.toDouble / totalRows}%.2f,"centroids":"${cst.centroidsBefore}->${cst.centroidsAfter}","repair_ms":$concMs%.0f}""")
     report(cdir, "conc_repaired", concProbes)
+    spark.stop()
+  }
+
+  /** The r18 append ladder (VERDICT r17 task 1): fixed-size batches into a
+    * growing index. The evidence is the SHAPE — `append_ms` must stay flat
+    * while the index's file count multiplies, because bookkeeping is now
+    * one O(batch) aggregation + a sidecar merge; `audit_recount_ms` (the
+    * full footer walk, timed beside it) is exactly what the r17 shape paid
+    * INSIDE every append and grows linearly with files — at a 100 TB
+    * index (~800k files) that term alone is hours per batch. The probe
+    * also asserts sidecar == recount at every step (the audit contract). */
+  private def runBookkeeping(nBase: Int, batches: Int, batchN: Int): Unit = {
+    val (dim, k) = (32, 16)
+    val spark = Bench.buildSession()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.operators.IvfIndex
+
+    val baseCenters = Array.tabulate(k)(i => center(dim, 1000L + i))
+    def gen(ids: Range): org.apache.spark.sql.DataFrame =
+      spark.range(ids.head, ids.last + 1L).as[Long]
+        .map(id => (id, makeVec(baseCenters, id, dim, 0.15f)))
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfbk").toString + "/idx"
+    IvfIndex.build(gen(0 until nBase), "vec_id", "embedding", dir, k = k, iters = 2)
+    // one warmup append pays JIT/codegen so batch 1 isn't inflated
+    IvfIndex.append(gen(nBase until nBase + batchN), "vec_id", "embedding", dir)
+
+    (1 to batches).foreach { b =>
+      val lo = nBase + b * batchN
+      val batch = gen(lo until lo + batchN)
+      val t0 = System.nanoTime()
+      IvfIndex.append(batch, "vec_id", "embedding", dir)
+      val appendMs = (System.nanoTime() - t0) / 1e6
+      val t1 = System.nanoTime()
+      val audit = IvfIndex.recountClusterRows(dir)
+      val auditMs = (System.nanoTime() - t1) / 1e6
+      require(IvfIndex.sidecarClusterRows(dir) == audit,
+        s"sidecar diverged from footer truth at batch $b")
+      val files = countFiles(s"$dir/data")
+      println(f"""{"probe":"ivf_bookkeeping","batch":$b,"index_rows":${lo + batchN},"index_files":$files,"append_ms":$appendMs%.0f,"audit_recount_ms":$auditMs%.1f}""")
+    }
+    spark.stop()
+  }
+
+  /** The r18 chooser rows (VERDICT r17 task 4): at each measured drift
+    * endpoint, run [[IvfIndex.maintain]] and force the road not taken on
+    * a byte-identical clone; the chooser's pick must be the cheaper wall.
+    * Concentrated drift (one unseen center) ⇒ repair; corpus-wide drift
+    * (every cluster absorbs shifted mass) ⇒ rebuild. */
+  private def runMaintain(nBase: Int, dim: Int, k: Int): Unit = {
+    val spark = Bench.buildSession()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.operators.IvfIndex
+
+    val baseCenters = Array.tabulate(k)(i => center(dim, 1000L + i))
+    val shiftCenters = Array.tabulate(3 * k)(i => center(dim, 9000L + i))
+    def gen(ids: Range, centers: Array[Array[Float]], noise: Float): org.apache.spark.sql.DataFrame =
+      spark.range(ids.head, ids.last + 1L).as[Long]
+        .map(id => (id, makeVec(centers, id, dim, noise)))
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+
+    def endpoint(tag: String, appendCenters: Array[Array[Float]], noise: Float,
+        appendN: Int, expect: String): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ivfmnt_$tag").toString + "/idx"
+      IvfIndex.build(gen(0 until nBase, baseCenters, 0.15f), "vec_id", "embedding", dir,
+        k = k, iters = 3)
+      IvfIndex.append(gen(20 * nBase until 20 * nBase + appendN, appendCenters, noise),
+        "vec_id", "embedding", dir)
+      val clone = s"$dir-alt"
+      copyDir(dir, clone)
+      if (tag == "corpus_wide") { copyDir(dir, s"$dir-ser"); copyDir(dir, s"$dir-par") }
+
+      val t0 = System.nanoTime()
+      val action = IvfIndex.maintain(spark, dir)
+      val chosenMs = (System.nanoTime() - t0) / 1e6
+      val choice = action match {
+        case IvfIndex.MaintainRepaired(_) => "repair"
+        case IvfIndex.MaintainRebuilt(_) => "rebuild"
+        case IvfIndex.MaintainNoOp => "noop"
+      }
+      require(choice == expect, s"$tag: chooser picked $choice, ladder says $expect")
+      // rewrite volume is the scale-relevant quantity (walls at this SF
+      // are fixed-cost-dominated and load-noisy): repair's bill is the
+      // rows it reclusters, rebuild's is the whole corpus
+      val total = nBase.toLong + appendN
+      val rewritten = action match {
+        case IvfIndex.MaintainRepaired(st) => st.rowsReclustered
+        case _ => total
+      }
+      // the road not taken, on the clone
+      val t1 = System.nanoTime()
+      val altRewritten =
+        if (choice == "repair") { IvfIndex.rebuildInPlace(spark, clone); total }
+        else IvfIndex.repair(spark, clone).rowsReclustered
+      val altMs = (System.nanoTime() - t1) / 1e6
+      println(f"""{"probe":"ivf_maintain","point":"$tag","choice":"$choice","chosen_ms":$chosenMs%.0f,"alternative_ms":$altMs%.0f,"chose_cheaper":${chosenMs <= altMs},"rows_rewritten":$rewritten,"alt_rows_rewritten":$altRewritten,"rows_total":$total}""")
+
+      // serial-vs-pooled repair (VERDICT r17 task 3), where the endpoint
+      // makes >= 8 clusters stale: the r17 shape paid per-cluster
+      // Spark-job fixed cost one stale cluster at a time
+      if (tag == "corpus_wide") {
+        val (s1, s8) = (s"$dir-ser", s"$dir-par") // pristine pre-maintain copies
+        val stale = IvfIndex.staleClusters(s1).size
+        val ts = System.nanoTime()
+        IvfIndex.repair(spark, s1, parallelism = 1)
+        val serialMs = (System.nanoTime() - ts) / 1e6
+        val tp = System.nanoTime()
+        IvfIndex.repair(spark, s8, parallelism = 8)
+        val pooledMs = (System.nanoTime() - tp) / 1e6
+        println(f"""{"probe":"ivf_repair_parallel","point":"$tag","stale_clusters":$stale,"serial_ms":$serialMs%.0f,"pooled8_ms":$pooledMs%.0f,"speedup":${serialMs / pooledMs}%.2f}""")
+      }
+    }
+
+    // one unseen hot center absorbing half-the-base appended mass — the
+    // r17 measured scenario, the repair regime
+    endpoint("concentrated", Array(center(dim, 5555L)), 0.10f, nBase / 2, expect = "repair")
+    // same mass shifted across 3k unseen centers: every cluster stale —
+    // the rebuild regime
+    endpoint("corpus_wide", shiftCenters, 0.45f, nBase, expect = "rebuild")
     spark.stop()
   }
 

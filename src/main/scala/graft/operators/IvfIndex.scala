@@ -328,6 +328,7 @@ object IvfIndex {
     clusterDirs(dataDir).filterNot { case (id, _) => knownIds(id) }
       .foreach { case (_, d) => deleteRecursively(d) }
     deleteRecursively(new java.io.File(s"$indexDir/repair_stage"))
+    deleteRecursively(new java.io.File(s"$indexDir/rebuild_stage"))
 
     val meanBase = {
       val bs = baseCounts.values.filter(_ > 0L)
@@ -596,6 +597,14 @@ object IvfIndex {
     writeCountsFile(s"$stage/$BaseCountsFile", baseCounts)
     writeCountsFile(s"$stage/$AppendedCountsFile", appendedCounts)
     swapDir(stage, path)
+    // a fresh commit supersedes any legacy (pre-r18) root-level count
+    // files — drop them so no reader can ever consult a stale twin
+    val indexDir = new java.io.File(path).getParentFile
+    if (indexDir != null) {
+      new java.io.File(indexDir, "base_count").delete()
+      new java.io.File(indexDir, "base_counts").delete()
+      ()
+    }
   }
 
   private def writeCountsFile(path: String, counts: Map[Int, Long]): Unit = {
