@@ -395,9 +395,11 @@ final case class JdbcSource(
   }
   private val probeMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Option[(String, String, String, Int)], Long)]()
-  /** Spec memo lifetime — longer than one cycle's two scans of a table,
-    * far shorter than any poll cadence. */
-  private val ProbeMemoMillis = 30000L
+  /** Spec memo lifetime (and negative column-resolution lifetime) —
+    * longer than one cycle's two scans of a table, far shorter than any
+    * poll cadence. Test-tunable (JdbcCdcSpec pins the ADD-direction
+    * re-resolve). */
+  private[graft] var ProbeMemoMillis = 30000L
 
   /** MIN/MAX of a stored column identifier, as the driver's natural
     * objects (Number for numerics, Timestamp for timestamps). Identifiers

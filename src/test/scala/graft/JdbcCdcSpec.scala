@@ -267,6 +267,35 @@ class JdbcCdcSpec extends AnyFunSuite {
       "warm par=16 tick must open zero new store connections")
   }
 
+  test("ADD-direction change-column drift re-resolves after the negative-cache " +
+      "TTL: a table that gains the change column leaves the full-scan path (ADVICE r17)") {
+    val u7 = "jdbc:derby:memory:graftcdcaddcol;create=true"
+    val c = DriverManager.getConnection(u7)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate("CREATE TABLE gains_ts (event_id BIGINT NOT NULL PRIMARY KEY, " +
+        "payload VARCHAR(32))")
+      st.executeUpdate("INSERT INTO gains_ts VALUES (1, 'pre-column')")
+      ()
+    } finally c.close()
+    val source = JdbcSource(u7, schemaPattern = Some("APP"))
+    source.ProbeMemoMillis = 0L // expire negative resolutions immediately
+    // no change column yet: the cheap probe answers unknown (full path)
+    assert(source.changeMax("GAINS_TS", "ts").isEmpty)
+    // the table GAINS the column (created empty then altered — the drift
+    // case the r17 forever-negative cache kept on the full-scan path)
+    val c2 = DriverManager.getConnection(u7)
+    try {
+      val st = c2.createStatement()
+      st.executeUpdate("ALTER TABLE gains_ts ADD COLUMN ts TIMESTAMP")
+      st.executeUpdate("UPDATE gains_ts SET ts = TIMESTAMP('2024-01-01 00:01:00')")
+      ()
+    } finally c2.close()
+    assert(source.changeMax("GAINS_TS", "ts") ==
+      Some(Some(ts("2024-01-01 00:01:00"))),
+      "the expired negative entry must re-resolve and serve the exact MAX")
+  }
+
   test("schema drift over live JDBC, DROP direction: a database DROP COLUMN " +
       "vanishes the field from new serializations — no crash, sink converges") {
     val u3 = "jdbc:derby:memory:graftcdcdrop;create=true"
