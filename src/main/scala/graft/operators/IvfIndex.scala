@@ -97,6 +97,7 @@ object IvfIndex {
     val perCluster = clusterRowCounts(s"$indexDir/data")
     writeCentroids(spark, centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq,
       s"$indexDir/centroids", perCluster, Map.empty)
+    resetAdvisories(indexDir) // a rebuild over the same dir closes the episode
     ()
   }
 
@@ -184,14 +185,24 @@ object IvfIndex {
     }
     frac
   }
-  // advise once per index per process — a maintenance loop appending on a
-  // cadence must not spam stderr every batch (same shape as the CDC store's
-  // shard advisory); global-rebuild and per-cluster-repair advisories are
-  // tracked separately (a repaired index can later cross the global bar)
+  // advise once per index per DRIFT EPISODE — a maintenance loop appending
+  // on a cadence must not spam stderr every batch (same shape as the CDC
+  // store's shard advisory), but a successful repair/rebuild closes the
+  // episode ([[resetAdvisories]]) so the NEXT accumulation advises again
+  // (r18 — the r17 once-per-process key silenced every episode after the
+  // first for the life of the driver). Global-rebuild and
+  // per-cluster-repair advisories are tracked separately (a repaired
+  // index can later cross the global bar).
   private val rebuildAdvised =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val repairAdvised =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def resetAdvisories(indexDir: String): Unit = {
+    val key = new java.io.File(indexDir).getAbsolutePath
+    rebuildAdvised.remove(key)
+    repairAdvised.remove(key)
+    ()
+  }
 
   /** Appended rows / trained-base rows, from the sidecar counts —
     * driver-side, TWO small file reads, no footer walk (r18). A pre-r18
@@ -415,6 +426,7 @@ object IvfIndex {
 
     // (3) retire the split dirs — now invisible to every reader
     stale.foreach(id => deleteRecursively(new java.io.File(s"$dataDir/cluster=$id")))
+    resetAdvisories(indexDir) // episode closed: the next drift advises anew
     RepairStats(stale.size, splits.map(_.rows).sum, splits.map(_.filesWritten).sum,
       splits.map(_.filesRetired).sum, entries.size, finalEntries.size)
   }
@@ -464,6 +476,7 @@ object IvfIndex {
     entries.foreach { case (id, _) =>
       deleteRecursively(new java.io.File(s"$dataDir/cluster=$id"))
     }
+    resetAdvisories(indexDir) // episode closed: the next drift advises anew
     cents.length
   }
 

@@ -428,9 +428,18 @@ class SimilaritySpec extends AnyFunSuite {
         s"advisory must name the remedy and the absorbed cluster: ${msgs.head}")
 
       // a second concentrated batch below the global bar: no re-advise
-      // (once per index per process — the maintenance-loop no-spam rule)
+      // (once per index per EPISODE — the maintenance-loop no-spam rule)
       IvfIndex.append(near(2100L, 3), "vec_id", "embedding", dir)
-      assert(msgs.size == 1, s"advisory must fire once per index: $msgs")
+      assert(msgs.size == 1, s"advisory must fire once per episode: $msgs")
+
+      // acting on the advisory closes the episode: after a repair, a NEW
+      // concentrated accumulation must advise again (r18 — the r17
+      // once-per-process key silenced every later episode)
+      val st = IvfIndex.repair(spark, dir)
+      assert(st.clustersSplit >= 1)
+      IvfIndex.append(near(2200L, 30), "vec_id", "embedding", dir)
+      assert(msgs.size == 2 && msgs.last.contains(dir),
+        s"a post-repair drift episode must re-advise: $msgs")
     } finally IvfIndex.onAdvisory = saved
   }
 
