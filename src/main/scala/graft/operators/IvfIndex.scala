@@ -692,7 +692,7 @@ object IvfIndex {
     * a ranked position must map back to a stored id. */
   def centroidEntries(spark: SparkSession, indexDir: String): Seq[(Int, Array[Float])] = {
     import spark.implicits._
-    spark.read.parquet(s"$indexDir/centroids")
+    graft.sources.Tables.cachedParquet(spark, s"$indexDir/centroids")
       .orderBy(col("cluster"))
       .select(col("cluster"), col("centroid"))
       .as[(Int, Array[Float])].collect().toSeq
@@ -715,7 +715,7 @@ object IvfIndex {
     val ranked = SimilaritySearch.rankClusters(
       entries.map(_._2).toArray, probe, math.max(nprobe, 1))
     val probeClusters = ranked.map(pos => entries(pos)._1)
-    spark.read.parquet(s"$indexDir/data")
+    graft.sources.Tables.cachedParquet(spark, s"$indexDir/data")
       .where(col("cluster").isin(probeClusters: _*))
       .select(col("id"),
         round(VectorOps.cosineFast(col("embedding"), lit(probe).cast("array<float>")), 6).as("score"))
