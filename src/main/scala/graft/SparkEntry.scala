@@ -29,6 +29,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Pruned scan of `table`, total-ordered by `key` BEFORE any heavy
+    * per-row projection (r18, guide §2.4 "establish the partitioning
+    * once"). A trailing global `orderBy` plans as a range exchange whose
+    * boundary-sampling pass computes its ENTIRE child once more
+    * (RangePartitioner samples the child RDD), so a per-doc scoring query
+    * that sorts LAST runs its tokenize/regex/hash projection TWICE per
+    * row; sorting the pruned scan FIRST makes the sampling pass read only
+    * the scan columns and the heavy projection run exactly once, above
+    * the exchange. Rows and final order are identical by construction —
+    * per-row projections are order-preserving (measured on q83:
+    * 1.20 → 0.81 s at sf0.1; plan: the range exchange's child shrinks
+    * from the full scored projection to the 3-column scan). */
+  private def sortedScan(s: SparkSession, dir: String, table: String, key: String, cols: String*): DataFrame =
+    t(s, dir, table).select((key +: cols).map(col): _*).orderBy(col(key))
+
   /** Decimal-exact sum of a double column, emitted as double. */
   private def dsum(c: Column, scale: Int = 6): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -384,7 +399,7 @@ object SparkEntry {
       concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
         lit("@example.com or 555-0142")))
       .otherwise(col("text"))
-    t(s, dir, "documents")
+    sortedScan(s, dir, "documents", "doc_id", "text")
       .select(col("doc_id"), planted.as("text"))
       .select(
         col("doc_id"),
@@ -394,7 +409,6 @@ object SparkEntry {
         col("doc_id"), col("n_emails"),
         regexp_count(col("clean"), lit("<PHONE>")).cast("long").as("n_phones"),
         sha2(col("clean"), 256).as("clean_sha256"))
-      .orderBy(col("doc_id"))
   }
 
   /** N-gram LM scoring of documents against the corpus's own bigram model
@@ -555,10 +569,9 @@ object SparkEntry {
     * expression — value-identical to the TextOps.simhash32 composition). */
   private def q19(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.ArrayExprs
-    t(s, dir, "documents")
+    sortedScan(s, dir, "documents", "doc_id", "text")
       .select(col("doc_id"), ArrayExprs.simhash32Fast(
         PortableHash.hash32Array(TextOps.tokens(col("text")))).as("simhash"))
-      .orderBy(col("doc_id"))
   }
 
   /** Blocked n-gram (unigram) Jaccard near-dup pairs. */
@@ -569,20 +582,19 @@ object SparkEntry {
 
   /** Language ID (marker-term heuristic) vs the labeled lang. */
   private def q21(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    sortedScan(s, dir, "documents", "doc_id", "lang", "text")
       // tokenize once behind the sticky barrier; langId alone walks the
       // token array five times (one markerCount per language)
       .select(col("doc_id"), col("lang"),
         graft.plans.ArrayExprs.sticky(TextOps.tokens(col("text"))).as("_toks"))
       .select(col("doc_id"), col("lang"), TextOps.langIdOf(col("_toks")).as("pred_lang"))
-      .orderBy(col("doc_id"))
 
   /** Quality scoring: length/punct/stopword signals + composite score.
     * The document is tokenized ONCE (sticky barrier) and four of the five
     * signals read the shared array — the text-based forms re-run the
     * regex split + interpreted filter per signal. */
   private def q22(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    sortedScan(s, dir, "documents", "doc_id", "text")
       .select(col("doc_id"), col("text"),
         graft.plans.ArrayExprs.sticky(TextOps.tokens(col("text"))).as("_toks"))
       .select(
@@ -592,13 +604,11 @@ object SparkEntry {
         TextOps.quantize6(TextOps.stopwordRatioOf(col("_toks"))).as("stopword_ratio"),
         TextOps.quantize6(TextOps.meanTokenLenOf(col("_toks"))).as("mean_token_len"),
         TextOps.qualityScoreOf(col("text"), col("_toks")).as("quality"))
-      .orderBy(col("doc_id"))
 
   /** Rolling-hash document fingerprint (order-sensitive polynomial hash). */
   private def q23(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    sortedScan(s, dir, "documents", "doc_id", "text")
       .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("fingerprint"))
-      .orderBy(col("doc_id"))
 
   /** Brute-force cosine top-k against the vec_id=0 probe (§3.3 read path). */
   private def q24(s: SparkSession, dir: String): DataFrame = {
@@ -718,18 +728,17 @@ object SparkEntry {
 
   /** Approximate BPE-ish token counting (per-word merge-piece estimate). */
   private def q35(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    sortedScan(s, dir, "documents", "doc_id", "text")
       .select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("ws_tokens"),
         TextOps.approxBpeCount(col("text")).cast("long").as("bpe_tokens"))
-      .orderBy(col("doc_id"))
 
   /** MinHash signatures themselves (universal-hash family) — spot-checks
     * three permutation lanes per document. */
   private def q36(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.ArrayExprs
-    t(s, dir, "documents")
+    sortedScan(s, dir, "documents", "doc_id", "text")
       .withColumn("hs", array_sort(array_distinct(
         graft.plans.ArrayExprs.shingleHash32(TextOps.tokens(col("text")), 3))))
       .withColumn("sig", ArrayExprs.minhashSignatureFast(col("hs"), 16))
@@ -738,7 +747,6 @@ object SparkEntry {
         element_at(col("sig"), 1).as("sig_1"),
         element_at(col("sig"), 8).as("sig_8"),
         element_at(col("sig"), 16).as("sig_16"))
-      .orderBy(col("doc_id"))
   }
 
   /** SimHash near-dup pairs via byte blocking over documents ∪ copy. */
@@ -809,7 +817,7 @@ object SparkEntry {
     * float stage is this, scaled by 1/√l2sq; its unit-norm invariant is
     * the `nrm` column, and the scale curve keeps q90 measured). */
   private def q90(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    sortedScan(s, dir, "documents", "doc_id", "text")
       .select(col("doc_id"),
         graft.plans.ArrayExprs.sticky(Embeddings.embedAuditCol(col("text"))).as("_a"))
       .select(
@@ -819,7 +827,6 @@ object SparkEntry {
         col("_a._2").as("l2sq"),
         col("_a._3").as("chk"),
         round(col("_a._4").cast("double"), 4).as("nrm"))
-      .orderBy(col("doc_id"))
 
   /** F8+§3.3: text-query similarity search, ORACLE-HASH-CHECKED: top-10 by
     * cosine computed EXACTLY from the integer accumulators (dot and norms
@@ -862,9 +869,15 @@ object SparkEntry {
     // PNG/WAV ENCODING that fabricates the fixture.
     val all = t(s, dir, "documents")
     val sliced = if (all.count() <= 500L) all else all.where(col("doc_id") % 10 === 2)
-    val media = Multimodal.syntheticMedia(s, sliced)
+    // total order established on the PRUNED SCAN, below the encode/decode
+    // maps (media_id = doc_id; Dataset.map/mapPartitions are
+    // order-preserving) — a trailing orderBy's range-exchange sampling
+    // pass would run the whole synthetic-encode + codec-decode chain a
+    // second time per row (see sortedScan)
+    val sorted = sliced.select(col("doc_id"), col("text"), col("source"), col("lang"))
+      .orderBy(col("doc_id"))
+    val media = Multimodal.syntheticMedia(s, sorted)
     Multimodal.resizePlan(Multimodal.decodeAndFeaturize(media), maxSide = 512)
-      .orderBy(col("media_id"))
   }
 
   /** The full CDC sync cycle (§3.2) against a scratch state/sink dir:
@@ -1221,8 +1234,19 @@ object SparkEntry {
     * it; q83 traces it row-by-row — the SAME plan prefix by construction,
     * so a q78 mismatch with q83 green localizes the bug to the
     * aggregation/window. */
-  private def funnelScored(s: SparkSession, dir: String): DataFrame = {
-    val scored = t(s, dir, "documents")
+  private def funnelScored(s: SparkSession, dir: String, sorted: Boolean = false): DataFrame = {
+    // `sorted=true` (q83, the per-doc trace): establish the output's total
+    // order BEFORE the scoring projection. A global sort plans as a range
+    // exchange whose boundary-sampling pass computes its ENTIRE child once
+    // more (RangePartitioner samples the child RDD), so sorting AFTER the
+    // scoring runs the regex/tokenize/marker pipeline TWICE per row; with
+    // the sort below it, the sampling pass reads only the pruned parquet
+    // scan and the heavy projection runs exactly once, above the exchange
+    // (guide §2.4: establish partitioning once, then compute). Same rows,
+    // same order by construction — projections are order-preserving.
+    val base0 = t(s, dir, "documents")
+    val base = if (sorted) base0.select(col("doc_id"), col("source"), col("text")).orderBy(col("doc_id")) else base0
+    val scored = base
       .select(col("doc_id"), col("source"), col("text"),
         graft.plans.ArrayExprs.sticky(TextOps.tokens(col("text"))).as("_toks"))
       .select(Seq(
@@ -1257,12 +1281,14 @@ object SparkEntry {
     * itself. With this green, any residual q78 divergence is pinned to
     * the grouped agg / share window alone. */
   private def q83(s: SparkSession, dir: String): DataFrame =
-    funnelScored(s, dir)
+    // total order established INSIDE funnelScored(sorted=true), below the
+    // scoring projection — see the sampling-pass note there; the output is
+    // doc_id-ordered exactly as the trailing orderBy produced
+    funnelScored(s, dir, sorted = true)
       .select(col("doc_id"), col("source"), col("n_chars"), col("n_toks"),
         col("punct_hits"), col("stop_hits"),
         col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("s_zh"),
         col("pred_lang"), col("quality_micro"), col("verdict"))
-      .orderBy(col("doc_id"))
 
   /** q78 minus the share window: the grouped (source, verdict) counts
     * alone. Bisect surface — with q83 green per-doc and q84 green, any

@@ -50,12 +50,19 @@ object Dedup {
     * logged with bucket/row/sub-bucket counts and is a signal to
     * exact-dedup first ([[exactByText]]: byte-identical copies collapse
     * to one representative and never reach the LSH stage). The oversized
-    * list is tiny by construction (≤ rows/maxBucket entries),
-    * materialized once ([[Materialize.shared]]) and joined as a broadcast — the
-    * guard costs one map-side-combined count per bucket key and adds no
-    * shuffle on the data path. All output keys are xxhash64-normalized
-    * longs (a 64-bit collision merging two buckets only adds candidates;
-    * the exact refine predicates keep the result set correct). */
+    * list is tiny by construction (≤ rows/maxBucket entries) and
+    * BROADCAST-BOUND by design, so it is collected once and re-shipped as
+    * a local relation: the WARN stats fall out of the collected rows
+    * driver-side, which fuses the old persist-count + stats-aggregate
+    * pair into ONE job (r18, CcProbe: the guard cost two ~50-150 ms
+    * fixed-latency jobs per call on EVERY blocked query even when nothing
+    * was oversized), and the no-oversized common case skips the broadcast
+    * join entirely — same rows by construction (`_bsz` is null for every
+    * row of a left join against an empty side). The guard still costs one
+    * map-side-combined count per bucket key and adds no shuffle on the
+    * data path. All output keys are xxhash64-normalized longs (a 64-bit
+    * collision merging two buckets only adds candidates; the exact refine
+    * predicates keep the result set correct). */
   private def subSplitOversizedBuckets(
       blocked0: DataFrame, key: String, idCol: String, maxBucket: Int, tag: String): DataFrame = {
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
@@ -65,18 +72,21 @@ object Dedup {
     // real (joinable) bucket and reintroduce the quadratic path for
     // null-text floods.
     val blocked = blocked0.where(col(key).isNotNull)
-    val oversized = Materialize.shared(
-      blocked.groupBy(col(key)).agg(count(lit(1)).as("_bsz"))
-        .where(col("_bsz") > maxBucket))
-    val stats = oversized.agg(count(lit(1)).as("nb"), sum(col("_bsz")).as("nrows"),
-      sum(ceil(col("_bsz") / lit(maxBucket))).as("nsub")).collect()(0)
-    if (stats.getLong(0) > 0)
-      System.err.println(
-        s"[dedup] WARN $tag: sub-split ${stats.getLong(0)} degenerate bucket(s) " +
-          s"(> $maxBucket members, ${stats.getLong(1)} member rows) into " +
-          s"${stats.getLong(2)} secondary-hash sub-buckets — within-sub-bucket " +
-          "pairs are still examined (partial recall, ≈1/nsplit per bucket key); " +
-          "exact-dedup the corpus first if these are byte-identical floods")
+    val oversizedDf = blocked.groupBy(col(key)).agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") > maxBucket)
+    val osRows = oversizedDf.collect()
+    if (osRows.isEmpty) return blocked.withColumn(key, xxhash64(col(key)))
+    val szIdx = oversizedDf.schema.fieldIndex("_bsz")
+    val nrows = osRows.iterator.map(_.getLong(szIdx)).sum
+    val nsub = osRows.iterator.map(r => (r.getLong(szIdx) + maxBucket - 1) / maxBucket).sum
+    System.err.println(
+      s"[dedup] WARN $tag: sub-split ${osRows.length} degenerate bucket(s) " +
+        s"(> $maxBucket members, $nrows member rows) into " +
+        s"$nsub secondary-hash sub-buckets — within-sub-bucket " +
+        "pairs are still examined (partial recall, ≈1/nsplit per bucket key); " +
+        "exact-dedup the corpus first if these are byte-identical floods")
+    val oversized = blocked.sparkSession.createDataFrame(
+      java.util.Arrays.asList(osRows: _*), oversizedDf.schema)
     val nsplit = ceil(col("_bsz") / lit(maxBucket))
     blocked.join(broadcast(oversized), Seq(key), "left_outer")
       .withColumn(key,
