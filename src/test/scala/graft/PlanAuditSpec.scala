@@ -268,4 +268,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(audited >= 40, s"expected the wrapped family to be audited, saw only $audited")
   }
+
+  test("per-doc scalar queries keep the heavy projection ABOVE the range sort (r18)") {
+    // A trailing global orderBy's range-exchange sampling pass computes its
+    // ENTIRE child once more, so scoring expressions below the exchange run
+    // twice per row. sortedScan establishes the order on the pruned scan;
+    // the scoring projection must stay above it — a regression here is the
+    // silent 2× the r18 round removed (q83 1.20 → 0.81 s).
+    for (q <- Seq("q22_quality_score", "q83_funnel_trace")) {
+      val out = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val plan = out.queryExecution.executedPlan.toString
+      val idx = plan.indexOf("rangepartitioning")
+      assert(idx >= 0, s"$q must keep a total order:\n$plan")
+      assert(!plan.substring(idx).contains("tokenmarkercount"),
+        s"$q: scoring expressions sit below the range exchange — the " +
+          s"sampling pass would evaluate them twice per row:\n$plan")
+    }
+  }
+
+  test("blocked pair generators skip the guard join when nothing is oversized (r18)") {
+    // subSplitOversizedBuckets collects the (tiny, broadcast-bound)
+    // oversized list once; with no oversized bucket the re-keying
+    // left-outer join must vanish from the plan entirely (its `_bsz`
+    // column is the marker). The oversized branch is pinned by DedupSpec's
+    // flood test.
+    val out = SparkEntry.queries("q20_ngram_jaccard")(spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("_bsz"),
+      s"guard join present despite no oversized bucket:\n$plan")
+  }
 }
