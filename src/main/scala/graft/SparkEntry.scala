@@ -186,7 +186,10 @@ object SparkEntry {
     * SURVEY §2.5) over the events JSON column; grouped on the parsed key
     * with a parity check column proving both readers agree. */
   private def q13(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    // spread past the single-row-group scan: both JSON parses otherwise
+    // run serially in the one scan task (Materialize.spreadNarrowScan —
+    // no-op at scale; aggregation output is partition-independent)
+    operators.Materialize.spreadNarrowScan(t(s, dir, "events"), col("event_id"))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .withColumn("k_struct",
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))

@@ -196,8 +196,17 @@ object Chunker {
       df: DataFrame,
       orderCol: Column,
       source: String,
-      chunkSize: Int = DefaultChunkSize): DataFrame =
-    chunkDeterministic(df.withColumn("_json", JsonRows.toJsonCol(df)), orderCol, col("_json"), source, chunkSize)
+      chunkSize: Int = DefaultChunkSize): DataFrame = {
+    // spread BEFORE the JSON projection so it parallelizes past a
+    // degenerate (single-row-group) scan; deterministic chunking is
+    // partition-independent (key-derived blocks), so rows and chunk
+    // membership are unchanged (Materialize.spreadNarrowScan — no-op at
+    // scale). The projection sits ABOVE the spread exchange, so the
+    // counts branch still prunes `_json` and the exchange ships raw rows.
+    val spread = Materialize.spreadNarrowScan(df, orderCol)
+    chunkDeterministic(spread.withColumn("_json", JsonRows.toJsonCol(spread)),
+      orderCol, col("_json"), source, chunkSize)
+  }
 
   /** Shared assembly: group by chunk id, join docs in row order (sort the
     * collected (rn, doc) structs — `collect_list` order is NOT stable under

@@ -188,6 +188,38 @@ object Materialize {
     }
   }
 
+  /** Spread a DEGENERATE scan across the session width before an
+    * expensive per-row projection (guide §2.5: one huge unsplittable
+    * input file → "repartition immediately after the read"). A
+    * single-row-group parquet (or a handful of gzip files) plans as 1-3
+    * scan tasks, and every projection Catalyst places in that map stage —
+    * whole-row JSON, a double JSON parse — runs serially while the rest
+    * of the machine idles (q93's StageProbe: 532 ms of its big job was
+    * one task JSON-serializing 100k rows). Round-robin repartition to
+    * the session width parallelizes the projection; the no-op condition
+    * (input already at least half the session width) makes this
+    * SCALE-ADAPTIVE: a 100 TB scan has thousands of splits and never
+    * re-shuffles. Only for callers whose downstream result is
+    * partition-independent (deterministic chunking's key-derived blocks,
+    * aggregations) — never ahead of [[Chunker.chunkScalable]]-style
+    * partition-dependent numbering. Rows are unchanged. The spread hashes
+    * a DETERMINISTIC derived key (guide §2.5: `pmod(xxhash64(id), k·n)`,
+    * with 64× the target partition count so hash collisions spread
+    * evenly) — a keyless round-robin `repartition(n)` would pay Spark's
+    * sort-before-repartition local sort INSIDE the degenerate scan task,
+    * serializing right where this helper is trying to parallelize
+    * (measured: round-robin spread made q93 ~0.2 s SLOWER; hash spread
+    * is sort-free). */
+  def spreadNarrowScan(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val width = math.max(1, scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt).getOrElse(32))
+    val parts = df.rdd.getNumPartitions // planning only, no job
+    if (parts * 2 >= width) df
+    else df.repartition(width, org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(key),
+      org.apache.spark.sql.functions.lit(width * 64L)))
+  }
+
   /** Session-scoped reliable-checkpoint scratch dir, created on first use
     * and deleted on JVM exit. On a real cluster this conf points at a
     * durable shared filesystem; the engine's behavior is identical. */

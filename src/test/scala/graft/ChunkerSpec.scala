@@ -42,6 +42,19 @@ class ChunkerSpec extends AnyFunSuite {
     assert(a.map(_.getAs[String]("id")).sorted.sameElements(b.map(_.getAs[String]("id")).sorted))
   }
 
+  test("chunkRowsAsJson is partition-independent (r18 narrow-scan spread)") {
+    // the spread re-hashes a degenerate input across the session before
+    // the JSON projection; chunk membership is key-derived, so 1-partition
+    // and many-partition inputs must produce IDENTICAL chunk ids/texts
+    val one = Chunker.chunkRowsAsJson(mk(250).coalesce(1), col("id"), "t", 100)
+      .orderBy("chunk_no").collect()
+    val many = Chunker.chunkRowsAsJson(mk(250).repartition(7), col("id"), "t", 100)
+      .orderBy("chunk_no").collect()
+    assert(one.length == 3 && many.length == 3)
+    assert(one.map(r => (r.getAs[String]("id"), r.getAs[String]("text")))
+      .sameElements(many.map(r => (r.getAs[String]("id"), r.getAs[String]("text")))))
+  }
+
   test("string order key (sampled-range snapshot path) orders and is deterministic") {
     // zero-padded keys: lexicographic order == numeric order, so the
     // expected chunk contents are the same as the numeric-key tests'
