@@ -449,12 +449,22 @@ object SparkEntry {
     // sequential reads — the cluster-scale shape is exactly a staging
     // table. The two model-build consumers share one ReusedExchange
     // (identical subtrees over the staged files).
+    // Staged PARTITIONED BY (bh, w1h) — the key every downstream consumer
+    // clusters on (r19, guide §2.1/§6.3): Dataset.checkpoint preserves the
+    // physical partitioning into the re-read (visible as `ExistingRDD,
+    // hashpartitioning(bh, w1h, …)` in the plan), so the probe-side
+    // exchange, the model-build exchange, and the totals-path exchange all
+    // vanish (plans/r19/q63 before: 3 full exchanges of this relation
+    // after the stage; after: 0) for the price of ONE extra exchange of
+    // the already-deduped (long,long,long,cnt) rows inside the staging
+    // job. At 100 TB that is 3 corpus-derived shuffles → 1.
     val bigrCounts = operators.Materialize.truncate(t(s, dir, "documents")
       .select(col("doc_id"), explode(TextOps.wordShingles(col("text"), 2)).as("bigram"))
       .select(col("doc_id"),
         PortableHash.hash32(col("bigram")).as("bh"),
         PortableHash.hash32(split(col("bigram"), " ").getItem(0)).as("w1h"))
-      .groupBy(col("doc_id"), col("bh"), col("w1h")).agg(count(lit(1)).as("cnt")))
+      .groupBy(col("doc_id"), col("bh"), col("w1h")).agg(count(lit(1)).as("cnt"))
+      .repartition(col("bh"), col("w1h")))
     val model = bigrCounts.groupBy(col("bh"), col("w1h")).agg(sum(col("cnt")).as("n12"))
     val totals = model.groupBy(col("w1h")).agg(sum(col("n12")).as("n1"))
     val probs = model.join(totals, "w1h")
@@ -518,11 +528,29 @@ object SparkEntry {
     val deduped = docs.join(kept, Seq("doc_id"), "left_semi")
     // 2. decontamination: the held-out set (doc_id % 97 == 0) leaves the
     //    corpus, and so does any doc sharing a 3-shingle with it
+    //    The shingle relation feeds BOTH decontamination consumers (the
+    //    held-out shingle set and the contamination semi-join), and
+    //    neither had an exchange above the explode, so the tokenize+
+    //    3-shingle+hash Generate ran TWICE — both inside the broadcast
+    //    build's subtree (plans/r19/q65 before: Generate at (18) and
+    //    (30); JobTrace: the contaminated broadcast build alone was
+    //    0.97 s). Repartitioning by `h` — the key both consumers cluster
+    //    on — creates the one exchange they share (ReusedExchange), so
+    //    the explode runs ONCE; the held-out flag is computed BELOW the
+    //    exchange behind a sticky barrier, because a deterministic
+    //    doc_id-filter would be pushed below the repartition and split
+    //    the two subtrees apart again (guide §2.1: shuffle once, read
+    //    twice). Cost: one shuffle of (long, long, bool) rows; saving:
+    //    a full corpus tokenize+shingle pass — at 100 TB the narrow
+    //    shuffle is orders of magnitude cheaper than re-deriving
+    //    shingles from text.
     val sh = deduped
       .select(col("doc_id"), explode(array_distinct(TextOps.wordShingles(col("text"), 3))).as("sh"))
-      .select(col("doc_id"), PortableHash.hash32(col("sh")).as("h"))
-    val testShingles = sh.where(col("doc_id") % 97 === 0).select(col("h")).distinct()
-    val contaminated = sh.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), PortableHash.hash32(col("sh")).as("h"),
+        graft.plans.ArrayExprs.sticky(col("doc_id") % 97 === 0).as("is_test"))
+      .repartition(col("h"))
+    val testShingles = sh.where(col("is_test")).select(col("h")).distinct()
+    val contaminated = sh.where(!col("is_test"))
       .join(testShingles, Seq("h"), "left_semi").select(col("doc_id")).distinct()
     val clean = deduped
       .where(col("doc_id") % 97 =!= 0)
@@ -870,8 +898,18 @@ object SparkEntry {
     // tracks the corpus on the ladder instead of being flat by fiat). The
     // cost exercised is decode/featurize/resize, not the synthetic
     // PNG/WAV ENCODING that fabricates the fixture.
+    // The <=500 gate rides the PLAN as a broadcast 1-row aggregate (the
+    // q33/q52 scalar-subquery pattern; the oracle states it identically as
+    // `WHERE (SELECT count(*) FROM documents) <= 500 OR doc_id % 10 = 2`)
+    // instead of an eager `all.count()` at plan-construction time (r19,
+    // VERDICT r18 #1): no job runs until the query executes, and the
+    // count branch prunes to ZERO columns — parquet serves it from
+    // row-group metadata, not a corpus scan.
     val all = t(s, dir, "documents")
-    val sliced = if (all.count() <= 500L) all else all.where(col("doc_id") % 10 === 2)
+    val nAll = all.agg(count(lit(1)).as("_nall"))
+    val sliced = all.crossJoin(broadcast(nAll))
+      .where(col("_nall") <= 500L || col("doc_id") % 10 === 2)
+      .drop("_nall")
     // total order established on the PRUNED SCAN, below the encode/decode
     // maps (media_id = doc_id; Dataset.map/mapPartitions are
     // order-preserving) — a trailing orderBy's range-exchange sampling
@@ -1084,10 +1122,25 @@ object SparkEntry {
     // the (already top-1-filtered) result — not a separate driver-side
     // count() job over the corpus (the q33 scalar-subquery pattern)
     val nDocs = docs.agg(count(lit(1)).cast("double").as("_ndocs"))
+    // RANGE-partitioned by doc_id right after the tf aggregation (r19,
+    // guide §2.4/§2.1): RangePartitioning(doc_id) satisfies BOTH the
+    // window's clustering requirement AND the final orderBy's ordered
+    // distribution, so the trailing range exchange — whose boundary-
+    // sampling pass recomputed the entire window pipeline — vanishes
+    // (plans/r19/q52 before: Exchange (21) hash + Exchange (35) range;
+    // after: one range exchange, sampled once, below the window).
     val terms = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("doc_id"))
+    // `tf >= 1` is a tautology (count over existing rows), kept behind a
+    // sticky barrier for PLAN SHAPE only: it stops column pruning from
+    // dropping the tf partial-count out of this branch's aggregate, so
+    // both consumers share ONE exchange subtree (ReusedExchange) and the
+    // corpus explode runs once, not twice (plans/r19/q52 before: scans
+    // (1) and (7) each re-run the Generate).
+    val dfreq = terms.where(graft.plans.ArrayExprs.sticky(col("tf") >= 1))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("tf"), col("df"), col("term"))
     terms.join(dfreq, "term")
       .withColumn("rnk", row_number().over(w))

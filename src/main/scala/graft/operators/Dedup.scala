@@ -63,8 +63,21 @@ object Dedup {
     * data path. All output keys are xxhash64-normalized longs (a 64-bit
     * collision merging two buckets only adds candidates; the exact refine
     * predicates keep the result set correct). */
-  private def subSplitOversizedBuckets(
-      blocked0: DataFrame, key: String, idCol: String, maxBucket: Int, tag: String): DataFrame = {
+  /** Driver-memory cap on the guard's oversized-list collect (r19,
+    * VERDICT r18 #4): beyond this many oversized buckets the list is NOT
+    * materialized on the driver — the re-keying join consumes the
+    * distributed aggregate directly (the pre-r18 shape), so a pathological
+    * flood of millions of distinct oversized keys degrades to the old
+    * broadcast-relation envelope instead of first building a driver-side
+    * Row array on top of it. 65536 key rows ≈ 1.5 MB — far above anything
+    * a real corpus produces (each entry already represents > maxBucket
+    * member rows), far below driver-OOM territory. */
+  private[graft] val MaxCollectedOversized = 65536
+
+  private[graft] def subSplitOversizedBuckets(
+      blocked0: DataFrame, key: String, idCol: String, maxBucket: Int, tag: String,
+      blockedRowsBound: Option[Long] = None,
+      capOversized: Int = MaxCollectedOversized): DataFrame = {
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     // A null bucket key can never match in the downstream equi-join, so
     // those rows are dropped here rather than hash-normalized: xxhash64
@@ -72,10 +85,40 @@ object Dedup {
     // real (joinable) bucket and reintroduce the quadratic path for
     // null-text floods.
     val blocked = blocked0.where(col(key).isNotNull)
+    // Pre-counted skip (r19): when the caller KNOWS the blocked relation
+    // holds at most `blockedRowsBound` rows — the eager-materialization
+    // count every pair generator already pays, times the generator's fixed
+    // keys-per-row multiplier — and that bound is ≤ maxBucket, no bucket
+    // can possibly be oversized, so the per-bucket count job (one fixed
+    // ~50-300 ms scheduling+agg job on EVERY blocked query, r19 JobTrace)
+    // is skipped outright. Row-identical by construction: the skipped scan
+    // could only ever return an empty oversized list. At scale the bound
+    // exceeds maxBucket and the full guard runs unchanged.
+    if (blockedRowsBound.exists(_ <= maxBucket))
+      return blocked.withColumn(key, xxhash64(col(key)))
     val oversizedDf = blocked.groupBy(col(key)).agg(count(lit(1)).as("_bsz"))
       .where(col("_bsz") > maxBucket)
-    val osRows = oversizedDf.collect()
+    // limit(cap+1): bounded driver memory even under a key flood — the
+    // (cap+1)th row only signals "too many to hold", never ships them all
+    val osRows = oversizedDf.limit(capOversized + 1).collect()
     if (osRows.isEmpty) return blocked.withColumn(key, xxhash64(col(key)))
+    val nsplit = ceil(col("_bsz") / lit(maxBucket))
+    def rekeyed(oversized: DataFrame): DataFrame =
+      blocked.join(broadcast(oversized), Seq(key), "left_outer")
+        .withColumn(key,
+          when(col("_bsz").isNull, xxhash64(col(key)))
+            .otherwise(xxhash64(col(key), pmod(xxhash64(col(idCol), col(key)), nsplit))))
+        .drop("_bsz")
+    if (osRows.length > capOversized) {
+      // flood fallback: same join, distributed build side (re-aggregated by
+      // the broadcast build instead of re-shipped from the driver)
+      System.err.println(
+        s"[dedup] WARN $tag: more than $capOversized oversized bucket(s) " +
+          s"(> $maxBucket members each) — sub-splitting via the distributed list " +
+          "(driver collect skipped); exact-dedup the corpus first, this input is " +
+          "a degenerate flood")
+      return rekeyed(oversizedDf)
+    }
     val szIdx = oversizedDf.schema.fieldIndex("_bsz")
     val nrows = osRows.iterator.map(_.getLong(szIdx)).sum
     val nsub = osRows.iterator.map(r => (r.getLong(szIdx) + maxBucket - 1) / maxBucket).sum
@@ -85,14 +128,8 @@ object Dedup {
         s"$nsub secondary-hash sub-buckets — within-sub-bucket " +
         "pairs are still examined (partial recall, ≈1/nsplit per bucket key); " +
         "exact-dedup the corpus first if these are byte-identical floods")
-    val oversized = blocked.sparkSession.createDataFrame(
-      java.util.Arrays.asList(osRows: _*), oversizedDf.schema)
-    val nsplit = ceil(col("_bsz") / lit(maxBucket))
-    blocked.join(broadcast(oversized), Seq(key), "left_outer")
-      .withColumn(key,
-        when(col("_bsz").isNull, xxhash64(col(key)))
-          .otherwise(xxhash64(col(key), pmod(xxhash64(col(idCol), col(key)), nsplit))))
-      .drop("_bsz")
+    rekeyed(blocked.sparkSession.createDataFrame(
+      java.util.Arrays.asList(osRows: _*), oversizedDf.schema))
   }
 
   /** Exact dedup by content hash: keeps the row with the minimal `idCol`
@@ -145,16 +182,17 @@ object Dedup {
     // kept, so an executor loss recomputes instead of killing the job.
     // Storage lifecycle: harness loops clearCache() between queries;
     // within a query the entry lives exactly as long as its consumers.
-    val base = Materialize.shared(
+    val (base, nBase) = Materialize.sharedCounted(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
           ArrayExprs.shingleHash32(TextOps.tokens(col("text")), shingleN)))))
         .withColumn("sz", size(col("hs")))
         .withColumn("sig", ArrayExprs.sticky(ArrayExprs.minhashSignatureFast(col("hs"), k)))
         .drop("text"))
+    // exact blocked-rows bound: lshBandKeys emits exactly `bands` keys/row
     val withSig = subSplitOversizedBuckets(
       base.withColumn("band_key", explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand))),
-      "band_key", "doc_id", maxBucket, "minhashLshPairs")
+      "band_key", "doc_id", maxBucket, "minhashLshPairs", Some(nBase * bands))
     val a = withSig.select(col("band_key"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val b = withSig.select(col("band_key"), col("doc_id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
     joinVerify(a, b, "band_key", thrNum)
@@ -193,10 +231,10 @@ object Dedup {
       .withColumn("sig", ArrayExprs.sticky(ArrayExprs.minhashSignatureFast(col("hs"), k)))
       .drop("text")
       .withColumn("side", lit(side))
-    val both = Materialize.shared(prep(corpus, "c").unionByName(prep(batch, "b")))
+    val (both, nBoth) = Materialize.sharedCounted(prep(corpus, "c").unionByName(prep(batch, "b")))
     val withSig = subSplitOversizedBuckets(
       both.withColumn("band_key", explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand))),
-      "band_key", "doc_id", maxBucket, "minhashLshPairsAgainst")
+      "band_key", "doc_id", maxBucket, "minhashLshPairsAgainst", Some(nBoth * bands))
     val a = withSig.where(col("side") === "c")
       .select(col("band_key"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val b = withSig.where(col("side") === "b")
@@ -250,9 +288,10 @@ object Dedup {
     // the storage ceiling first at scale (the measured q69 spill knee in
     // BASELINE.md) — and keeps lineage, so a lost partition recomputes
     // deterministically instead of failing the job.
+    val (sharedWindows, nWindows) = Materialize.sharedCounted(windows)
     val blocked = subSplitOversizedBuckets(
-      Materialize.shared(windows).withColumn("wkey", col("wh")),
-      "wkey", "doc_id", maxBucket, "exactWindowPairs")
+      sharedWindows.withColumn("wkey", col("wh")),
+      "wkey", "doc_id", maxBucket, "exactWindowPairs", Some(nWindows))
     val a = blocked.select(col("wkey"), col("wh"), col("doc_id").as("id_a"))
     val b = blocked.select(col("wkey").as("wkey_r"), col("wh").as("wh_b"), col("doc_id").as("id_b"))
     a.join(b,
@@ -340,56 +379,69 @@ object Dedup {
         ids.select(col(idCol).as("id"), col(idCol).as("label")), s2))
       var prevCkpt = labels // superseded checkpoint blocks are freed each round
       var changed = 1L
-      var i = 0
-      while (changed > 0 && i < maxIter) {
-        // Each round is ONE Spark job (the eager checkpoint): the measured
-        // cost of the loop at small scale is JOB SCHEDULING, not data
-        // (CcProbe; the pre-r13 3-job round — hook persist+count, jump
-        // checkpoint, changed count — spent ~2/3 of its wall time on the
-        // two jobs this shape deletes).
-        // 1. hook: pull the min label across edges
-        val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+      var i = 0 // counts hook+jump PASSES (two per fused round)
+      // One hook+jump pass: pull the min label across edges, then pointer
+      // jump label := label(label) — the jump halves chain depth each pass,
+      // so convergence is O(log n) even for path-shaped components (plain
+      // propagation needs O(diameter) passes and could exhaust maxIter on
+      // long chains). roundCache: LAZY persist when narrowed (the round's
+      // checkpoint job materializes it; a double-compute race between
+      // consumer stages is cheaper than an extra job at this scale), EAGER
+      // at full width (the hook join is the pass's heavy shuffle — at
+      // 100 TB it must run exactly once, not race). Labels are
+      // deterministic hash/min derivations of the previous round's
+      // reliable snapshot, so either policy — and recompute after a lost
+      // partition — yields identical rows.
+      def hookJump(in: DataFrame, carryOld: Boolean): (DataFrame, DataFrame) = {
+        val neighborMin = edges.join(in, edges("dst") === in("id"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        // roundCache: LAZY persist when narrowed (the checkpoint job below
-        // materializes it; a double-compute race between the jump join's
-        // two scan stages is cheaper than an extra job at this scale),
-        // EAGER at full width (the hook join is the round's heavy shuffle —
-        // at 100 TB it must run exactly once, not race). Labels are
-        // deterministic hash/min derivations of the previous round's
-        // reliable snapshot, so either policy — and recompute after a lost
-        // partition — yields identical rows.
         val hooked = Materialize.roundCache(
-          labels.join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
-            .select(labels("id"),
-              least(labels("label"), coalesce(col("nlabel"), labels("label"))).as("label"),
-              labels("label").as("_old")),
+          in.join(neighborMin, in("id") === neighborMin("src"), "left_outer")
+            .select(Seq(in("id"),
+              least(in("label"), coalesce(col("nlabel"), in("label"))).as("label")) ++
+              (if (carryOld) Seq(in("label").as("_old")) else Nil): _*),
           narrowed)
-        // 2. pointer jump: label := label(label) — halves chain depth each
-        //    round, so convergence is O(log n) even for path-shaped
-        //    components (plain propagation needs O(diameter) rounds and
-        //    could exhaust maxIter on long chains)
-        // 3. convergence metric rides the SAME job: an observed aggregate
-        //    on the checkpoint write replaces the separate count job
-        //    (verified to fire on eager checkpoints — MaterializeSpec).
         val lookup = hooked.select(col("id").as("_lid"), col("label").as("_llabel"))
+        (hooked.join(lookup, hooked("label") === lookup("_lid"), "left_outer")
+          .select(Seq(hooked("id"),
+            least(hooked("label"), coalesce(col("_llabel"), hooked("label"))).as("label")) ++
+            (if (carryOld) Seq(hooked("_old")) else Nil): _*),
+         hooked)
+      }
+      while (changed > 0 && i < maxIter) {
+        // Each round FUSES TWO hook+jump passes into ONE Spark job (the
+        // eager checkpoint): the measured cost of the loop at small scale
+        // is JOB SCHEDULING, not data (CcProbe; JobTrace r19 measured 4
+        // checkpoint jobs/query here), and at 100 TB each round writes one
+        // reliable checkpoint of the labels relation — fusing halves both.
+        // Convergence is observed on the SECOND pass alone (carryOld
+        // threads the pass-2 input label through as _old): a full
+        // hook+jump pass that changes no label is exactly the original
+        // per-pass loop's exit condition (hook found no smaller neighbor
+        // min and jump found no deeper pointer — a fixpoint; pass counts
+        // and label trajectories are unchanged, only job boundaries move).
+        val (mid0, hooked1) = hookJump(labels, carryOld = false)
+        val mid = Materialize.roundCache(mid0, narrowed)
+        val (out, hooked2) = hookJump(mid, carryOld = true)
+        // The convergence metric rides the SAME job: an observed aggregate
+        // on the checkpoint write replaces a separate count job (verified
+        // to fire on eager checkpoints — MaterializeSpec).
         val obs = new org.apache.spark.sql.Observation(s"cc_changed_$i")
         val newLabels = timed("round", i)(Materialize.truncate(
-          hooked.join(lookup, hooked("label") === lookup("_lid"), "left_outer")
-            .select(hooked("id"),
-              least(hooked("label"), coalesce(col("_llabel"), hooked("label"))).as("label"),
-              col("_old"))
-            .observe(obs, count(when(col("label") =!= col("_old"), 1)).as("changed"))))
+          out.observe(obs, count(when(col("label") =!= col("_old"), 1)).as("changed"))))
         changed = observedChanged(obs, newLabels)
         // newLabels is materialized — the storage it was built from is dead
         Materialize.free(prevCkpt)
-        Materialize.release(hooked)
+        Materialize.release(hooked1)
+        Materialize.release(mid)
+        Materialize.release(hooked2)
         prevCkpt = newLabels
         labels = newLabels.drop("_old")
-        i += 1
+        i += 2
       }
       if (changed > 0)
         System.err.println(
-          s"[dedup] WARN dedupClusters exited unconverged after $maxIter rounds ($changed labels still moving)")
+          s"[dedup] WARN dedupClusters exited unconverged after $maxIter passes ($changed labels still moving)")
       // rebound to the CALLER's session: downstream consumers plan at the
       // width they chose; the loop's narrowing stays inside the loop
       Materialize.rebind(labels, ids.sparkSession)
@@ -565,7 +617,7 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming <= 3, "byte-blocking is exact only for maxHamming <= 3 over 4 bytes")
     // materialized once — feeds both join sides (see minhashLshPairs)
-    val withSim = Materialize.shared(df.select(
+    val (withSim, nSim) = Materialize.sharedCounted(df.select(
       col(idCol).as("doc_id"),
       ArrayExprs.sticky(ArrayExprs.simhash32Fast(
         PortableHash.hash32Array(TextOps.tokens(col(textCol))))).as("simhash")))
@@ -577,7 +629,7 @@ object Dedup {
         explode(array((0 until 4).map { byteIdx =>
           lit(byteIdx * 256L) + shiftright(col("simhash"), byteIdx * 8).bitwiseAND(lit(255L))
         }: _*))),
-      "block", "doc_id", maxBucket, "simhashPairs")
+      "block", "doc_id", maxBucket, "simhashPairs", Some(nSim * 4))
     val a = blocked.select(col("block"), col("doc_id").as("id_a"), col("simhash").as("sim_a"))
     val b = blocked.select(col("block"), col("doc_id").as("id_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("block"))
@@ -607,15 +659,15 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val thrNum = math.round(threshold * 1e6)
     // materialized once — feeds both join sides (see minhashLshPairs)
+    val (preppedBase, nPrepped) = Materialize.sharedCounted(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+        .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
+          ArrayExprs.shingleHash32(TextOps.tokens(col("text")), shingleN)))))
+        .withColumn("sz", size(col("hs")))
+        .withColumn("block", ArrayExprs.sticky(floor(TextOps.tokenCount(col("text")) / lengthBucket)))
+        .drop("text"))
     val prepped = subSplitOversizedBuckets(
-      Materialize.shared(
-        df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-          .withColumn("hs", ArrayExprs.sticky(array_sort(array_distinct(
-            ArrayExprs.shingleHash32(TextOps.tokens(col("text")), shingleN)))))
-          .withColumn("sz", size(col("hs")))
-          .withColumn("block", ArrayExprs.sticky(floor(TextOps.tokenCount(col("text")) / lengthBucket)))
-          .drop("text")),
-      "block", "doc_id", maxBucket, "ngramJaccardPairs")
+      preppedBase, "block", "doc_id", maxBucket, "ngramJaccardPairs", Some(nPrepped))
     val a = prepped.select(col("block"), col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a"))
     val b = prepped.select(col("block"), col("doc_id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b"))
     joinVerify(a, b, "block", thrNum)
@@ -655,12 +707,12 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket,
       nprobe: Int = 1): DataFrame = {
     // materialized once — feeds the bucket-size count and both join sides
+    val (bucketed, nBucketed) = Materialize.sharedCounted(df.select(
+      col(idCol).as("vid"),
+      col(vecCol).as("v"),
+      explode(VectorOps.probeBuckets(col(vecCol), bits, nprobe)).as("bucket")))
     val withBucket = subSplitOversizedBuckets(
-      Materialize.shared(df.select(
-        col(idCol).as("vid"),
-        col(vecCol).as("v"),
-        explode(VectorOps.probeBuckets(col(vecCol), bits, nprobe)).as("bucket"))),
-      "bucket", "vid", maxBucket, "embeddingNearDupPairs")
+      bucketed, "bucket", "vid", maxBucket, "embeddingNearDupPairs", Some(nBucketed))
     val a = withBucket.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
     val b = withBucket.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
     val pairs = a.join(b, Seq("bucket"))
@@ -709,12 +761,12 @@ object Dedup {
       nprobe: Int = 1): DataFrame = {
     require(centroids.nonEmpty, "clusterNearDupPairs needs at least one centroid")
     // materialized once — feeds the cluster-size count and both join sides
+    val (assigned0, nAssigned) = Materialize.sharedCounted(df.select(
+      col(idCol).as("vid"),
+      col(vecCol).as("v"),
+      explode(SimilaritySearch.nearestCentroids(col(vecCol), centroids, nprobe)).as("cluster")))
     val assigned = subSplitOversizedBuckets(
-      Materialize.shared(df.select(
-        col(idCol).as("vid"),
-        col(vecCol).as("v"),
-        explode(SimilaritySearch.nearestCentroids(col(vecCol), centroids, nprobe)).as("cluster"))),
-      "cluster", "vid", maxBucket, "clusterNearDupPairs")
+      assigned0, "cluster", "vid", maxBucket, "clusterNearDupPairs", Some(nAssigned))
     val a = assigned.select(col("cluster"), col("vid").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cluster"), col("vid").as("id_b"), col("v").as("v_b"))
     val pairs = a.join(b, Seq("cluster"))
@@ -757,9 +809,10 @@ object Dedup {
       col(vecCol).as("v"),
       explode(SimilaritySearch.nearestCentroids(col(vecCol), centroids, np)).as("cluster"))
       .withColumn("side", lit(side))
+    val (assigned0, nAssigned) = Materialize.sharedCounted(
+      prep(corpus, "c", 1).unionByName(prep(batch, "b", nprobe)))
     val assigned = subSplitOversizedBuckets(
-      Materialize.shared(prep(corpus, "c", 1).unionByName(prep(batch, "b", nprobe))),
-      "cluster", "vid", maxBucket, "clusterNearDupPairsAgainst")
+      assigned0, "cluster", "vid", maxBucket, "clusterNearDupPairsAgainst", Some(nAssigned))
     val a = assigned.where(col("side") === "c")
       .select(col("cluster"), col("vid").as("corpus_id"), col("v").as("v_c"))
     val b = assigned.where(col("side") === "b")

@@ -44,10 +44,17 @@ object Materialize {
     * persist keeps lineage (executor-loss recoverable) and the eager pass
     * makes every consumer — including both sides of a self-join running in
     * one job — read identical, already-built cache batches. */
-  def shared(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+  def shared(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    sharedCounted(df, level)._1
+
+  /** [[shared]], returning the row count its eager pass already computed —
+    * free metadata the caller can reuse (e.g. the blocked-dedup guard's
+    * "can any bucket be oversized at all?" bound) instead of paying a
+    * second count job for a number this materialization just produced. */
+  def sharedCounted(df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK): (DataFrame, Long) = {
     df.persist(level)
-    df.count()
-    df
+    val n = df.count()
+    (df, n)
   }
 
   /** Release the storage behind a [[shared]] relation once no downstream
@@ -213,7 +220,24 @@ object Materialize {
   def spreadNarrowScan(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val width = math.max(1, scala.util.Try(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt).getOrElse(32))
-    val parts = df.rdd.getNumPartitions // planning only, no job
+    // Guard to EXCHANGE-FREE inputs before touching .rdd (r19, ADVICE
+    // r18): under AQE, `.rdd` on a plan containing exchanges forces
+    // getFinalPhysicalPlan, which eagerly RUNS the shuffle stages at
+    // plan-build time — work the later real execution does not reuse. An
+    // exchange-free (scan/project/filter/generate, no subqueries) plan
+    // keeps `.rdd` a pure planning walk, which is all the current callers
+    // (raw scans, filtered CDC deltas) ever pass; anything wider no-ops —
+    // this helper only exists to spread DEGENERATE scans anyway.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val narrowOnly = df.queryExecution.analyzed.collect { case p => p }.forall { p =>
+      (p match {
+        case _: LeafNode | _: Project | _: Filter | _: Generate | _: SubqueryAlias => true
+        case _ => false
+      }) && p.expressions.forall(!_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    }
+    if (!narrowOnly) return df
+    val parts = df.rdd.getNumPartitions // planning only (exchange-free), no job
     if (parts * 2 >= width) df
     else df.repartition(width, org.apache.spark.sql.functions.pmod(
       org.apache.spark.sql.functions.xxhash64(key),

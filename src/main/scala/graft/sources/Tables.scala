@@ -64,27 +64,73 @@ object Tables {
     * changes the signature and re-infers. Results are byte-identical:
     * the cached schema IS the schema the same inference ran on the same
     * bytes (drift matrix re-verified by CdcSpec/JdbcCdcSpec). */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  /** path → (signature, schema). Keyed by the bare PATH with the
+    * signature stored alongside (r19, ADVICE r18): a signature mismatch
+    * REPLACES the entry, so a long-running CDC service that rewrites a
+    * table every poll holds exactly one entry per table path instead of
+    * appending a new (listing-string-sized) key per poll forever. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
 
-  private def fileSignature(f: java.io.File): String = {
+  /** Recursive (relpath, length, mtime-nanos) signature of a LOCAL file
+    * tree, or None when `java.io.File` cannot see the path — a non-local
+    * URI (hdfs://, s3a://) or a vanished file (r19, ADVICE r18): for
+    * those the caller must bypass the cache entirely, never cache under a
+    * degenerate bare-path key that would serve a stale schema across CDC
+    * drift forever. The mtime is `Files.getLastModifiedTime` at NANOS
+    * (not `File.lastModified`'s milliseconds) and the file COUNT rides
+    * the prefix, closing the same-millisecond same-length rewrite hole
+    * (VERDICT r18 #2) down to filesystem timestamp granularity. */
+  private def fileSignature(f: java.io.File): Option[String] = {
+    if (!f.exists()) return None
     val sb = new StringBuilder(f.getPath)
+    var n = 0
     def walk(x: java.io.File, rel: String): Unit =
-      if (x.isFile) { sb.append('|').append(rel).append(':').append(x.length())
-        .append(':').append(x.lastModified()); () }
+      if (x.isFile) {
+        val mtNanos = try java.nio.file.Files
+          .getLastModifiedTime(x.toPath).to(java.util.concurrent.TimeUnit.NANOSECONDS)
+        catch { case _: java.io.IOException => x.lastModified * 1000000L }
+        n += 1
+        sb.append('|').append(rel).append(':').append(x.length())
+          .append(':').append(mtNanos); ()
+      }
       else Option(x.listFiles()).toSeq.flatten.sortBy(_.getName)
         .foreach(c => walk(c, rel + "/" + c.getName))
     walk(f, "")
-    sb.result()
+    Some(sb.insert(f.getPath.length, "#" + n).result())
   }
+
+  /** Cache-or-infer: serve the cached schema only when the CURRENT
+    * signature matches the stored one; otherwise (changed files, or an
+    * unsignable non-local path) run `infer` — and store the result only
+    * when a signature exists to invalidate it later. */
+  private def cachedSchema(
+      f: java.io.File,
+      infer: () => org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    fileSignature(f) match {
+      case None => infer() // non-local / vanished: never cache (ADVICE r18)
+      case Some(sig) =>
+        schemaCache.get(f.getPath) match {
+          case (`sig`, schema) => schema
+          case _ =>
+            val schema = infer()
+            schemaCache.put(f.getPath, (sig, schema))
+            schema
+        }
+    }
+
+  /** Test hooks: cache size (bounded-growth pin) and the stored signature
+    * for a path (rewrite-invalidation pin). */
+  private[graft] def schemaCacheSize: Int = schemaCache.size()
+  private[graft] def schemaCacheSignature(path: String): Option[String] =
+    Option(schemaCache.get(path)).map(_._1)
 
   /** Parquet read with the inferred schema cached by file signature —
     * engine-written layouts (IVF index data/centroids) skip Spark 4's
     * per-call schema-inference job when the directory is unchanged; any
     * write into the directory changes the signature and re-infers. */
   def cachedParquet(spark: SparkSession, path: String): DataFrame = {
-    val schema = schemaCache.computeIfAbsent(fileSignature(new java.io.File(path)),
-      _ => spark.read.parquet(path).schema)
+    val schema = cachedSchema(new java.io.File(path), () => spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 
@@ -111,7 +157,7 @@ object Tables {
           widenedUnionSchema(spark, path)
       }
     }
-    val schema = schemaCache.computeIfAbsent(fileSignature(f), _ => inferSchema())
+    val schema = cachedSchema(f, () => inferSchema())
     // explicit schema: no inference job, and multi-file semantics are
     // preserved by construction — the cached schema is the merged union,
     // missing columns null-fill and narrower files read through Spark 4

@@ -437,4 +437,36 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((1L, 2L))) // 3 is opposite → different bucket AND cosine -1
   }
+
+  // r19 guard hardening (VERDICT r18 #4/#5): the oversized-list collect is
+  // capped; past the cap the re-keying join consumes the DISTRIBUTED
+  // aggregate (pre-r18 shape) instead of a driver-side Row array — and the
+  // two paths must be row-identical.
+  test("oversized-list flood fallback (collect cap) is row-identical to the driver path") {
+    // 3 buckets: key 7 with 250 members (> maxBucket 100), key 8 with 30,
+    // key 9 with 130 (> 100) — exercises both oversized and normal keys
+    val blocked = spark.range(0, 250).selectExpr("id as doc_id", "CAST(7 AS LONG) as bkey")
+      .unionByName(spark.range(300, 330).selectExpr("id as doc_id", "CAST(8 AS LONG) as bkey"))
+      .unionByName(spark.range(400, 530).selectExpr("id as doc_id", "CAST(9 AS LONG) as bkey"))
+    def rows(capOversized: Int) = Dedup.subSplitOversizedBuckets(
+      blocked, "bkey", "doc_id", maxBucket = 100, tag = "spec",
+      blockedRowsBound = None, capOversized = capOversized)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaDriver = rows(Dedup.MaxCollectedOversized)
+    val viaDistributed = rows(0) // cap 0 → every oversized list "floods"
+    assert(viaDriver == viaDistributed,
+      "flood fallback must re-key identically to the driver-collected path")
+    assert(viaDriver.map(_._2).size > 3, "oversized buckets must actually sub-split")
+  }
+
+  test("pre-counted bound skip returns the same rows as the full guard") {
+    // bound ≤ maxBucket: no bucket can be oversized, so the guard's count
+    // job is skipped outright — rows must equal the unskipped guard's
+    val blocked = spark.range(0, 80).selectExpr("id as doc_id", "(id % 5) as bkey")
+    def rows(bound: Option[Long]) = Dedup.subSplitOversizedBuckets(
+      blocked, "bkey", "doc_id", maxBucket = 100, tag = "spec", blockedRowsBound = bound)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(Some(80L)) == rows(None),
+      "bound-based skip must be row-identical to the counted guard")
+  }
 }

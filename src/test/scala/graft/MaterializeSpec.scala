@@ -156,4 +156,25 @@ class MaterializeSpec extends AnyFunSuite {
       assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe)
     }
   }
+
+  test("spreadNarrowScan spreads narrow scans but NO-OPS on exchange-bearing input (r19)") {
+    // ADVICE r18: under AQE, .rdd on a plan containing exchanges forces
+    // getFinalPhysicalPlan — eagerly RUNNING the shuffle stages at
+    // plan-build time, unreused by the real execution. The helper must
+    // therefore refuse anything that is not a pure scan/project/filter
+    // chain (returning it untouched), while still spreading a degenerate
+    // narrow scan.
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread_").toString
+    spark.range(100).selectExpr("id", "id * 2 as v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val scan = spark.read.parquet(s"$dir/t.parquet")
+    val spreadOut = Materialize.spreadNarrowScan(scan, col("id"))
+    assert(spreadOut.rdd.getNumPartitions >
+      scan.rdd.getNumPartitions, "a 1-split scan must be spread to the session width")
+    assert(spreadOut.orderBy("id").collect().map(_.getLong(0)).toSeq == (0L until 100L),
+      "spreading must not change rows")
+    val withShuffle = scan.groupBy(col("id") % 10).count()
+    assert(Materialize.spreadNarrowScan(withShuffle, col("count")) eq withShuffle,
+      "an exchange-bearing plan must be returned untouched (never .rdd-probed)")
+  }
 }

@@ -275,14 +275,29 @@ class PlanAuditSpec extends AnyFunSuite {
     // twice per row. sortedScan establishes the order on the pruned scan;
     // the scoring projection must stay above it — a regression here is the
     // silent 2× the r18 round removed (q83 1.20 → 0.81 s).
-    for (q <- Seq("q22_quality_score", "q83_funnel_trace")) {
+    // the FULL sortedScan family (r19, ADVICE r18): every query rewritten
+    // onto the order-below-projection contract, each with the marker of
+    // its own heavy expression — any one slipping below the range
+    // exchange reintroduces the silent 2× sampling-pass evaluation
+    val family = Seq(
+      "q19_simhash" -> "simhash32",
+      "q21_langid" -> "tokenmarkercount",
+      "q22_quality_score" -> "tokenmarkercount",
+      "q23_fingerprint" -> "fingerprint",
+      "q35_bpe_tokens" -> "bpe",
+      "q36_minhash_sigs" -> "minhashsignature",
+      "q62_pii_redaction" -> "regexp_replace",
+      "q83_funnel_trace" -> "tokenmarkercount", // funnelScored(sorted=true)
+      "q90_embed_documents" -> "UDF(",
+      "q92_multimodal" -> "MapElements")
+    for ((q, marker) <- family) {
       val out = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       val plan = out.queryExecution.executedPlan.toString
       val idx = plan.indexOf("rangepartitioning")
       assert(idx >= 0, s"$q must keep a total order:\n$plan")
-      assert(!plan.substring(idx).contains("tokenmarkercount"),
-        s"$q: scoring expressions sit below the range exchange — the " +
-          s"sampling pass would evaluate them twice per row:\n$plan")
+      assert(!plan.substring(idx).contains(marker),
+        s"$q: heavy expression '$marker' sits below the range exchange — " +
+          s"the sampling pass would evaluate it twice per row:\n$plan")
     }
   }
 
